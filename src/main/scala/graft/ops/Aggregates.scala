@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4, A1–A8).
+  *
+  * Re-expresses the reference's aggregate surface — grouped COUNT/SUM/AVG/
+  * MIN/MAX (`/root/reference/sql/fact_dim_tables.sql:350-367`), COUNT
+  * DISTINCT (`fact_dim_tables.sql:354`), STDDEV
+  * (`sql/analysis_queries.sql:141`), conditional aggregation
+  * (`fact_dim_tables.sql:362-365`), exact percentiles
+  * (`sql/analysis_queries.sql:58-59`), HAVING (`analysis_queries.sql:208`),
+  * ratio-of-aggregates (`analysis_queries.sql:340`) and 5-key grouping
+  * (`analysis_queries.sql:313-347`) — as Spark `groupBy().agg()` plans.
+  *
+  * Scale notes: every one of these is a hash aggregate with map-side partial
+  * aggregation, so the shuffle carries one row per (group × partition), not
+  * per input row. Group cardinality here is tiny (flags × statuses × dates),
+  * so at 100 TB the shuffle stays in the kilobytes; the scan is the cost and
+  * column pruning keeps it to the referenced columns. `countDistinct` is the
+  * exception — it expands to a two-phase distinct-then-agg; for 100 TB ad-hoc
+  * use, `approx_count_distinct` (HLL) is the right default and is exposed in
+  * the same query.
+  */
+object Aggregates {
+
+  /** A1 — pricing-summary-style grouped aggregate over lineitem (also the
+    * flagship `SparkEntry.entry`). */
+  val aggBasic: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        ravg(col("l_quantity")).as("avg_qty"),
+        ravg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2 — COUNT(DISTINCT) per group + HLL approximate variant (the 100 TB
+    * path: HLL avoids the exact-distinct double shuffle). */
+  val aggCountDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A3 — sample standard deviation per group (PostgreSQL STDDEV = sample:
+    * `/root/reference/sql/analysis_queries.sql:141`). */
+  val aggStddev: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** A4 — conditional aggregation / manual pivot
+    * (`/root/reference/sql/fact_dim_tables.sql:362-365`). */
+  val aggConditional: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        count(when(col("o_totalprice") > 100000d, lit(1))).as("n_big"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A5 — exact interpolated percentiles
+    * (`PERCENTILE_CONT WITHIN GROUP`, `analysis_queries.sql:58-59`);
+    * `percentile_approx` is the documented 100 TB variant (exact percentile
+    * sorts each group). */
+  val aggPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_quantity"), lit(0.95)), 4).as("p95"))
+      .orderBy(col("l_returnflag"))
+
+  /** A6 — HAVING post-aggregation filter (`analysis_queries.sql:208`). */
+  val aggHaving: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 3)
+      .orderBy(col("o_custkey"))
+
+  /** A7 — ratio-of-aggregates in one pass (significant-delay-rate shape,
+    * `analysis_queries.sql:340`), with NULLIF-style zero guard. */
+  val aggRatio: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(count(when(col("l_quantity") > 30d, lit(1))).cast("double") /
+          count(lit(1)), 4).as("high_qty_rate"),
+        round(count(when(col("l_discount") >= 0.05, lit(1))).cast("double") /
+          count(lit(1)), 4).as("discounted_rate"))
+      .orderBy(col("l_returnflag"))
+
+  /** A8 — multi-key (5-key) grouping (`analysis_queries.sql:313-347`). */
+  val aggMultikey: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(
+        col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"),
+        (col("l_suppkey") % 5).as("supp_bucket"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"),
+               col("ship_month"), col("supp_bucket"))
+
+  val queries: Map[String, Q] = Map(
+    "agg_basic" -> aggBasic,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_stddev" -> aggStddev,
+    "agg_conditional" -> aggConditional,
+    "agg_percentile" -> aggPercentile,
+    "agg_having" -> aggHaving,
+    "agg_ratio" -> aggRatio,
+    "agg_multikey" -> aggMultikey)
+
+  val oracles: Map[String, String] = Map(
+    "agg_basic" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumProdSql("l_extendedprice", "1.0 - l_discount")} AS sum_disc_price,
+         |  round(avg(l_quantity), 2) AS avg_qty,
+         |  round(avg(l_extendedprice), 2) AS avg_price,
+         |  min(l_shipdate) AS min_ship,
+         |  max(l_shipdate) AS max_ship
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_stddev" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 2) AS sd_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_conditional" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  CAST(count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_big
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_having" ->
+      s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    "agg_ratio" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(count(CASE WHEN l_quantity > 30 THEN 1 END) AS DOUBLE) / count(*), 4) AS high_qty_rate,
+        |  round(CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS DOUBLE) / count(*), 4) AS discounted_rate
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_multikey" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+         |  CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS ship_month,
+         |  l_suppkey % 5 AS supp_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin)
+}

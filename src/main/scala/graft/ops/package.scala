@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared conventions for the oracle-differential query surface.
+  *
+  * Determinism discipline (SURVEY.md §5): the driver hash-compares our
+  * parquet dump against DuckDB running `SparkEntry.oracleSql` on the same
+  * tables, so every query must be bit-reproducible across the two engines:
+  *
+  *  - Money/quantity SUMs go through `DecimalType` (exact, order-independent
+  *    — a parallel double sum is not associative and its low bits depend on
+  *    partition merge order) and are cast back to double at the end so the
+  *    output schema matches DuckDB's.
+  *  - AVG / STDDEV stay floating but are rounded to a fixed scale.
+  *  - Every result carries a total ORDER BY with a unique tiebreak column.
+  *  - No `current_date`/`rand` — pinned literals only.
+  */
+package object ops {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact order-independent sum of a 2-decimal money/qty column → double. */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Oracle-side equivalent of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Exact sum of a product of two 2-decimal columns (e.g. revenue
+    * `l_extendedprice * (1 - l_discount)`): operands are cast to decimal
+    * BEFORE multiplying so the arithmetic is exact in both engines.
+    */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+
+  def dsumProdSql(a: String, b: String): String =
+    s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Rounded average (floating; fixed scale keeps both engines aligned). */
+  def ravg(c: Column, scale: Int = 2): Column = round(avg(c), scale)
+}

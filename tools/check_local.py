@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage:  python3 tools/check_local.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet dumps written by `graft.Verify`, runs each
+oracle SQL from outDir/oracle_sql.json in DuckDB against the sfDir parquet
+tables, and compares: column names (sorted), dtypes (loosely), row counts,
+and values (bit-exact first, then 1e-9 relative tolerance fallback so we can
+see HOW close a float mismatch is).
+
+Dev-only tool (driver-side python); not part of the shipped Scala library.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+
+    results = {}
+    for name in sorted(oracle):
+        files = sorted(glob.glob(f"{OUT_DIR}/{name}/*.parquet"))
+        if not files:
+            results[name] = "MISSING-SPARK-OUTPUT"
+            continue
+        try:
+            mine = con.sql(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            theirs = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR: {e}"
+            continue
+
+        mc, tc = sorted(mine.columns), sorted(theirs.columns)
+        if mc != tc:
+            results[name] = f"COLS mine={mc} oracle={tc}"
+            continue
+        if len(mine) != len(theirs):
+            results[name] = f"ROWS mine={len(mine)} oracle={len(theirs)}"
+            continue
+        mine, theirs = mine[mc], theirs[mc]
+        # driver sorts columns by name; compare row-by-row in emitted order,
+        # falling back to a canonical row sort in case emitted order differs
+        mism = compare(mine, theirs)
+        if mism:
+            m2 = compare(mine.sort_values(mc).reset_index(drop=True),
+                         theirs.sort_values(mc).reset_index(drop=True))
+            results[name] = "OK-AFTER-ROWSORT" if not m2 else "; ".join(m2[:3])
+        else:
+            results[name] = "OK"
+
+    width = max(len(n) for n in results) if results else 0
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for n, v in sorted(results.items()):
+        print(f"{n:<{width}}  {v}")
+    # queries with no oracle entry
+    import os
+    declared = {os.path.basename(p) for p in glob.glob(f"{OUT_DIR}/*")
+                if os.path.isdir(p)}
+    no_oracle = declared - set(oracle)
+    if no_oracle:
+        print(f"-- rows-only (no oracle): {sorted(no_oracle)}")
+    print(f"== {n_ok}/{len(results)} oracle-checked OK")
+    return 0 if n_ok == len(results) else 1
+
+
+def compare(mine, theirs):
+    mism = []
+    for c in mine.columns:
+        a, b = list(mine[c]), list(theirs[c])
+        for i, (x, y) in enumerate(zip(a, b)):
+            x, y = norm(x), norm(y)
+            if x == y or (x is None and y is None):
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if x == y:
+                    continue
+                tol = abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
+                mism.append(
+                    f"{c}[{i}]: {x!r} vs {y!r}"
+                    + (" (within 1e-9 — NOT bit-exact!)" if tol else ""))
+            else:
+                if str(x) == str(y):
+                    continue
+                mism.append(f"{c}[{i}]: {x!r} ({type(x).__name__}) vs "
+                            f"{y!r} ({type(y).__name__})")
+            if len(mism) >= 5:
+                return mism
+    return mism
+
+
+if __name__ == "__main__":
+    sys.exit(main())
