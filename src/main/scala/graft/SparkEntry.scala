@@ -13,8 +13,14 @@ import graft.ops._
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Ingest.queries, Ingest.oracles),
+    (Filters.queries, Filters.oracles),
+    (Scalars.queries, Scalars.oracles),
+    (Joins.queries, Joins.oracles),
     (Aggregates.queries, Aggregates.oracles),
-    (Filters.queries, Filters.oracles))
+    (Windows.queries, Windows.oracles),
+    (TopK.queries, TopK.oracles),
+    (JsonArray.queries, JsonArray.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,10 +23,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamp_ntz, matching how Spark reads the other tables' naive
+    // parquet timestamps (inferTimestampNTZ) — a plain TimestampType here
+    // would dump as isAdjustedToUTC=true parquet and mismatch the oracle's
+    // naive timestamps. Session TZ is pinned UTC so the cast is a rebadge.
     table(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast("timestamp_ntz"))
   }
 
   val allNames: Seq[String] = Seq(

@@ -58,8 +58,8 @@ object Aggregates {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
-        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        rstddev(col("l_quantity")).as("sd_qty"),
+        rstddev(col("l_extendedprice")).as("sd_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
@@ -140,8 +140,8 @@ object Aggregates {
          |  ${dsumSql("l_quantity")} AS sum_qty,
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
          |  ${dsumProdSql("l_extendedprice", "1.0 - l_discount")} AS sum_disc_price,
-         |  round(avg(l_quantity), 2) AS avg_qty,
-         |  round(avg(l_extendedprice), 2) AS avg_price,
+         |  ${ravgSql("l_quantity")} AS avg_qty,
+         |  ${ravgSql("l_extendedprice")} AS avg_price,
          |  min(l_shipdate) AS min_ship,
          |  max(l_shipdate) AS max_ship
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -152,11 +152,11 @@ object Aggregates {
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_stddev" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 2) AS sd_qty,
-        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT l_returnflag,
+         |  ${rstddevSql("l_quantity")} AS sd_qty,
+         |  ${rstddevSql("l_extendedprice")} AS sd_price,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_conditional" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source / sink operators (SURVEY.md §2.1, S1–S2).
+  *
+  * S1 mirrors the reference's CSV staging ingest
+  * (`/root/reference/sql/load_gtfs_data.sql:2-84`: header row, empty
+  * string = NULL, comma delimiter, explicit column list): we round-trip the
+  * `part` table through CSV with an explicit schema — never inference on a
+  * correctness path (SURVEY §1.3) — and read it back.
+  *
+  * S2 mirrors the staging→operational typed load
+  * (`load_gtfs_data.sql:119-239`): null-filter on required columns,
+  * COALESCE default-fill, and PK dedup standing in for
+  * `ON CONFLICT DO NOTHING`.
+  *
+  * Scale notes: CSV read/write is splittable and streams partition-wise —
+  * the round-trip here writes to a scratch dir under target/ but the
+  * operator shape (schema'd reader, nullValue option) is exactly what a
+  * 100 TB CSV staging load uses. `dropDuplicates(pk)` is a hash shuffle on
+  * the PK — the same cost any engine pays for global dedup.
+  */
+object Ingest {
+
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  /** S1 — CSV ingest with header, explicit schema, empty-string-as-NULL. */
+  val csvIngest: Q = (s, d) => {
+    val scratch = s"/root/repo/target/scratch/csv_ingest"
+    Tables.part(s, d)
+      .write.mode("overwrite").option("header", "true").csv(scratch)
+    s.read.schema(partSchema)
+      .option("header", "true").option("nullValue", "")
+      .csv(scratch)
+      .orderBy(col("p_partkey"))
+  }
+
+  /** S2 — typed load: required-column null filter + default fill + PK
+    * dedup (`ON CONFLICT DO NOTHING` ≡ keep one row per PK; the PK is
+    * fully duplicated when it repeats here, so "first wins" is
+    * deterministic). */
+  val typedLoadDedup: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .filter(col("s_suppkey").isNotNull && col("s_name").isNotNull)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+              coalesce(col("s_acctbal"), lit(0.0)).as("s_acctbal"))
+      .dropDuplicates("s_suppkey")
+      .orderBy(col("s_suppkey"))
+
+  val queries: Map[String, Q] = Map(
+    "csv_ingest" -> csvIngest,
+    "typed_load_dedup" -> typedLoadDedup)
+
+  val oracles: Map[String, String] = Map(
+    "csv_ingest" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "typed_load_dedup" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  coalesce(s_acctbal, 0.0) AS s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IS NOT NULL AND s_name IS NOT NULL
+        |ORDER BY s_suppkey""".stripMargin)
+}

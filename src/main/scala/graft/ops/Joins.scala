@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.3, J1–J9).
+  *
+  * Re-expresses every join shape the reference uses: inner equi-joins
+  * (`/root/reference/sql/load_gtfs_data.sql:185,209-210`), the 5-way star
+  * join building the fact table (`sql/fact_dim_tables.sql:341-345`), LEFT
+  * joins (`sql/ml_feature_engineering.sql:248-249`), the
+  * LEFT-JOIN-WHERE-NULL anti pattern (`sql/load_gtfs_data.sql:95-101`),
+  * `= ANY(...)` semi joins (`generate_synthetic_data.py:106-118`),
+  * correlated scalar subqueries decorrelated by hand
+  * (`sql/fact_dim_tables.sql:268-280`), the hour-quantized weather as-of
+  * join (`sql/ml_feature_engineering.sql:192-213`), CROSS JOIN of generated
+  * series (`sql/fact_dim_tables.sql:215-217`) and `UPDATE ... FROM`
+  * join-update (`sql/ml_feature_engineering.sql:387-453`).
+  *
+  * Scale notes: the fact-side tables (lineitem/orders/events) shuffle on
+  * the join key — at 100 TB that's a sort-merge join whose exchanges AQE
+  * resizes; dimension sides (region/nation/customer/part, and the hourly
+  * aggregate in the as-of join) are `broadcast()` so no fact-side shuffle
+  * happens where it can be avoided. The decorrelated scalar-subquery and
+  * join-update shapes aggregate FIRST (shrinking to one row per key) and
+  * broadcast the result, instead of shuffling the big side twice.
+  */
+object Joins {
+
+  /** J1 — 2-way inner equi-join, small side broadcast. */
+  val joinInnerEqui: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  /** J2 — 5-way star join (fact ⨝ four dims), dims broadcast. */
+  val joinStar5way: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** J3 — LEFT OUTER join preserving unmatched left rows. */
+  val joinLeft: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** J4 — anti join (reference's LEFT JOIN ... WHERE key IS NULL orphans). */
+  val joinAntiOrphans: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** J5 — semi join (reference's `service_id = ANY(...)`). */
+  val joinSemiServices: Q = (s, d) => {
+    val fOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000d)
+    Tables.customer(s, d)
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J6 — correlated scalar subquery, decorrelated: aggregate per key, then
+    * broadcast-join the (small) aggregate back and filter. */
+  val joinScalarSubquery: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    // exact decimal sum + count instead of avg(): the `price > avg` filter
+    // is evaluated as `price * n > sum` — pure decimal arithmetic, immune
+    // to double-summation order (a boundary row must not flip engines)
+    val custAgg = o.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("cust_sum"),
+           count(lit(1)).as("cust_n"))
+    o.join(broadcast(custAgg), col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice").cast("decimal(18,2)") * col("cust_n") >
+              col("cust_sum"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              (col("cust_sum").cast("double") / col("cust_n"))
+                .as("cust_avg_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J7 — as-of join quantized to the hour (delay event ↔ hourly weather):
+    * events join a per-hour aggregate on the truncated-hour key. The hourly
+    * side is one row per hour — tiny — so it broadcasts; the fact side never
+    * shuffles. */
+  val joinAsofHour: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(ravg(col("value")).as("hourly_avg"),
+           count(lit(1)).as("hourly_n"))
+    ev.withColumn("h", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      .join(broadcast(hourly), Seq("h"), "left")
+      .select(col("event_id"), col("h"), col("hourly_avg"), col("hourly_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J8 — CROSS JOIN of two generated series (hours × quarter-hours →
+    * dim_time shape, `fact_dim_tables.sql:215-217`). */
+  val joinCrossSeries: Q = (s, _) => {
+    val hours = s.range(0, 24).select(col("id").cast("int").as("h"))
+    val minutes = s.range(0, 4).select((col("id") * 15).cast("int").as("m"))
+    hours.crossJoin(minutes)
+      .select(col("h"), col("m"), (col("h") * 100 + col("m")).as("time_key"))
+      .orderBy(col("time_key"))
+  }
+
+  /** J9 — `UPDATE ... FROM` join-update, re-expressed as an immutable
+    * rebuild: left-join the per-key aggregate and select-replace columns. */
+  val joinUpdateFrom: Q = (s, d) => {
+    val spent = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spent"), count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(broadcast(spent), col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("spent"), lit(0.0)).as("total_spent"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_equi" -> joinInnerEqui,
+    "join_star_5way" -> joinStar5way,
+    "join_left" -> joinLeft,
+    "join_anti_orphans" -> joinAntiOrphans,
+    "join_semi_services" -> joinSemiServices,
+    "join_scalar_subquery" -> joinScalarSubquery,
+    "join_asof_hour" -> joinAsofHour,
+    "join_cross_series" -> joinCrossSeries,
+    "join_update_from" -> joinUpdateFrom)
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_equi" ->
+      s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_star_5way" ->
+      s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+         |  ${dsumProdSql("l_extendedprice", "1.0 - l_discount")} AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_left" ->
+      s"""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_anti_orphans" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_semi_services" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderstatus = 'F' AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(cust_sum AS DOUBLE) / cust_n AS cust_avg_price
+        |FROM orders JOIN (
+        |  SELECT o_custkey AS ck, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_sum,
+        |    count(*) AS cust_n
+        |  FROM orders GROUP BY 1) ON o_custkey = ck
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_asof_hour" ->
+      """SELECT e.event_id, date_trunc('hour', e.ts) AS h, w.hourly_avg, w.hourly_n
+        |FROM events e LEFT JOIN (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS hourly_avg,
+        |    CAST(count(*) AS BIGINT) AS hourly_n
+        |  FROM events GROUP BY 1) w ON date_trunc('hour', e.ts) = w.h
+        |ORDER BY e.event_id""".stripMargin,
+    "join_cross_series" ->
+      """SELECT CAST(h.i AS INTEGER) AS h, CAST(m.i * 15 AS INTEGER) AS m,
+        |  CAST(h.i * 100 + m.i * 15 AS INTEGER) AS time_key
+        |FROM range(24) h(i) CROSS JOIN range(4) m(i)
+        |ORDER BY time_key""".stripMargin,
+    "join_update_from" ->
+      s"""SELECT c_custkey, c_name,
+         |  coalesce(agg.spent, 0.0) AS total_spent,
+         |  CAST(coalesce(agg.n_orders, 0) AS BIGINT) AS n_orders
+         |FROM customer LEFT JOIN (
+         |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS spent,
+         |    count(*) AS n_orders
+         |  FROM orders GROUP BY 1) agg ON c_custkey = agg.o_custkey
+         |ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Scalar string / date / math functions (SURVEY.md §2.8, F1–F6).
+  *
+  * Covers every scalar the reference exercises: EXTRACT family + DATE_TRUNC
+  * (`/root/reference/sql/fact_dim_tables.sql:163-170,319-321`), TO_CHAR
+  * date keys and day/month names (`fact_dim_tables.sql:161-170,189`),
+  * generate_series (`fact_dim_tables.sql:179-183`), date arithmetic
+  * (`sql/analysis_queries.sql:281`), `string_to_array` time-splitting
+  * (`sql/create_schema.sql:211-216` — full GTFS parser in
+  * [[graft.functions.GtfsTime]]), and ROUND/GREATEST/LEAST/NULLIF/ABS/SQRT
+  * math (`analysis_queries.sql:42-46`, `fact_dim_tables.sql:320-321`).
+  *
+  * Cross-engine traps handled here (SURVEY §2.8 F1):
+  *  - PostgreSQL/DuckDB `EXTRACT(DOW)` is 0=Sunday; Spark `dayofweek` is
+  *    1=Sunday → we emit `dayofweek(ts) - 1` to keep the PG convention.
+  *  - `EXTRACT(WEEK)` is ISO week in both PG/DuckDB and Spark `weekofyear`.
+  *  - EXTRACT returns BIGINT in DuckDB vs Spark's INT → oracle casts.
+  *
+  * Scale notes: all pure per-row expressions inside whole-stage codegen —
+  * no shuffle, no UDF boundary. The series generator is `spark.range`
+  * (parallel, no driver materialization).
+  */
+object Scalars {
+
+  /** F1 — the EXTRACT family over event timestamps. */
+  val fnDatetimeExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        quarter(col("ts")).as("q"),
+        month(col("ts")).as("mon"),
+        weekofyear(col("ts")).as("iso_week"),
+        dayofmonth(col("ts")).as("dom"),
+        (dayofweek(col("ts")) - 1).as("dow_pg"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        // date_trunc promotes NTZ→TZ; cast back so the dump stays naive
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("ts_hour"))
+      .orderBy(col("event_id"))
+
+  /** F2 — TO_CHAR-style date keys and names (dim_date shape). */
+  val fnDateFormat: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+      .select(
+        col("day"),
+        date_format(col("day"), "yyyyMMdd").cast("int").as("date_key"),
+        date_format(col("day"), "MMMM").as("month_name"),
+        date_format(col("day"), "EEEE").as("day_name"))
+      .orderBy(col("date_key"))
+
+  /** F3 — generate_series: calendar spine left-joined to per-day activity. */
+  val fnDateSeries: Q = (s, d) => {
+    val spine = s.range(0, 31)
+      .select(date_add(lit("2024-01-01").cast("date"),
+                       col("id").cast("int")).as("day"))
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  /** F4 — date/timestamp arithmetic (+/- intervals). */
+  val fnDateArith: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        (col("ts") + expr("INTERVAL 7 DAYS")).as("ts_plus7d"),
+        (col("ts") - expr("INTERVAL 90 MINUTES")).as("ts_minus90m"),
+        date_sub(to_date(col("ts")), 7).as("day_minus7"),
+        date_add(to_date(col("ts")), 30).as("day_plus30"))
+      .orderBy(col("event_id"))
+
+  /** F5 — string split + element casts (the GTFS "HH:MM:SS" shape: the
+    * time string is derived from ts, split on ':', and rebuilt into
+    * seconds-since-midnight exactly like
+    * `staging.gtfs_time_to_interval`). */
+  val fnStringSplit: Q = (s, d) => {
+    val tstr = date_format(col("ts"), "HH:mm:ss")
+    Tables.events(s, d)
+      .select(col("event_id"), tstr.as("tstr"),
+              (element_at(split(tstr, ":"), 1).cast("int") * 3600 +
+               element_at(split(tstr, ":"), 2).cast("int") * 60 +
+               element_at(split(tstr, ":"), 3).cast("int")).as("secs"))
+      .orderBy(col("event_id"))
+  }
+
+  /** F6 — ROUND/GREATEST/LEAST/NULLIF/ABS/SQRT + int-division bucketing. */
+  val fnMath: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        greatest(col("l_quantity"), lit(25.0)).as("g25"),
+        least(col("l_quantity"), lit(25.0)).as("l25"),
+        round(abs(col("l_quantity") - 25.0), 2).as("abs_dev"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        nullif(col("l_tax"), lit(0.0)).as("tax_or_null"),
+        (floor(col("l_quantity") / 15) * 15).cast("int").as("qty_bucket"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+               col("sqrt_price"))
+
+  val queries: Map[String, Q] = Map(
+    "fn_datetime_extract" -> fnDatetimeExtract,
+    "fn_date_format" -> fnDateFormat,
+    "fn_date_series" -> fnDateSeries,
+    "fn_date_arith" -> fnDateArith,
+    "fn_string_split" -> fnStringSplit,
+    "fn_math" -> fnMath)
+
+  val oracles: Map[String, String] = Map(
+    "fn_datetime_extract" ->
+      """SELECT event_id,
+        |  CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS y,
+        |  CAST(EXTRACT(QUARTER FROM ts) AS INTEGER) AS q,
+        |  CAST(EXTRACT(MONTH FROM ts) AS INTEGER) AS mon,
+        |  CAST(EXTRACT(WEEK FROM ts) AS INTEGER) AS iso_week,
+        |  CAST(EXTRACT(DAY FROM ts) AS INTEGER) AS dom,
+        |  CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS dow_pg,
+        |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS h,
+        |  CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS mi,
+        |  CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS epoch_s,
+        |  date_trunc('hour', ts) AS ts_hour
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_date_format" ->
+      """SELECT day,
+        |  CAST(strftime(day, '%Y%m%d') AS INTEGER) AS date_key,
+        |  strftime(day, '%B') AS month_name,
+        |  strftime(day, '%A') AS day_name
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+        |ORDER BY date_key""".stripMargin,
+    "fn_date_series" ->
+      """SELECT spine.day, CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events
+        |FROM (SELECT DATE '2024-01-01' + CAST(i AS INTEGER) AS day
+        |      FROM range(31) t(i)) spine
+        |LEFT JOIN (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |           FROM events GROUP BY 1) daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin,
+    "fn_date_arith" ->
+      """SELECT event_id,
+        |  ts + INTERVAL 7 DAY AS ts_plus7d,
+        |  ts - INTERVAL 90 MINUTE AS ts_minus90m,
+        |  CAST(ts AS DATE) - 7 AS day_minus7,
+        |  CAST(ts AS DATE) + 30 AS day_plus30
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_string_split" ->
+      """SELECT event_id, strftime(ts, '%H:%M:%S') AS tstr,
+        |  CAST(string_split(strftime(ts, '%H:%M:%S'), ':')[1] AS INTEGER) * 3600 +
+        |  CAST(string_split(strftime(ts, '%H:%M:%S'), ':')[2] AS INTEGER) * 60 +
+        |  CAST(string_split(strftime(ts, '%H:%M:%S'), ':')[3] AS INTEGER) AS secs
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  greatest(l_quantity, 25.0) AS g25,
+        |  least(l_quantity, 25.0) AS l25,
+        |  round(abs(l_quantity - 25.0), 2) AS abs_dev,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  nullif(l_tax, 0.0) AS tax_or_null,
+        |  CAST(floor(l_quantity / 15) * 15 AS INTEGER) AS qty_bucket
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, sqrt_price""".stripMargin)
+}

@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.5, W1–W9).
+  *
+  * Mirrors the reference's window surface: LAG cascades
+  * (`/root/reference/sql/analysis_queries.sql:26-29,252-259`), ROW_NUMBER
+  * ranking + the 80/20 split (`analysis_queries.sql:30-33`,
+  * `sql/ml_feature_engineering.sql:472`), DENSE_RANK
+  * (`analysis_queries.sql:220-225`), NTILE quartiles
+  * (`analysis_queries.sql:189`), PERCENT_RANK (`analysis_queries.sql:127`),
+  * moving-average frames (`analysis_queries.sql:90-97,184-187`), cumulative
+  * totals with the PostgreSQL RANGE default frame
+  * (`analysis_queries.sql:124-126`), whole-partition aggregates
+  * (`analysis_queries.sql:154`) and the 1-PRECEDING-to-1-PRECEDING frame
+  * (`sql/ml_feature_engineering.sql:370-383`).
+  *
+  * Scale notes: a window partitioned by a key shuffles once on that key and
+  * sorts within partitions — at 100 TB the key choice is the whole game:
+  * per-customer/per-type partitions stay small and parallel. The
+  * deliberately-global windows (ntile/percent_rank over everything,
+  * `Window.partitionBy()` empty) collapse to a single partition — correct
+  * but serial; they are applied here only AFTER aggregation has shrunk the
+  * data (daily grain), which is the pattern that survives scale-up.
+  * Orderings always carry a unique tiebreak so ties can't reorder between
+  * engines.
+  */
+object Windows {
+
+  private val perCust =
+    Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  /** W1 — LAG over per-customer order sequence. */
+  val winLag: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(perCust).as("prev_price"),
+        lag(col("o_orderdate"), 1).over(perCust).as("prev_date"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+
+  /** W2 — ROW_NUMBER ranking per partition (and the split-view shape). */
+  val winRowNumber: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** W3 — DENSE_RANK with real ties (few distinct statuses per priority). */
+  val winDenseRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderstatus"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+              dense_rank().over(w).as("status_rank"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** W4 — NTILE(4) quartiles over a unique total order. */
+  val winNtile: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** W5 — PERCENT_RANK (value-based, tie-stable). */
+  val winPercentRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+              round(percent_rank().over(w), 6).as("pr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** W6 — 7-row moving average over daily event counts (aggregate to daily
+    * grain FIRST — the window then runs over ~days rows, not ~events). */
+  val winMovingAvg: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .select(col("event_type"), col("day"), col("n_events"),
+              avg(col("n_events")).over(w.rowsBetween(-6, 0)).as("ma7"),
+              avg(col("n_events")).over(w.rowsBetween(-2, 0)).as("ma3"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** W7 — cumulative total + share; default RANGE frame semantics (ties
+    * share the running total) exactly as PostgreSQL/DuckDB default. */
+  val winCumulative: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("day_total"))
+    val wc = Window.orderBy(col("day"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy()
+    daily
+      .select(
+        col("day"),
+        col("day_total").cast("double").as("day_total"),
+        sum(col("day_total")).over(wc).cast("double").as("running_total"),
+        round(sum(col("day_total")).over(wc).cast("double") /
+              sum(col("day_total")).over(wall).cast("double"), 6).as("cum_share"))
+      .orderBy(col("day"))
+  }
+
+  /** W8 — unframed whole-partition aggregates (`AVG(x) OVER ()`). */
+  val winWholePartition: Q = (s, d) => {
+    val wc = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        // decimal-sum/count instead of avg() over the window: the double
+        // accumulation order inside a partition is engine-dependent; no
+        // round() — halfway quotients round differently across engines
+        (sum(col("o_totalprice").cast("decimal(18,2)")).over(wc)
+          .cast("double") / count(lit(1)).over(wc)).as("cust_avg"),
+        count(lit(1)).over(Window.partitionBy()).as("n_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** W9 — ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING (≡ lag, kept in frame
+    * form as the reference writes it). */
+  val winSingleOffsetFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+              avg(col("value")).over(w.rowsBetween(-1, -1)).as("prev_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_lag" -> winLag,
+    "win_row_number" -> winRowNumber,
+    "win_dense_rank" -> winDenseRank,
+    "win_ntile" -> winNtile,
+    "win_percent_rank" -> winPercentRank,
+    "win_moving_avg" -> winMovingAvg,
+    "win_cumulative" -> winCumulative,
+    "win_whole_partition" -> winWholePartition,
+    "win_single_offset_frame" -> winSingleOffsetFrame)
+
+  val oracles: Map[String, String] = Map(
+    "win_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lag(o_orderdate, 1) OVER w AS prev_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_row_number" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_dense_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_orderstatus) AS INTEGER) AS status_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC), 6) AS pr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        |  avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+        |  avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "win_cumulative" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(day_total AS DOUBLE) AS day_total,
+        |  CAST(SUM(day_total) OVER (ORDER BY day
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  round(CAST(SUM(day_total) OVER (ORDER BY day
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(SUM(day_total) OVER () AS DOUBLE), 6) AS cum_share
+        |FROM daily ORDER BY day""".stripMargin,
+    "win_whole_partition" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey) AS DOUBLE) /
+        |    count(*) OVER (PARTITION BY o_custkey) AS cust_avg,
+        |  count(*) OVER () AS n_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_single_offset_frame" ->
+      """SELECT event_id, event_type, value,
+        |  avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -38,6 +38,33 @@ package object ops {
   def dsumProdSql(a: String, b: String): String =
     s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
 
-  /** Rounded average (floating; fixed scale keeps both engines aligned). */
-  def ravg(c: Column, scale: Int = 2): Column = round(avg(c), scale)
+  /** Deterministic average: exact decimal SUM (order-independent) cast to
+    * double, then ONE IEEE division — bit-identical across engines, unlike
+    * `avg()` whose double sum depends on partition merge order. Deliberately
+    * NOT rounded: quotients of 2-decimal sums land on decimal halfway points
+    * (e.g. x.795) where Spark's and DuckDB's round() disagree; the raw
+    * division is exact in both. */
+  def ravg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))
+
+  /** Oracle-side equivalent of [[ravg]]. */
+  def ravgSql(expr: String): String =
+    s"${dsumSql(expr)} / count(*)"
+
+  /** Deterministic rounded sample stddev via the textbook
+    * sqrt((Σx² − (Σx)²/n)/(n−1)) with exact decimal sums: both engines
+    * compute the identical doubles, unlike native STDDEV whose
+    * accumulation order varies. Numerically fine at these magnitudes. */
+  def rstddev(c: Column, scale: Int = 2): Column = {
+    val sx = sum(c.cast("decimal(18,2)")).cast("double")
+    val sxx = sum(c.cast("decimal(18,2)") * c.cast("decimal(18,2)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), scale)
+  }
+
+  def rstddevSql(e: String, scale: Int = 2): String = {
+    val sx = dsumSql(e)
+    val sxx = s"CAST(SUM(CAST($e AS DECIMAL(18,2)) * CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+    s"round(sqrt(($sxx - $sx * $sx / count(*)) / (count(*) - 1.0)), $scale)"
+  }
 }
