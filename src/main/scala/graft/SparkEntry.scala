@@ -20,7 +20,8 @@ object SparkEntry {
     (Aggregates.queries, Aggregates.oracles),
     (Windows.queries, Windows.oracles),
     (TopK.queries, TopK.oracles),
-    (JsonArray.queries, JsonArray.oracles))
+    (JsonArray.queries, JsonArray.oracles),
+    (Streaming.queries, Streaming.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,27 @@
+package graft.ops
+
+import graft.streaming.EventsStream
+
+/** Streaming operator entries (SURVEY.md §2.10). The streaming results are
+  * deterministic once AvailableNow drains the source, so the batch SQL that
+  * a DuckDB oracle can run IS the equivalence check (SURVEY §5.4: streaming
+  * output == batch aggregation over the same data).
+  */
+object Streaming {
+
+  val queries: Map[String, Q] = Map(
+    "stream_hourly_agg" -> ((s, d) => EventsStream.hourlyAgg(s, d)),
+    "stream_dedup_counts" -> ((s, d) => EventsStream.dedupCounts(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "stream_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (SELECT DISTINCT ON (event_id, ts) * FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
