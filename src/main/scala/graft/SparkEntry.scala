@@ -21,7 +21,11 @@ object SparkEntry {
     (Windows.queries, Windows.oracles),
     (TopK.queries, TopK.oracles),
     (JsonArray.queries, JsonArray.oracles),
-    (Streaming.queries, Streaming.oracles))
+    (Streaming.queries, Streaming.oracles),
+    (TextAnalysis.queries, TextAnalysis.oracles),
+    (Dedup.queries, Dedup.oracles),
+    (Similarity.queries, Similarity.oracles),
+    (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY.md
+  * §2.11, BASELINE.json): exact (hash-groupBy), MinHash-LSH near-dup,
+  * SimHash near-dup, n-gram Jaccard similarity.
+  *
+  * Scale design (the point of these at 100 TB):
+  *  - exact dedup = one hash shuffle on the content hash, not the content
+  *    (sha256 groups on 32 bytes even for MB-size docs);
+  *  - MinHash: per-row signature computation is pure expression work
+  *    (shingle → xxhash64 → k affine permutations → min), then candidate
+  *    generation shuffles ONLY (band_key → doc_id) pairs, never text. Band
+  *    buckets are the classic LSH trade: k=16 sigs in 4 bands of 4 ⇒
+  *    Pr[candidate] = 1-(1-j⁴)⁴ for true Jaccard j;
+  *  - SimHash: 64-bit signature via per-bit weighted majority of token
+  *    hashes; hamming-near pairs found by 4×16-bit band exact-match — again
+  *    only (band, doc_id) shuffles;
+  *  - n-gram Jaccard: token-set explode + equi-join on token, grouped to
+  *    intersection counts — shuffle volume is the posting list, bounded by
+  *    distinct-token count per doc, and blocked here by `source` the way a
+  *    100 TB run would block by shard/bucket key.
+  *
+  * MinHash/SimHash signatures have no DuckDB-SQL equivalent (xxhash64), so
+  * those two entries are rows-only-checked by the driver; their semantics
+  * are covered by ScalaTest specs with crafted near-duplicates
+  * (DedupSpec). Exact dedup and Jaccard are full oracle entries.
+  */
+object Dedup {
+
+  // ---- shared building blocks -------------------------------------------
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Word 3-gram shingles (falls back to the whole text when < 3 tokens). */
+  def shingles3(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+                  element_at(t, i + 3)))))
+      .otherwise(array(lower(text)))
+  }
+
+  private val P31 = 2147483647L // Mersenne prime 2^31-1
+  /** Deterministic 31-bit affine-permutation constants (LCG, fixed seed);
+    * 31-bit domain keeps a*h+b < 2^62, overflow-free under ANSI mode. */
+  private def permConsts(k: Int): Seq[(Long, Long)] = {
+    var x = 0x5DEECE66DL
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+    (0 until k).map(_ => (next() | 1L, next()))
+  }
+
+  /** k-permutation MinHash signature of a shingle array (array<long>). */
+  def minhashSig(shingles: Column, k: Int = 16): Column = {
+    val hashes = transform(shingles, sh => pmod(xxhash64(sh), lit(P31)))
+    array(permConsts(k).map { case (a, b) =>
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
+    }: _*)
+  }
+
+  /** 64-bit SimHash of the distinct-token set. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(array_distinct(toks(text)), t => xxhash64(t))
+    val bitSums = (0 until 64).map { b =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (bs, b) =>
+      when(bs > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  // ---- operators ---------------------------------------------------------
+
+  /** E1 — exact dedup via content hash: one representative (min doc_id)
+    * per distinct text + copy count. */
+  val extExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"),
+              col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** E2 — MinHash-LSH near-dup: per-doc signature + band-bucket candidate
+    * counts (rows-only check; semantics in DedupSpec). */
+  val extMinhashDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), minhashSig(shingles3(col("text"))).as("sig"))
+    val bands = docs.select(
+      col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        xxhash64(lit(b), element_at(col("sig"), 4 * b + 1),
+                 element_at(col("sig"), 4 * b + 2),
+                 element_at(col("sig"), 4 * b + 3),
+                 element_at(col("sig"), 4 * b + 4))
+      }: _*)))
+      .toDF("doc_id", "band", "band_key")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val candCounts = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    docs.join(candCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              element_at(col("sig"), 1).as("sig0"),
+              element_at(col("sig"), 2).as("sig1"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E2b — SimHash near-dup: 64-bit signature + 16-bit-band partner counts
+    * (rows-only check; semantics in DedupSpec). */
+  val extSimhashDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val bands = docs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { k =>
+        shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(0xFFFFL)
+      }: _*)))
+      .toDF("doc_id", "simhash", "band", "band_val")
+    val partners = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val counts = partners.select(col("a").as("doc_id"))
+      .union(partners.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_band_partners"))
+    docs.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+              coalesce(col("n_band_partners"), lit(0L)).as("n_band_partners"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E3 — n-gram (n=1 here, so the oracle is SQL-expressible; the n=3
+    * variant uses [[shingles3]] and is spec-tested) Jaccard similarity of
+    * doc pairs, blocked by `source`. */
+  val extNgramJaccard: Q = (s, d) => {
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              explode(array_distinct(toks(col("text")))).as("w"))
+    val cnt = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val inter = dw.as("x").join(dw.as("y"),
+        col("x.w") === col("y.w") && col("x.source") === col("y.source") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("nw", "nw1"), "d1")
+      .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("nw", "nw2"), "d2")
+      .select(col("d1"), col("d2"), col("n_common"),
+              (col("n_common").cast("double") /
+               (col("nw1") + col("nw2") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Generic 3-gram Jaccard between two text columns (library form used by
+    * the spec; not oracle-bound). */
+  def jaccard3(a: Column, b: Column): Column = {
+    val ia = array_intersect(shingles3(a), shingles3(b))
+    val ua = array_union(shingles3(a), shingles3(b))
+    size(ia).cast("double") / size(ua)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_exact_dedup" -> extExactDedup,
+    "ext_minhash_dedup" -> extMinhashDedup,
+    "ext_simhash_dedup" -> extSimhashDedup,
+    "ext_ngram_jaccard" -> extNgramJaccard)
+
+  val oracles: Map[String, String] = Map(
+    "ext_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "ext_ngram_jaccard" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS nw FROM dw GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM dw x JOIN dw y ON x.w = y.w AND x.source = y.source
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common,
+        |  CAST(n_common AS DOUBLE) / (c1.nw + c2.nw - n_common) AS jaccard
+        |FROM inter JOIN cnt c1 ON inter.d1 = c1.doc_id
+        |  JOIN cnt c2 ON inter.d2 = c2.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (c1.nw + c2.nw - n_common) >= 0.6
+        |ORDER BY d1, d2""".stripMargin)
+}

@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (SURVEY.md
+  * §2.11 / BASELINE.json extension mandate): language-ID heuristics,
+  * quality scoring, token counting (whitespace + BPE-ish regex), document
+  * fingerprinting (polynomial rolling hash).
+  *
+  * Everything here is per-row expression work (no UDFs — all codegen'd
+  * `functions._` / higher-order lambdas), so at 100 TB these scale as pure
+  * map stages: no shuffle except the final per-lang aggregates, which are
+  * tiny (langs × sources). Integer/exact arithmetic is used everywhere a
+  * DuckDB oracle hash-compares the result.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  private def tokens(c: Column): Column = split(lower(c), " ")
+
+  private def stopHits(toks: Column): Column =
+    size(filter(toks, t => stopwords.map(t === _).reduce(_ || _)))
+
+  /** E4 — corpus stats per language: doc counts, token counts, char-length
+    * stats. */
+  val extTextStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** Language-ID heuristic: stopword-marker hit ratio (n-gram/marker
+    * heuristic in the stopword limit; real corpora would carry per-language
+    * marker lists — the operator shape is identical). */
+  val extLangId: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        stopHits(toks).as("en_hits"),
+        (stopHits(toks).cast("double") / size(toks)).as("en_ratio"))
+      .withColumn("guess",
+        when(col("en_ratio") >= 0.05, "en").otherwise("unknown"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score: length / stopword-ratio / token-length composite
+    * (the reference-style engineered feature, cf. delay_category binning,
+    * applied to text quality). Pure deterministic double arithmetic. */
+  val extQualityScore: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val stopRatio = stopHits(toks).cast("double") / size(toks)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        (noSpace / nTok).as("avg_token_len"),
+        stopRatio.as("stop_ratio"),
+        (lit(0.4) * least(lit(1.0), nTok / 100.0) +
+         lit(0.3) * (lit(1.0) - stopRatio) +
+         lit(0.3) * least(lit(1.0), (noSpace / nTok) / 8.0)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letters / digits / single non-alnum symbols). */
+  val extTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+        size(array_distinct(split(lower(col("text")), " "))).as("distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: polynomial rolling hash (base 31 mod 1e9+7)
+    * over the character stream — plus a 64-char-prefix variant, the
+    * building block for shingled near-dup fingerprinting. */
+  val extFingerprint: Q = (s, d) => {
+    def polyHash(c: Column): Column =
+      aggregate(
+        transform(split(c, ""), ch => ascii(ch).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("fp"),
+        polyHash(substring(col("text"), 1, 64)).as("fp_prefix64"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_text_stats" -> extTextStats,
+    "ext_lang_id" -> extLangId,
+    "ext_quality_score" -> extQualityScore,
+    "ext_token_count" -> extTokenCount,
+    "ext_fingerprint" -> extFingerprint)
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private def hitsSql(arg: String) =
+    s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
+
+  val oracles: Map[String, String] = Map(
+    "ext_text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ext_lang_id" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(${hitsSql("text")} AS INTEGER) AS en_hits,
+         |  CAST(${hitsSql("text")} AS DOUBLE) /
+         |    len(string_split(lower(text), ' ')) AS en_ratio,
+         |  CASE WHEN CAST(${hitsSql("text")} AS DOUBLE) /
+         |    len(string_split(lower(text), ' ')) >= 0.05
+         |    THEN 'en' ELSE 'unknown' END AS guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_token_len,
+         |  CAST(${hitsSql("text")} AS DOUBLE) /
+         |    len(string_split(lower(text), ' ')) AS stop_ratio,
+         |  0.4 * least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0) +
+         |  0.3 * (1.0 - CAST(${hitsSql("text")} AS DOUBLE) /
+         |    len(string_split(lower(text), ' '))) +
+         |  0.3 * least(1.0, (CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) / 8.0) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split_regex(text, ''),
+        |    c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |  list_reduce(list_transform(string_split_regex(substr(text, 1, 64), ''),
+        |    c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS fp_prefix64
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
