@@ -12,8 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * always pass the path (file OR directory of part-files works identically).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") // nanos column; see events() below
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for. We read it as raw Long nanos
@@ -22,7 +25,6 @@ object Tables {
     * side, so both engines see the same instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // timestamp_ntz, matching how Spark reads the other tables' naive
     // parquet timestamps (inferTimestampNTZ) — a plain TimestampType here
     // would dump as isAdjustedToUTC=true parquet and mismatch the oracle's

@@ -120,21 +120,24 @@ object EventsStream {
 
   /** ST1 — high-water-mark incremental append: the checkpoint IS the water
     * mark. Running AvailableNow twice over the same directory processes
-    * zero new files the second time; used by the ScalaTest spec. Returns
-    * per-day counts of everything ingested so far. */
+    * zero new files the second time, so the sink is stable (exactly-once)
+    * — the principled version of the reference's
+    * `DATE(actual_arrival) > last_feature_date` guard. File sink (memory
+    * sink cannot recover a checkpoint). Returns per-day counts of
+    * everything ingested so far. */
   def incrementalDaily(s: SparkSession, sfDir: String, ckptDir: String,
-                       outName: String): DataFrame = {
+                       outDir: String): DataFrame = {
     val q = readEvents(s, sfDir)
       .withColumn("day", to_date(col("ts")))
       .writeStream
-      .format("memory")
-      .queryName(outName)
+      .format("parquet")
+      .option("path", outDir)
       .outputMode("append")
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(outName)
+    s.read.parquet(outDir)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("day"))

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+/** Semantics of the near-dup operators that have no SQL oracle
+  * (MinHash-LSH, SimHash): crafted near-duplicates must collide, unrelated
+  * texts must not. */
+class DedupSpec extends SparkSpec {
+  import Dedup._
+
+  private val base =
+    "spark shuffles data across the cluster when a wide dependency requires " +
+    "repartitioning by key and the optimizer cannot avoid the exchange"
+  private val nearDup = base.replace("optimizer", "optimiser") // one-token edit
+  private val unrelated =
+    "completely different subject matter entirely about cooking pasta with " +
+    "fresh tomatoes basil and olive oil on a sunday afternoon in july"
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((0L, base), (1L, nearDup), (2L, unrelated),
+        (3L, base)) // exact dup of 0
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash signatures: identical texts share all sigs; near-dups share most; unrelated share none") {
+    val sigs = docs.select(col("doc_id"),
+        minhashSig(shingles3(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs(0L) shouldBe sigs(3L) // exact dup -> identical signature
+    val sharedNear = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val sharedUnrel = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    sharedNear should be >= 10 // small edit: most of 16 permutations agree
+    sharedUnrel shouldBe 0
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val hs = docs.select(col("doc_id"), simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hs(0L) shouldBe hs(3L)
+    hamming(hs(0L), hs(1L)) should be <= 12
+    hamming(hs(0L), hs(2L)) should be > 16
+  }
+
+  test("3-gram jaccard: high for near-dups, low for unrelated") {
+    import spark.implicits._
+    val pairs = Seq((base, nearDup), (base, unrelated), (base, base))
+      .toDF("a", "b")
+      .select(jaccard3(col("a"), col("b"))).collect().map(_.getDouble(0))
+    pairs(0) should be > 0.5
+    pairs(1) shouldBe 0.0
+    pairs(2) shouldBe 1.0
+  }
+
+  test("shingles fall back to whole text below 3 tokens") {
+    import spark.implicits._
+    Seq("one two").toDF("t").select(shingles3(col("t")))
+      .first().getSeq[String](0) shouldBe Seq("one two")
+  }
+}

