@@ -25,7 +25,8 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
     (Similarity.queries, Similarity.oracles),
-    (Multimodal.queries, Multimodal.oracles))
+    (Multimodal.queries, Multimodal.oracles),
+    (Advanced.queries, Advanced.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Advanced surface demonstrations (SURVEY.md §2.12, §2.4 notes):
+  * a typed `Aggregator` UDAF (vector centroid per label — the custom-
+  * aggregation-state shape a native engine would hand-roll), a
+  * ROLLUP layered aggregate (the reference builds its layered aggregate
+  * facts manually; rollup is the declarative equivalent), and the
+  * seeded random sample (T3, `train_delay_model.py:123-124`).
+  *
+  * Scale notes: the Aggregator carries a fixed-width (dim-sized) buffer
+  * with map-side partial merge — shuffle volume is labels × partitions ×
+  * dim doubles, independent of row count. ROLLUP multiplies group keys,
+  * not input rows. `sample(fraction, seed)` is a per-partition Bernoulli
+  * scan — no shuffle at all, unlike the reference's ORDER BY RANDOM()
+  * which sorts the whole table to take 100k rows.
+  */
+object Advanced {
+
+  /** Element-wise (sum, count) accumulator → mean vector. */
+  class VecCentroid(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (Array.fill(dim)(0.0), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim && i < v.length) { b._1(i) += v(i).toDouble; i += 1 }
+      (b._1, b._2 + 1)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(r: (Array[Double], Long)): Array[Double] =
+      r._1.map(_ / r._2)
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+        Encoders.scalaLong)
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** UDAF demo — per-label embedding centroid, exploded to (label, dim,
+    * value) rows so DuckDB can oracle-check it (sum order across rows is
+    * engine-dependent → round(6) absorbs the low bits). */
+  val extVecCentroid: Q = (s, d) => {
+    val centroid = udaf(new VecCentroid(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")))
+      .toDF("label", "dim", "v")
+      .select(col("label"), col("dim"), round(col("v"), 6).as("v"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  /** ROLLUP layered aggregate (the declarative form of the reference's
+    * manually-layered aggregate fact tables, `fact_dim_tables.sql:347-380`). */
+  val aggRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** T3 — seeded Bernoulli sample (deterministic per seed; no SQL oracle —
+    * Spark's and DuckDB's PRNGs differ — so it is rows-only checked here
+    * and property-tested for seed-stability in AdvancedSpec). */
+  val sampleSeeded: Q = (s, d) =>
+    Tables.orders(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val queries: Map[String, Q] = Map(
+    "ext_vec_centroid" -> extVecCentroid,
+    "agg_rollup" -> aggRollup,
+    "sample_seeded" -> sampleSeeded)
+
+  val oracles: Map[String, String] = Map(
+    "ext_vec_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  round(SUM(CAST(v AS DOUBLE)) / count(*), 6) AS v
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+}

@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ double(x)·double(y) over zipped float arrays — exact, fold-ordered. */
+  /** Σ double(x)·double(y) over zipped float arrays — exact, fold-ordered.
+    * Uses the codegen'd [[graft.expressions.FloatVecDot]] (register it on
+    * the session first); [[dotDHof]] is the declarative equivalent kept
+    * for A/B measurement — both produce bit-identical doubles. */
   def dotD(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** Higher-order-function form of [[dotD]] (interpreted; ~µs per call). */
+  def dotDHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, v) => acc + v)
 
-  def normD(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-                   lit(0.0), (acc, v) => acc + v))
+  def normD(a: Column): Column = sqrt(dotD(a, a))
 
   private def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (normD(a) * normD(b))
@@ -51,16 +56,20 @@ object Similarity {
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
 
-  /** Hyperplane-sign LSH signature (6 bits → 64 buckets). */
+  /** Hyperplane-sign LSH signature (6 bits → 64 buckets). Plane dots stay
+    * on the HOF path: the planes are double literals (vec_dot is
+    * float×float only, and float-casting them would change the oracle's
+    * double arithmetic); 6×64 interpreted ops per row is cheap. */
   def lshSig(emb: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dotD(emb, planeLit(p)) >= 0.0, lit(1 << i)).otherwise(0)
+      when(dotDHof(emb, planeLit(p)) >= 0.0, lit(1 << i)).otherwise(0)
     }.reduce(_ + _)
 
   /** E3 — brute-force cosine top-k: queries vec_id < 10 against all other
     * vectors; k = 5. The candidate side is broadcast (it's the smaller,
     * re-used side); ranking via per-query window. */
   val extKnnCosine: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, d)
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .filter(col("qid") < 10)
@@ -121,6 +130,7 @@ object Similarity {
   /** E3c — LSH-bucketed ANN: same-bucket candidates only (the 100 TB
     * shape: equi-join on sig instead of a cross join), top-3 per query. */
   val extAnnLsh: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), lshSig(col("embedding")).as("sig"))
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -13,6 +13,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("dotD/normD expression forms: cosine of a vector with itself is 1") {
     import spark.implicits._
+    graft.expressions.FloatVecDot.register(spark)
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
       .toDF("a", "b")
     val cos = df.select((dotD(col("a"), col("b")) /
@@ -20,8 +21,21 @@ class SimilaritySpec extends SparkSpec {
     cos shouldBe 1.0 +- 1e-12
   }
 
+  test("codegen'd FloatVecDot is bit-identical to the interpreted HOF form") {
+    graft.expressions.FloatVecDot.register(spark)
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("embedding").as("a"))
+    val pairs = e.crossJoin(graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("embedding").as("b")).limit(3))
+    val diffs = pairs.select(
+      (dotD(col("a"), col("b")) - dotDHof(col("a"), col("b"))).as("diff"))
+      .filter(col("diff") =!= 0.0).count()
+    diffs shouldBe 0L
+  }
+
   test("lshSig buckets identical vectors together and is deterministic") {
     import spark.implicits._
+    graft.expressions.FloatVecDot.register(spark)
     val v = Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)
     val df = Seq((1L, v), (2L, v)).toDF("id", "embedding")
     val sigs = df.select(lshSig(col("embedding"))).collect().map(_.getInt(0))
