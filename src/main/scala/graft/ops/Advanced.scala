@@ -79,9 +79,28 @@ object Advanced {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
+  /** Salted two-phase aggregation — the skew-mitigation pattern for hot
+    * keys at 100 TB (SURVEY scale notes / AQE-skew alternative): phase 1
+    * aggregates on (key, salt) spreading a hot key over N reducers;
+    * phase 2 merges the N partials per key. Result is identical to a
+    * direct groupBy (decimal sums are order-independent), so the plain
+    * GROUP BY is the oracle. */
+  val aggSalted: Q = (s, d) => {
+    val salted = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+           sum(col("value").cast("decimal(18,2)")).as("psum"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+           sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_vec_centroid" -> extVecCentroid,
     "agg_rollup" -> aggRollup,
+    "agg_salted" -> aggSalted,
     "sample_seeded" -> sampleSeeded)
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +112,10 @@ object Advanced {
         |SELECT label, dim,
         |  round(SUM(CAST(v AS DOUBLE)) / count(*), 6) AS v
         |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_salted" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -11,7 +11,8 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "stream_hourly_agg" -> ((s, d) => EventsStream.hourlyAgg(s, d)),
-    "stream_dedup_counts" -> ((s, d) => EventsStream.dedupCounts(s, d)))
+    "stream_dedup_counts" -> ((s, d) => EventsStream.dedupCounts(s, d)),
+    "stream_sessionize" -> ((s, d) => EventsStream.sessionStats(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly_agg" ->
@@ -23,5 +24,26 @@ object Streaming {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM (SELECT DISTINCT ON (event_id, ts) * FROM events)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gap-method sessionization: new session iff gap >= 30 min (matches
+    // session_window's half-open [start, last+gap) semantics)
+    "stream_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags),
+        |grouped AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  CAST(sum(n) AS BIGINT) AS total_events
+        |FROM grouped GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -118,6 +118,72 @@ object EventsStream {
       .orderBy(col("event_type"))
   }
 
+  /** ST3 — session windows: 30-min-gap sessionization per user via the
+    * native `session_window` aggregate (state = open sessions, merged on
+    * overlap; the watermark closes them). Complete mode + AvailableNow
+    * drains everything, so the result equals batch gap-sessionization —
+    * which is exactly the oracle SQL. */
+  def sessionStats(s: SparkSession, sfDir: String): DataFrame = {
+    val q = readEvents(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_sessions")
+      .outputMode("complete")
+      .option("checkpointLocation", scratch("sessions_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_sessions")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+           max(col("n")).as("max_session_events"),
+           sum(col("n")).as("total_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Arbitrary stateful processing (SURVEY §2.10 ST3 custom-state path):
+    * per-event_type running maximum of `value` across micro-batches via
+    * `flatMapGroupsWithState` — emits (event_type, batch_max, running_max)
+    * per batch so the spec can observe state carried between batches
+    * (`maxFilesPerTrigger=1` over a multi-file source directory). */
+  def runningMaxPerType(s: SparkSession, srcDir: String, ckptDir: String,
+                        outName: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val typed = s.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .select(col("event_type"), col("value")).as[(String, Double)]
+    def update(key: String, values: Iterator[(String, Double)],
+               state: GroupState[Double]): Iterator[(String, Double, Double)] = {
+      val batchMax = values.map(_._2).foldLeft(Double.MinValue)(math.max)
+      if (batchMax == Double.MinValue) Iterator.empty
+      else {
+        val runningMax = math.max(state.getOption.getOrElse(Double.MinValue), batchMax)
+        state.update(runningMax)
+        Iterator.single((key, batchMax, runningMax))
+      }
+    }
+    val q = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+      .toDF("event_type", "batch_max", "running_max")
+      .writeStream
+      .format("memory")
+      .queryName(outName)
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(outName)
+  }
+
   /** ST1 — high-water-mark incremental append: the checkpoint IS the water
     * mark. Running AvailableNow twice over the same directory processes
     * zero new files the second time, so the sink is stable (exactly-once)

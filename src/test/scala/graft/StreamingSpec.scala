@@ -30,6 +30,37 @@ class StreamingSpec extends SparkSpec {
     r2 shouldBe 1000L
   }
 
+  test("flatMapGroupsWithState carries running max across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    // two-file source: batch 1 holds the global max for 'click', batch 2
+    // a smaller value -> running_max must come from state, not the batch
+    val src = tmp("fmgs_src")
+    val ev = graft.Tables.table(spark, sf("sf0.001"), "events")
+    // the file-stream source lists plain files, so flatten each half into
+    // a single parquet file directly under src
+    Seq(("f1", col("event_id") < 500), ("f2", col("event_id") >= 500))
+      .foreach { case (name, cond) =>
+        val stage = tmp(s"fmgs_stage_$name")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+    val out = EventsStream.runningMaxPerType(spark, src, tmp("fmgs_ckpt"), "fmgs_out")
+    val rows = out.orderBy("event_type", "running_max").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // one emission per (type, batch) where the type appeared
+    rows.length should be >= 5
+    // running max is monotone per type and >= batch max
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.map(_._3).toSeq shouldBe rs.map(_._3).toSeq.sorted
+      rs.foreach { case (_, bm, rm) => rm should be >= bm }
+    }
+    // at least one type must show state carry-over: running_max > batch_max
+    rows.exists { case (_, bm, rm) => rm > bm } shouldBe true
+  }
+
   test("streaming hourly agg equals batch aggregation over the same data") {
     val streamed = EventsStream.hourlyAgg(spark, sf("sf0.001"))
       .agg(sum("n_events"), countDistinct("event_type")).first()
