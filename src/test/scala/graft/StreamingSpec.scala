@@ -61,6 +61,28 @@ class StreamingSpec extends SparkSpec {
     rows.exists { case (_, bm, rm) => rm > bm } shouldBe true
   }
 
+  test("day-partitioned layout prunes partitions under a date predicate") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("layout")
+    graft.etl.PartitionedLayout.writeEventsByDay(spark, sf("sf0.001"), dir)
+    val pruned = graft.etl.PartitionedLayout.readDays(
+      spark, dir, "2024-01-05", "2024-01-07")
+    // row count matches an unpruned filter
+    val expected = graft.Tables.events(spark, sf("sf0.001"))
+      .filter(to_date(col("ts")).between("2024-01-05", "2024-01-07")).count()
+    pruned.count() shouldBe expected
+    // and the executed scan read only the 3 matching day-directories
+    // (inputFiles reports the unpruned relation, so check scan metrics)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans.nonEmpty shouldBe true
+    val numFiles = scans.head.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(dir).inputFiles.length.toLong
+    numFiles should be < totalFiles
+    scans.head.metadata("PartitionFilters") should include("day")
+  }
+
   test("streaming hourly agg equals batch aggregation over the same data") {
     val streamed = EventsStream.hourlyAgg(spark, sf("sf0.001"))
       .agg(sum("n_events"), countDistinct("event_type")).first()
