@@ -97,10 +97,25 @@ object Advanced {
       .orderBy(col("event_type"))
   }
 
+  /** Approximate-aggregate variants — the 100 TB defaults where exactness
+    * isn't required: HLL distinct counts (one pass, fixed memory — no
+    * exact-distinct double shuffle) and quantile sketches (no per-group
+    * sort). No SQL oracle (sketch algorithms are engine-specific);
+    * AdvancedSpec bounds them against the exact values. */
+  val aggApprox: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, Q] = Map(
     "ext_vec_centroid" -> extVecCentroid,
     "agg_rollup" -> aggRollup,
     "agg_salted" -> aggSalted,
+    "agg_approx" -> aggApprox,
     "sample_seeded" -> sampleSeeded)
 
   val oracles: Map[String, String] = Map(

@@ -148,10 +148,46 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** E3d — IVF-style ANN: a coarse quantizer (nearest of 16 deterministic
+    * seed vectors — one assignment pass; a production IVF would Lloyd-
+    * iterate the seeds) maps every vector to an inverted list; queries
+    * probe only their own list (nprobe=1). Same equi-join-on-bucket shape
+    * as LSH but with data-adaptive buckets. All distance math is the
+    * exact fold-ordered double arithmetic, so assignments and rankings
+    * are oracle-checkable. */
+  val extAnnIvf: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+              cosine(col("embedding"), col("se")).as("seed_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("list_id"))
+    val q = assigned.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                            col("list_id").as("qlist")).filter(col("qid") < 10)
+    val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                            col("list_id").as("clist"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    broadcast(q)
+      .join(c, col("qlist") === col("clist") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qlist").as("list_id"),
+              cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
-    "ext_ann_lsh" -> extAnnLsh)
+    "ext_ann_lsh" -> extAnnLsh,
+    "ext_ann_ivf" -> extAnnIvf)
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -191,6 +227,25 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY a, b""".stripMargin,
+    "ext_ann_ivf" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, seed_id AS list_id FROM (
+         |    SELECT e.vec_id, e.embedding, s.vec_id AS seed_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.embedding", "s.embedding")} DESC, s.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN
+         |      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s)
+         |  WHERE rn = 1)
+         |SELECT qid, cid, list_id, cos, rn FROM (
+         |  SELECT qid, cid, list_id, cos, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid, q.list_id,
+         |      ${cosSql("q.embedding", "c.embedding")} AS cos
+         |    FROM assigned q JOIN assigned c
+         |      ON q.list_id = c.list_id AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10))
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "ext_ann_lsh" ->
       s"""WITH sigs AS (
          |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings)

@@ -27,6 +27,15 @@ class AdvancedSpec extends SparkSpec {
     cell shouldBe direct +- 1e-6
   }
 
+  test("approx aggregates land within tolerance of exact values") {
+    val rows = Advanced.aggApprox(spark, sf("sf0.01")).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_custs").toDouble
+      val exact = r.getAs[Long]("exact_custs").toDouble
+      math.abs(approx - exact) / exact should be < 0.1 // HLL default rsd 5%
+    }
+  }
+
   test("rollup emits subtotal and grand-total rows") {
     val d = sf("sf0.001")
     val rows = Advanced.aggRollup(spark, d).collect()
