@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers._
+
+/** GraftExtensions must make vec_dot available to a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (the spark-submit path).
+  * Uses its own SparkSession: extensions apply at session construction. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions provides vec_dot") {
+    // getOrCreate returns any existing default session WITHOUT applying
+    // extensions — clear the defaults so a genuinely new session (sharing
+    // the JVM's SparkContext) is built through the extensions path, then
+    // restore the shared session for the other suites
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      import s.implicits._
+      val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+        .selectExpr("vec_dot(a, b)").first().getDouble(0)
+      r shouldBe 11.0
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
