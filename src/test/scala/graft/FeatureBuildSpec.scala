@@ -98,6 +98,22 @@ class FeatureBuildSpec extends SparkSpec {
     applied.select("c_scaled").collect().map(_.getDouble(0)).toSeq shouldBe Seq(0.0, 0.0, 0.0)
   }
 
+  test("dashboard queries run over the fixture warehouse with sane KPIs") {
+    import graft.etl.DashboardQueries
+    val k = DashboardQueries.kpis(wh).first()
+    k.getAs[Long]("total_delays") shouldBe 8
+    k.getAs[Long]("severe_delays") shouldBe 1 // the 34-min delay
+    DashboardQueries.dailyTrend(wh).count() should be > 0L
+    DashboardQueries.topRoutes(wh).count() should be > 0L
+    DashboardQueries.hourlyPattern(wh).count() should be > 0L
+    DashboardQueries.weatherImpact(delayEvents).count() shouldBe 4
+    import spark.implicits._
+    val preds = Seq(("T1", 3.0, 22.0), ("T2", 5.0, 4.0))
+      .toDF("trip_id", "actual", "predicted")
+    val recent = DashboardQueries.recentPredictions(preds).collect()
+    recent.head.getAs[String]("risk_level") shouldBe "Severe"
+  }
+
   test("all 8 analysis queries run over the fixture warehouse and return rows") {
     AnalysisQueries.routePerformanceRanking(wh).count() should be > 0L
     AnalysisQueries.rushHourAnalysis(wh).count() should be > 0L
