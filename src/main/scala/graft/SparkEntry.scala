@@ -26,7 +26,8 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracles),
     (Similarity.queries, Similarity.oracles),
     (Multimodal.queries, Multimodal.oracles),
-    (Advanced.queries, Advanced.oracles))
+    (Advanced.queries, Advanced.oracles),
+    (Quality.queries, Quality.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
