@@ -16,12 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MaterializedViews {
 
-  /** Write `df` as parquet at `path` and register `viewName` over the
-    * materialized copy. Returns the re-read frame. */
+  /** Write `df` as a NEW versioned parquet snapshot under `path` and
+    * re-point `viewName` at it. Versioning (not overwrite-in-place) gives
+    * snapshot isolation: DataFrames handed out before a refresh keep
+    * reading their own snapshot instead of failing on deleted files —
+    * the behavior `REFRESH MATERIALIZED VIEW` readers get in PostgreSQL. */
   def materialize(spark: SparkSession, df: DataFrame, path: String,
                   viewName: String): DataFrame = {
-    df.write.mode("overwrite").parquet(path)
-    val re = spark.read.parquet(path)
+    val dir = new java.io.File(path)
+    val next = Option(dir.listFiles())
+      .map(_.toSeq.map(_.getName).collect {
+        case n if n.startsWith("v") => n.drop(1).toIntOption.getOrElse(0)
+      }).filter(_.nonEmpty).map(_.max + 1).getOrElse(1)
+    val snapshot = s"$path/v$next"
+    df.write.mode("errorifexists").parquet(snapshot)
+    val re = spark.read.parquet(snapshot)
     re.createOrReplaceTempView(viewName)
     re
   }

@@ -9,6 +9,31 @@ import org.scalatest.matchers.should.Matchers._
   * carry no ShuffleExchange (the shuffle was paid once at write time). */
 class LayoutSpec extends SparkSpec {
 
+  test("materialized views: materialize, query via temp view, refresh picks up new build") {
+    import graft.etl.MaterializedViews
+    val base = "/root/repo/target/scratch/mv"
+    var threshold = 100000.0
+    def build() = Tables.orders(spark, sf("sf0.001"))
+      .filter(col("o_totalprice") > threshold)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val first = MaterializedViews.refreshAll(spark, base,
+      Map("mv_big_orders" -> (() => build())))("mv_big_orders")
+    val viaView = spark.table("mv_big_orders")
+    viaView.count() shouldBe first.count()
+    // refresh with a changed definition writes a NEW snapshot; the view
+    // re-points, while the pre-refresh handle keeps its old snapshot
+    // (snapshot isolation — overwrite-in-place would throw
+    // FAILED_READ_FILE on the stale handle)
+    threshold = 300000.0
+    MaterializedViews.refreshAll(spark, base,
+      Map("mv_big_orders" -> (() => build())))
+    val refreshed = spark.table("mv_big_orders")
+    refreshed.agg(sum("n")).first().getLong(0) should be <
+      viaView.agg(sum("n")).first().getLong(0)
+    spark.catalog.dropTempView("mv_big_orders")
+  }
+
   test("bucketed lineitem join orders plans without an input shuffle and matches unbucketed results") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     // force a sort-merge join so the exchange question is meaningful
