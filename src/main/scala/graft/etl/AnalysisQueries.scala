@@ -32,7 +32,7 @@ object AnalysisQueries {
     val wTrend = Window.partitionBy(col("route_short_name"))
       .orderBy(col("year"), col("week_of_year"))
     val wRank = Window.partitionBy(col("year"), col("week_of_year"))
-      .orderBy(col("avg_delay_minutes").desc)
+      .orderBy(col("avg_delay_minutes").desc, col("route_short_name"))
     weekly
       .withColumn("prev_week_avg_delay", lag(col("avg_delay_minutes"), 1).over(wTrend))
       .withColumn("performance_rank", row_number().over(wRank))

@@ -49,12 +49,14 @@ object FeatureBuild {
     val hourKey = date_trunc("hour", col("actual_arrival"))
 
     // hour-keyed weather (reference: correlated LIMIT-1 subqueries,
-    // ml_feature_engineering.sql:192-213 → J7 dedup-join shape)
+    // ml_feature_engineering.sql:192-213 → J7 dedup-join shape).
+    // min_by on recorded_at, not first(): multiple readings per hour must
+    // resolve deterministically (earliest wins)
     val weatherHourly = weather
       .groupBy(date_trunc("hour", col("recorded_at")).as("wh"))
-      .agg(first(col("temperature"), ignoreNulls = true).as("w_temp"),
-           first(col("precipitation"), ignoreNulls = true).as("w_precip"),
-           first(col("wind_speed"), ignoreNulls = true).as("w_wind"))
+      .agg(min_by(col("temperature"), col("recorded_at")).as("w_temp"),
+           min_by(col("precipitation"), col("recorded_at")).as("w_precip"),
+           min_by(col("wind_speed"), col("recorded_at")).as("w_wind"))
 
     // historical aggregates, decorrelated (ml_feature_engineering.sql:253-345)
     def windowed(days: Int) =
@@ -96,12 +98,20 @@ object FeatureBuild {
       .agg(count(lit(1)).as("route_total_stops"),
            max(col("stop_sequence")).as("max_seq"))
 
+    // stop_times resolved to ONE row per (trip_id, stop_id): loop routes
+    // legally visit a stop twice (unique key is (trip_id, stop_sequence)),
+    // and joining the raw table on (trip_id, stop_id) would fan each delay
+    // event out into duplicate feature rows (the reference's UPDATE..FROM
+    // silently picks an arbitrary match instead; min stop_sequence is the
+    // deterministic version of that)
+    val stopSeq = op.stopTimes.groupBy(col("trip_id"), col("stop_id"))
+      .agg(min(col("stop_sequence")).as("stop_sequence"))
+
     // prev-stop delay via the 1-PRECEDING frame (W9;
     // ml_feature_engineering.sql:370-383)
     val wPrev = Window.partitionBy(col("trip_id")).orderBy(col("stop_sequence"))
     val prevStop = de
-      .join(op.stopTimes.select("trip_id", "stop_id", "stop_sequence"),
-            Seq("trip_id", "stop_id"))
+      .join(stopSeq, Seq("trip_id", "stop_id"))
       .withColumn("prev_stop_delay",
         avg(col("delay_minutes")).over(wPrev.rowsBetween(-1, -1)))
       .select(col("trip_id"), col("stop_id"), col("prev_stop_delay"))
@@ -112,8 +122,7 @@ object FeatureBuild {
     de
       .join(op.trips.select("trip_id", "route_id"), Seq("trip_id"))
       .join(broadcast(op.routes.select("route_id", "route_type")), Seq("route_id"))
-      .join(op.stopTimes.select("trip_id", "stop_id", "stop_sequence"),
-            Seq("trip_id", "stop_id"), "left")
+      .join(stopSeq, Seq("trip_id", "stop_id"), "left")
       .join(broadcast(dimStop.select("stop_id", "is_major_hub", "stop_area")),
             Seq("stop_id"), "left")
       .join(broadcast(tripStops), Seq("trip_id"), "left")
@@ -223,13 +232,16 @@ object FeatureBuild {
 
   /** Standard scaling: fit (mean, stddev) on train, apply (x−μ)/σ
     * (train_delay_model.py:256-261); σ=0 → 0 like sklearn's guard. */
-  def fitScaler(train: DataFrame, columns: Seq[String]): Map[String, (Double, Double)] =
-    columns.map { c =>
-      val r = train.agg(
-        avg(col(c)).cast("double"),
-        coalesce(stddev_samp(col(c)), lit(0.0)).cast("double")).first()
-      c -> ((r.getDouble(0), r.getDouble(1)))
+  def fitScaler(train: DataFrame, columns: Seq[String]): Map[String, (Double, Double)] = {
+    // single aggregation pass for all columns — one scan, not |columns| jobs
+    val aggs = columns.flatMap(c => Seq(
+      avg(col(c)).cast("double"),
+      coalesce(stddev_samp(col(c)), lit(0.0)).cast("double")))
+    val r = train.agg(aggs.head, aggs.tail: _*).first()
+    columns.zipWithIndex.map { case (c, i) =>
+      c -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
     }.toMap
+  }
 
   def applyScaler(df: DataFrame, params: Map[String, (Double, Double)]): DataFrame =
     params.foldLeft(df) { case (acc, (c, (mu, sigma))) =>

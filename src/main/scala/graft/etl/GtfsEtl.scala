@@ -162,6 +162,10 @@ object GtfsEtl {
     val range = delayEvents.agg(
       min(to_date(col("actual_arrival"))).as("d0"),
       max(to_date(col("actual_arrival"))).as("d1")).first()
+    require(!range.isNullAt(0),
+      "GtfsEtl.warehouse: delayEvents is empty — no date range to build dim_date from")
+    require(!op.stops.isEmpty,
+      "GtfsEtl.warehouse: operational.stops is empty — cannot derive stop_area")
     val (d0, d1) = (range.getDate(0), range.getDate(1))
     val nDays = java.time.temporal.ChronoUnit.DAYS.between(
       d0.toLocalDate, d1.toLocalDate).toInt + 1

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object GtfsFunctions {
 
-  /** "H+:MM:SS" → seconds since midnight; null on NULL/empty/malformed. */
+  /** "H+:MM:SS" → seconds since midnight; null on NULL/empty/malformed.
+    * Hour capped at 9 digits: the regex must not admit strings whose cast
+    * would overflow Long and throw under ANSI mode (EXCEPTION→NULL means
+    * NULL, never a task failure). */
   def gtfsTimeToSeconds(timeStr: Column): Column =
-    when(timeStr.isNull || !timeStr.rlike("^[0-9]+:[0-9]{2}:[0-9]{2}$"), lit(null))
+    when(timeStr.isNull || !timeStr.rlike("^[0-9]{1,9}:[0-9]{2}:[0-9]{2}$"), lit(null))
       .otherwise(
         element_at(split(timeStr, ":"), 1).cast("long") * 3600 +
         element_at(split(timeStr, ":"), 2).cast("long") * 60 +
@@ -33,10 +36,16 @@ object GtfsFunctions {
     * surface; prefer the expression form in real plans). */
   def registerGtfsTimeUdf(spark: SparkSession): Unit =
     spark.udf.register("gtfs_time_to_seconds", (s: String) => {
+      // ASCII-digit + nonempty + length guards: Char.isDigit accepts
+      // Unicode digits that toLong rejects, "".forall is vacuously true,
+      // and >18-digit hours overflow — all must map to None (the plpgsql
+      // EXCEPTION->NULL path), never throw in a task
+      def digits(x: String) =
+        x.nonEmpty && x.length <= 9 && x.forall(c => c >= '0' && c <= '9')
       if (s == null) None
-      else s.split(":") match {
-        case Array(h, m, sec) if Seq(h, m, sec).forall(_.forall(_.isDigit)) &&
-            m.length == 2 && sec.length == 2 =>
+      else s.split(":", -1) match {
+        case Array(h, m, sec) if digits(h) &&
+            m.length == 2 && digits(m) && sec.length == 2 && digits(sec) =>
           Some(h.toLong * 3600 + m.toLong * 60 + sec.toLong)
         case _ => None
       }

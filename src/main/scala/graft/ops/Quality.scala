@@ -44,9 +44,12 @@ object Quality {
   /** Curation pipeline: survivors per source after exact + near dedup. */
   val extDedupPipeline: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // stage 1: exact dedup (keep min doc_id per text)
+    // stage 1: exact dedup — keep min doc_id per text AND that row's
+    // source (min_by, not first(): exact duplicates can span sources, and
+    // first() is partition-order nondeterministic)
     val exact = docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("source")).as("source"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           min_by(col("source"), col("doc_id")).as("source"))
     // stage 2: near-dup candidates among survivors (unigram jaccard >= 0.9,
     // blocked by source) — drop the LATER doc of each pair
     val dw = exact.select(col("doc_id"), col("source"),
@@ -95,7 +98,7 @@ object Quality {
         |ORDER BY check_name""".stripMargin,
     "ext_dedup_pipeline" ->
       """WITH exact AS (
-        |  SELECT min(doc_id) AS doc_id, any_value(source) AS source, text
+        |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, text
         |  FROM documents GROUP BY text),
         |dw AS (
         |  SELECT doc_id, source,

@@ -44,14 +44,21 @@ object EventsStream {
     // the file-stream source requires a directory; the testdata table is a
     // single parquet file → expose it through a scratch dir of symlinks
     // (this is also the natural 100 TB layout: a directory that new files
-    // land in, each micro-batch picking up the unseen ones)
+    // land in, each micro-batch picking up the unseen ones). The scratch
+    // dir is keyed on a hash of the FULL source path — a basename key
+    // would silently reuse a stale link when two different roots share a
+    // directory name — and an existing link pointing elsewhere is replaced.
+    val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
-      s"/root/repo/target/scratch/stream_src_${new java.io.File(sfDir).getName}")
+      s"/root/repo/target/scratch/stream_src_${new java.io.File(sfDir).getName}_$key")
     java.nio.file.Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(link, target)
     s.readStream
       .schema(eventsRawSchema)
       .parquet(dir.toString)

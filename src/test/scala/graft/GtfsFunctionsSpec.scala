@@ -24,8 +24,9 @@ class GtfsFunctionsSpec extends SparkSpec {
   }
 
   test("gtfsTimeToSeconds rejects malformed/empty like the plpgsql EXCEPTION path") {
-    parse("bad:time", "", "12:3:04", "1230:00", "12:30", "::") shouldBe
-      Seq(null, null, null, null, null, null)
+    parse("bad:time", "", "12:3:04", "1230:00", "12:30", "::", ":30:00",
+          "99999999999999999999:00:00", "١٢:00:00") shouldBe
+      Seq(null, null, null, null, null, null, null, null, null)
   }
 
   test("gtfsTimeToSeconds null-safe") {
@@ -37,7 +38,8 @@ class GtfsFunctionsSpec extends SparkSpec {
   test("UDF variant agrees with expression variant") {
     import spark.implicits._
     registerGtfsTimeUdf(spark)
-    val in = Seq("08:00:00", "25:01:30", "bad:time", "8:05:00", "12:3:04")
+    val in = Seq("08:00:00", "25:01:30", "bad:time", "8:05:00", "12:3:04",
+                 ":30:00", "99999999999999999999:00:00", "١٢:00:00", "::")
     val df = in.toDF("t")
     val expr = df.select(gtfsTimeToSeconds(col("t"))).collect().map(_.get(0)).toSeq
     val udf = df.selectExpr("gtfs_time_to_seconds(t)").collect().map(_.get(0)).toSeq
