@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * Probability model mirrored from the reference:
   *  - base delay prob 0.15; rush hours [7,8,9,17,18,19] ×1.8; weather
   *    multipliers clear 1.0 … snow 2.5; holiday ×0.7; cap 0.8 (`:195-220`)
-  *  - delay magnitude: 60% → 1–5 min, 25% → 6–15, 15% → 16–45; weather
-  *    amplifiers ×1.0–2.0; rush [8,9,17,18] ×U(1.0,1.5); clamp [1,120]
-  *    (`:222-243`)
+  *  - delay magnitude: two INDEPENDENT coin flips exactly as the
+  *    reference writes them (`if rand<0.6 … elif rand2<0.85 …`), which
+  *    yields 60% → 1–5 min, 34% → 6–15, 6% → 16–45 (not the 60/25/15 the
+  *    reference's comments imply — we mirror the code, not the comment);
+  *    weather amplifiers ×1.0–2.0; rush [8,9,17,18] ×U(1.0,1.5); clamp
+  *    [1,120] (`:222-243`)
   */
 object SyntheticGen {
 

@@ -205,6 +205,11 @@ object EventsStream {
       .writeStream
       .format("parquet")
       .option("path", outDir)
+      // day-partitioned sink: the streaming ingest lands directly in the
+      // pruning-friendly layout of [[graft.etl.PartitionedLayout]] — at
+      // 100 TB this is the pipeline: files arrive → exactly-once append
+      // into day= partitions → downstream date predicates prune
+      .partitionBy("day")
       .outputMode("append")
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())

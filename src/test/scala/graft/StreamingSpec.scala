@@ -28,6 +28,9 @@ class StreamingSpec extends SparkSpec {
     // no new source files -> sink unchanged (NOT doubled): the checkpoint
     // is the high-water mark
     r2 shouldBe 1000L
+    // and the sink landed in the day-partitioned layout
+    new java.io.File(out).listFiles().map(_.getName)
+      .count(_.startsWith("day=")) should be > 20 // ~30 days of events
   }
 
   test("flatMapGroupsWithState carries running max across micro-batches") {
