@@ -27,7 +27,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Advanced.queries, Advanced.oracles),
-    (Quality.queries, Quality.oracles))
+    (Quality.queries, Quality.oracles),
+    (SqlSurface.queries, SqlSurface.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

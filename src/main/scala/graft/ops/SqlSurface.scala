@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+
+/** SQL entry surface — the reference is SQL-shaped (every layer is a psql
+  * script), so "a user of the reference could switch" includes writing
+  * plain SQL against this engine. `registerAll` exposes the tables as
+  * temp views; the query entries run textual SQL through `spark.sql`,
+  * traversing the exact same Catalyst pipeline as the DataFrame API
+  * (SURVEY §3.1) — and are therefore held to the same DuckDB oracle.
+  */
+object SqlSurface {
+
+  /** Register every testdata table as a temp view (idempotent). */
+  def registerAll(s: SparkSession, sfDir: String): Unit =
+    Tables.allNames.foreach {
+      case "events" => // view with the normalized NTZ timestamp
+        Tables.events(s, sfDir).createOrReplaceTempView("events")
+      case n =>
+        Tables.table(s, sfDir, n).createOrReplaceTempView(n)
+    }
+
+  private def q(sql: String): Q = (s, d) => {
+    registerAll(s, d)
+    s.sql(sql)
+  }
+
+  /** Pricing-summary flagship, expressed as textual SQL. */
+  val sqlPricingSummary: Q = q(
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity > 5
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Correlated scalar subquery in SQL — Catalyst decorrelates it into
+    * the same aggregate-join the DataFrame form (J6) builds by hand. */
+  val sqlCorrelatedSubquery: Q = q(
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2.0 * (
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+      |         count(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    "sql_pricing_summary" -> sqlPricingSummary,
+    "sql_correlated_subquery" -> sqlCorrelatedSubquery)
+
+  val oracles: Map[String, String] = Map(
+    "sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity > 5
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 2.0 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |         count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+}
