@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+/** Runtime scale behaviors the 100 TB story leans on, demonstrated at
+  * test scale with thresholds lowered: AQE skew-join splitting (the
+  * engine-side complement to the manual salting of `agg_salted`) and the
+  * RocksDB state store (the out-of-heap streaming-state backend a real
+  * deployment uses). */
+class ScaleBehaviorSpec extends SparkSpec {
+
+  test("AQE splits a skewed join partition (skew=true in the executed plan)") {
+    import spark.implicits._
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 1 hot key carrying 95% of rows + a long tail
+      val fact = spark.range(0, 400000)
+        .select(when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id") % 997)
+          .as("k"), col("id").as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("attr"))
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS queryExecution (count() would plan its own adaptive
+      // tree and leave joined's plan at isFinalPlan=false)
+      joined.collect().length shouldBe 400000
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("isFinalPlan=true")
+      plan should include("skew=true")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("streaming dedup runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = graft.streaming.EventsStream.dedupCounts(spark, sf("sf0.001"))
+      out.agg(sum("n_events")).first().getLong(0) shouldBe 1000L
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
