@@ -103,12 +103,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Normalization pipeline: lowercase → strip non-alnum (keep spaces) →
+    * collapse runs of whitespace → trim. The canonicalization step that
+    * precedes exact dedup in a real corpus pipeline (raw text differing
+    * only in case/punctuation/spacing hashes identically afterwards). */
+  val extTextNormalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_sha", sha2(col("norm_text"), 256))
+      .withColumn("n_norm_chars", length(col("norm_text")))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "ext_text_stats" -> extTextStats,
     "ext_lang_id" -> extLangId,
     "ext_quality_score" -> extQualityScore,
     "ext_token_count" -> extTokenCount,
-    "ext_fingerprint" -> extFingerprint)
+    "ext_fingerprint" -> extFingerprint,
+    "ext_text_normalize" -> extTextNormalize)
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
   private def hitsSql(arg: String) =
@@ -149,6 +165,15 @@ object TextAnalysis {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
         |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text,
+        |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_sha,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS INTEGER) AS n_norm_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ext_fingerprint" ->
       """SELECT doc_id,
