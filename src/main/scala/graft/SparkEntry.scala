@@ -28,7 +28,8 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracles),
     (Advanced.queries, Advanced.oracles),
     (Quality.queries, Quality.oracles),
-    (SqlSurface.queries, SqlSurface.oracles))
+    (SqlSurface.queries, SqlSurface.oracles),
+    (Extras.queries, Extras.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
