@@ -27,16 +27,21 @@ object Pipeline {
     private val results = scala.collection.mutable.ListBuffer.empty[StageResult]
     private var failed = false
 
-    def stage[A](name: String)(body: => A): Option[A] = {
+    def stage[A](name: String)(body: => A): Option[A] =
+      stageWithDetail(name)((body, ""))
+
+    /** Like [[stage]] but the body also returns a detail string surfaced
+      * in the report (e.g. non-fatal DQ warnings). */
+    def stageWithDetail[A](name: String)(body: => (A, String)): Option[A] = {
       if (failed) {
         results += StageResult(name, "skipped", 0.0, "upstream failure")
         None
       } else {
         val t0 = System.nanoTime()
         try {
-          val r = body
+          val (r, detail) = body
           results += StageResult(name, "success",
-            (System.nanoTime() - t0) / 1e9, "")
+            (System.nanoTime() - t0) / 1e9, detail)
           Some(r)
         } catch {
           case e: Exception =>
@@ -58,34 +63,61 @@ object Pipeline {
 
   /** The daily flow over GTFS inputs: DQ gate → operational load →
     * warehouse → features → (stub scores) → evaluation → monitoring.
-    * Returns the per-stage report; stage outputs land in `out`. */
+    * Returns the per-stage report; stage outputs land in `out`.
+    *
+    * Stage outputs that downstream stages consume are cache()d and
+    * materialized INSIDE their stage — otherwise Spark's laziness would
+    * attribute every runtime failure and all wall-time to whichever later
+    * stage runs the first action, inverting the report's semantics (and
+    * each `out(...)` consumer would recompute the whole CSV→features
+    * lineage). */
   def runDaily(spark: SparkSession, gtfsDir: String, delayEvents: DataFrame,
                weather: DataFrame, asOf: java.sql.Date,
                out: collection.mutable.Map[String, DataFrame] =
                  collection.mutable.Map.empty): DataFrame = {
     val r = new Runner(spark)
 
-    val staging = r.stage("staging_load") { GtfsEtl.staging(spark, gtfsDir) }
-
-    r.stage("check_data_quality") {
-      val dq = GtfsEtl.dataQuality(staging.get)
-      val fatal = dq.filter(col("check_name") === "orphan_stop_times" &&
-                            col("n_bad") > 0).count()
-      require(fatal == 0, "orphan stop_times present")
-      out("dq") = dq
+    val staging = r.stage("staging_load") {
+      val st = GtfsEtl.staging(spark, gtfsDir)
+      Seq(st.stops, st.routes, st.trips, st.stopTimes, st.calendar)
+        .foreach(df => df.cache().count())
+      st
     }
 
-    val op = r.stage("operational_load") { GtfsEtl.operational(staging.get) }
+    r.stageWithDetail("check_data_quality") {
+      val dq = GtfsEtl.dataQuality(staging.get)
+      out("dq") = dq // captured BEFORE the gate so a failure is diagnosable
+      // Gate asymmetry vs the reference (which raises on ANY failed check,
+      // ml_pipeline_dag.py:45-92), deliberate and documented: null-coord /
+      // orphan-trip / null-arrival rows self-heal downstream (operational()
+      // filters and FK-joins them away), so they are surfaced as warnings
+      // in the stage detail; orphan stop_times indicate referential
+      // corruption the load cannot repair and remain fatal.
+      val counts = dq.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      require(counts("orphan_stop_times") == 0, "orphan stop_times present")
+      val warnings = counts.filter { case (_, v) => v > 0 }
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
+      ((), if (warnings.isEmpty) "" else s"warnings: $warnings")
+    }
+
+    val op = r.stage("operational_load") {
+      val o = GtfsEtl.operational(staging.get)
+      Seq(o.stops, o.routes, o.trips, o.stopTimes, o.calendar)
+        .foreach(df => df.cache().count())
+      o
+    }
 
     val wh = r.stage("warehouse_build") {
       val w = GtfsEtl.warehouse(spark, op.get, delayEvents)
-      out("fact") = w.factDelayEvents
+      out("fact") = w.factDelayEvents.cache()
+      out("fact").count()
       w
     }
 
     val feats = r.stage("feature_build") {
       val f = FeatureBuild.features(op.get, wh.get.dimStop, delayEvents,
-        weather, asOf)
+        weather, asOf).cache()
+      f.count()
       out("features") = f
       f
     }
@@ -97,7 +129,8 @@ object Pipeline {
       val p = feats.get.select(
         col("trip_id"), col("stop_id"),
         col("delay_minutes").cast("double").as("actual"),
-        col("avg_delay_same_route_stop_7d").as("predicted"))
+        col("avg_delay_same_route_stop_7d").as("predicted")).cache()
+      p.count()
       out("predictions") = p
       p
     }

@@ -21,13 +21,19 @@ object SqlSurface {
         Tables.table(s, sfDir, n).createOrReplaceTempView(n)
     }
 
-  private def q(sql: String): Q = (s, d) => {
-    registerAll(s, d)
+  /** Register only the views a query references — registerAll's 10 eager
+    * schema reads per invocation are waste when the query touches one
+    * table. */
+  private def q(tables: String*)(sql: String): Q = (s, d) => {
+    tables.foreach {
+      case "events" => Tables.events(s, d).createOrReplaceTempView("events")
+      case n => Tables.table(s, d, n).createOrReplaceTempView(n)
+    }
     s.sql(sql)
   }
 
   /** Pricing-summary flagship, expressed as textual SQL. */
-  val sqlPricingSummary: Q = q(
+  val sqlPricingSummary: Q = q("lineitem")(
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -39,7 +45,7 @@ object SqlSurface {
 
   /** Correlated scalar subquery in SQL — Catalyst decorrelates it into
     * the same aggregate-join the DataFrame form (J6) builds by hand. */
-  val sqlCorrelatedSubquery: Q = q(
+  val sqlCorrelatedSubquery: Q = q("orders")(
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
       |WHERE o_totalprice > 2.0 * (

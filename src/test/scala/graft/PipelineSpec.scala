@@ -47,11 +47,11 @@ class PipelineSpec extends SparkSpec {
       noWeather, java.sql.Date.valueOf("2024-01-14"), out)
     val byStage = report.collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    // staging "succeeds" lazily (Spark readers are lazy); the first stage
-    // that materializes it fails, everything after is skipped
+    // staging now materializes inside its own stage (cache+count), so the
+    // missing path fails exactly where it belongs and the rest skip
+    byStage("staging_load") shouldBe "failed"
     val statuses = report.collect().map(_.getString(1))
-    statuses should contain("failed")
-    statuses.count(_ == "skipped") should be >= 5
+    statuses.count(_ == "skipped") shouldBe 7
     byStage("monitoring_gate") shouldBe "skipped"
   }
 }
