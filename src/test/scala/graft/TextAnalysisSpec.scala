@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+/** Crafted-input behavior of the text operators (the corpus itself is
+  * punctuation-free lowercase, so edge behavior needs synthetic rows). */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("normalization collapses case/punctuation/whitespace variants to one form") {
+    import spark.implicits._
+    val variants = Seq(
+      (0L, "Hello, World!  This is   GREAT."),
+      (1L, "hello world this is great"),
+      (2L, "HELLO...world?? this IS great"))
+      .toDF("doc_id", "text")
+    variants.createOrReplaceTempView("documents_variants")
+    val normed = variants.select(
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    normed shouldBe Set("hello world this is great")
+  }
+
+  test("BPE-ish token regex segments mixed text into letters/digits/symbols") {
+    import spark.implicits._
+    val toks = Seq("ab12 c-d 3.5x").toDF("text")
+      .select(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .first().getSeq[String](0)
+    toks shouldBe Seq("ab", "12", "c", "-", "d", "3", ".", "5", "x")
+  }
+
+  test("fingerprint is order-sensitive and prefix-stable") {
+    import spark.implicits._
+    val df = Seq(("abc def", "def abc", "abc defX")).toDF("a", "b", "c")
+    def fp(c: org.apache.spark.sql.Column) =
+      aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+        lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+    val r = df.select(fp(col("a")), fp(col("b")), fp(col("c"))).first()
+    (r.getLong(0) == r.getLong(1)) shouldBe false // order matters
+    (r.getLong(0) == r.getLong(2)) shouldBe false
+  }
+
+  test("quality score is monotone in stopword pollution") {
+    import spark.implicits._
+    val rich = "the cat sat on the mat and the dog ran to the park in the sun"
+    val clean = "quantum entanglement violates classical locality constraints fundamentally"
+    val df = Seq((0L, rich, "en", "s", 60L), (1L, clean, "en", "s", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // run the real operator against a scratch dir exposing these rows as
+    // the documents table
+    val dir = "/root/repo/target/scratch/textspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.extQualityScore(spark, dir)
+    val q = out.collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    q(1L) should be > q(0L) // stopword-free text scores higher
+  }
+}
