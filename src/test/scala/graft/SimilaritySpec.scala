@@ -58,6 +58,15 @@ class SimilaritySpec extends SparkSpec {
     ann.length should be <= knn.size * 3
   }
 
+  test("Lloyd refinement produces one centroid per list with the right shape") {
+    val cents = lloydRefine(spark, sf("sf0.001")).collect()
+    cents.length should be <= 16
+    cents.length should be > 0
+    cents.foreach { r =>
+      r.getSeq[Float](1).length shouldBe 64
+    }
+  }
+
   test("IVF ANN: every reported neighbor shares the query's inverted list and scores exactly") {
     val d = sf("sf0.001")
     val ivf = extAnnIvf(spark, d).collect()
