@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.expressions.FloatVecDot
 
 /** `SparkSessionExtensions` injection point — the deployment-grade way to
@@ -18,9 +18,11 @@ import graft.expressions.FloatVecDot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // FloatVecDot.builder validates arity with a clean WRONG_NUM_ARGS
+    // analysis error instead of children.head/children(1) crashing
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+      FloatVecDot.builder _))
   }
 }

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * Scale notes: per-key historical aggregates are tiny relative to the
   * event table (keys × window), so the joins broadcast; the only wide
   * operation over the full event table is the prev-stop window, which
-  * shuffles once on trip_id. The reference's 100k-row training cap
+  * shuffles once on (trip_id, service date). The reference's 100k-row
+  * training cap
   * exists only because pandas materializes on one machine — here the
   * feature matrix never leaves the cluster (SURVEY §3.2).
   */
@@ -108,13 +109,23 @@ object FeatureBuild {
       .agg(min(col("stop_sequence")).as("stop_sequence"))
 
     // prev-stop delay via the 1-PRECEDING frame (W9;
-    // ml_feature_engineering.sql:370-383)
-    val wPrev = Window.partitionBy(col("trip_id")).orderBy(col("stop_sequence"))
+    // ml_feature_engineering.sql:370-383). The reference windows by
+    // trip_id alone across all days (events from different days tie) and
+    // its UPDATE..FROM on (trip_id, stop_sequence) picks an arbitrary
+    // match when several events share the key. Here the window partitions
+    // by (trip_id, service date) with a total ordering, and the event
+    // timestamp rides along so the join-back key is the event identity
+    // (trip_id, stop_id, actual_arrival) — one feature row per event,
+    // deterministic, never row-multiplying.
+    val wPrev = Window
+      .partitionBy(col("trip_id"), to_date(col("actual_arrival")))
+      .orderBy(col("stop_sequence"), col("actual_arrival"), col("stop_id"))
     val prevStop = de
       .join(stopSeq, Seq("trip_id", "stop_id"))
       .withColumn("prev_stop_delay",
         avg(col("delay_minutes")).over(wPrev.rowsBetween(-1, -1)))
-      .select(col("trip_id"), col("stop_id"), col("prev_stop_delay"))
+      .select(col("trip_id"), col("stop_id"), col("actual_arrival"),
+              col("prev_stop_delay"))
 
     val hr = hour(col("actual_arrival"))
     val isRush = isRushHour(hr)
@@ -140,7 +151,7 @@ object FeatureBuild {
       .withColumn("dw", dowPg(col("actual_arrival")))
       .join(broadcast(histDow7), Seq("dw"), "left")
       .join(broadcast(histWeather7), Seq("weather_condition"), "left")
-      .join(prevStop, Seq("trip_id", "stop_id"), "left")
+      .join(prevStop, Seq("trip_id", "stop_id", "actual_arrival"), "left")
       .select(
         // identifiers + target (:150-161)
         col("trip_id"), col("stop_id"), col("route_id"),

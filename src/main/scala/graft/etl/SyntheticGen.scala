@@ -44,11 +44,16 @@ object SyntheticGen {
 
   /** Candidate arrivals for `nTrips` trips × `days` days starting at
     * `startDate`; rows where the delay coin-flip fires carry the generated
-    * delay. Deterministic per seed. */
+    * delay. Deterministic per (seed, partitions): `rand(seed)` reseeds per
+    * partition index, so the base range pins its partition count instead
+    * of inheriting `defaultParallelism` — the same seed yields the same
+    * rows under local[4] tests and local[32] bench runs alike. Raise
+    * `partitions` for huge n; changing it changes the drawn sample. */
   def delayEvents(spark: SparkSession, nTrips: Int, days: Int,
-                  startDate: String, seed: Long): DataFrame = {
+                  startDate: String, seed: Long,
+                  partitions: Int = 32): DataFrame = {
     val n = nTrips.toLong * days
-    val base = spark.range(n)
+    val base = spark.range(0L, n, 1L, partitions)
       .withColumn("day_idx", (col("id") / nTrips).cast("int"))
       .withColumn("trip_idx", (col("id") % nTrips).cast("int"))
       .withColumn("hour", (rand(seed + 1) * 24).cast("int"))
@@ -88,10 +93,12 @@ object SyntheticGen {
   }
 
   /** Hourly weather series (`generate_synthetic_data.py:127-191`):
-    * seasonal sine temperature + condition-correlated precipitation. */
+    * seasonal sine temperature + condition-correlated precipitation.
+    * Partition count pinned for the same (seed, partitions) determinism
+    * as [[delayEvents]]. */
   def weather(spark: SparkSession, days: Int, startDate: String,
-              seed: Long): DataFrame =
-    spark.range(days.toLong * 24)
+              seed: Long, partitions: Int = 32): DataFrame =
+    spark.range(0L, days.toLong * 24, 1L, partitions)
       .withColumn("recorded_at", timestamp_seconds(
         unix_timestamp(to_timestamp(date_add(lit(startDate).cast("date"),
           (col("id") / 24).cast("int")))) + (col("id") % 24) * 3600))

@@ -80,11 +80,28 @@ case class FloatVecDot(left: Expression, right: Expression)
 }
 
 object FloatVecDot {
+
+  /** Registry builder shared by [[register]] and `GraftExtensions`:
+    * validates arity at plan-build time so `vec_dot(x)` fails with the
+    * standard WRONG_NUM_ARGS analysis error naming the signature, not a
+    * `NoSuchElementException` out of `children.head`/`children(1)`. */
+  def builder(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`vec_dot`",
+          "expectedNum" -> "2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    FloatVecDot(children.head, children(1))
+  }
+
   /** Registers `vec_dot(a, b)` in the session's function registry so it is
     * usable from `expr(...)`/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)))
+      builder _)
 }

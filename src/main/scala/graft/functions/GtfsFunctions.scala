@@ -60,13 +60,15 @@ object GtfsFunctions {
       .when(mins.between(16, 30), "Severe")
       .otherwise("Extreme")
 
-  /** Delay categories, ML variant (`ml_feature_engineering.sql:156-161`:
-    * <= bins — the two layers deliberately disagree; preserve both). */
+  /** Delay categories, ML variant (`ml_feature_engineering.sql:156-161`).
+    * Same labels as the warehouse variant but <= bins instead of BETWEEN —
+    * the two layers deliberately disagree on bin edges (0/negative is
+    * 'Minor' here, 'Extreme' there); preserve both. */
   def delayCategoryMl(mins: Column): Column =
-    when(mins <= 5, "minimal")
-      .when(mins <= 15, "moderate")
-      .when(mins <= 30, "significant")
-      .otherwise("severe")
+    when(mins <= 5, "Minor")
+      .when(mins <= 15, "Moderate")
+      .when(mins <= 30, "Severe")
+      .otherwise("Extreme")
 
   /** Season from month (`fact_dim_tables.sql:173-178`). */
   def season(month: Column): Column =

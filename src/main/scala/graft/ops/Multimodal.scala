@@ -60,13 +60,27 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map("ext_multimodal" -> extMultimodal)
 
+  /** The oracle is byte-based like the Spark side (UTF-8 bytes via
+    * `encode()`, first-8-byte window sliced from the hex dump) — parity
+    * holds on non-ASCII text too, not just on an ASCII-only corpus. */
   val oracles: Map[String, String] = Map(
     "ext_multimodal" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
-        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-        |  CAST(list_reduce(list_transform(string_split_regex(substr(text, 1, 8), ''),
-        |    c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) % 256 AS BIGINT) AS prefix_checksum,
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    octet_length(encode(text)) AS byte_len,
+        |    substr(hex(encode(text)), 1, 16) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(byte_len AS INTEGER) AS byte_len,
+        |  CAST(CASE WHEN byte_len = 0 THEN 0
+        |       ELSE 16 * (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1)
+        |          + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
+        |       END AS INTEGER) AS first_byte,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(hx) // 2 + 1),
+        |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT))),
+        |    (a, b) -> a + b) % 256 AS BIGINT) AS prefix_checksum,
         |  lang
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin)
 }

@@ -29,6 +29,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
         .selectExpr("vec_dot(a, b)").first().getDouble(0)
       r shouldBe 11.0
+      // wrong arity fails with the standard WRONG_NUM_ARGS analysis error
+      // naming the function, not a NoSuchElementException from the builder
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq((Array(1.0f), Array(1.0f))).toDF("a", "b").selectExpr("vec_dot(a)")
+      }
+      e.getMessage should include("vec_dot")
+      e.getMessage should include("2")
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -43,7 +43,7 @@ class FeatureBuildSpec extends SparkSpec {
     feats.count() shouldBe 8
     feats.columns.length should be >= 40
     val r = feats.filter(col("trip_id") === "T2" && col("delay_minutes") === 34).first()
-    r.getAs[String]("delay_category") shouldBe "severe"    // ML bins, not warehouse
+    r.getAs[String]("delay_category") shouldBe "Extreme"   // ML <= bins (34 > 30)
     r.getAs[Boolean]("is_rush_hour") shouldBe true         // 17:55
     r.getAs[Double]("temperature") shouldBe 15.0           // empty weather -> default
     r.getAs[Double]("precipitation") shouldBe 3.0          // snow fallback
@@ -64,6 +64,33 @@ class FeatureBuildSpec extends SparkSpec {
   test("prev-stop cascade feature uses the 1-PRECEDING frame") {
     val t1s2 = feats.filter(col("trip_id") === "T1" && col("stop_id") === "S2").first()
     t1s2.getAs[Double]("prev_stop_delay") shouldBe 3.0 // T1 S1 (seq 1) delay
+  }
+
+  test("multiple delay events per (trip,stop) keep one feature row per event; " +
+       "prev-stop chains stay within the service day") {
+    import spark.implicits._
+    // (T1,S1) and (T1,S2) each appear on TWO days — the normal multi-day
+    // case that a (trip_id, stop_id)-only join-back would fan out n×n
+    val multi = Seq(
+      ("T1", "S1", "2024-01-08 08:02:00", 2, "clear", false),
+      ("T1", "S2", "2024-01-08 08:20:00", 6, "clear", false),
+      ("T1", "S1", "2024-01-09 08:04:00", 4, "rainy", false),
+      ("T1", "S2", "2024-01-09 08:25:00", 9, "rainy", false),
+      ("T1", "S3", "2024-01-09 08:40:00", 12, "rainy", false)
+    ).toDF("trip_id", "stop_id", "arrival_str", "delay_minutes",
+           "weather_condition", "is_holiday")
+      .withColumn("actual_arrival", col("arrival_str").cast("timestamp"))
+      .drop("arrival_str")
+    val f = FeatureBuild.features(op, wh.dimStop, multi, emptyWeather,
+      java.sql.Date.valueOf("2024-01-14"))
+    f.count() shouldBe 5 // one row per event, no fan-out
+    def at(stop: String, dom: Int) =
+      f.filter(col("stop_id") === stop && col("day_of_month") === dom).first()
+    at("S2", 8).getAs[Double]("prev_stop_delay") shouldBe 2.0 // Jan-8 chain
+    at("S2", 9).getAs[Double]("prev_stop_delay") shouldBe 4.0 // Jan-9 chain
+    at("S3", 9).getAs[Double]("prev_stop_delay") shouldBe 9.0
+    // first stop of a day never inherits the previous day's tail
+    at("S1", 9).getAs[Double]("prev_stop_delay") shouldBe 0.0
   }
 
   test("80/20 split is deterministic, disjoint, and exhaustive") {

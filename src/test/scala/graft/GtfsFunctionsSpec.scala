@@ -53,8 +53,8 @@ class GtfsFunctionsSpec extends SparkSpec {
     wh shouldBe Seq("Extreme", "Extreme", "Minor", "Minor", "Moderate",
                     "Moderate", "Severe", "Severe", "Extreme")
     val ml = df.select(delayCategoryMl(col("m"))).collect().map(_.getString(0)).toSeq
-    ml shouldBe Seq("minimal", "minimal", "minimal", "minimal", "moderate",
-                    "moderate", "significant", "significant", "severe")
+    ml shouldBe Seq("Minor", "Minor", "Minor", "Minor", "Moderate",
+                    "Moderate", "Severe", "Severe", "Extreme")
   }
 
   test("dowPg matches PostgreSQL 0=Sunday convention") {

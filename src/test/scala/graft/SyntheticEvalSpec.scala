@@ -13,11 +13,20 @@ class SyntheticEvalSpec extends SparkSpec {
       startDate = "2024-03-01", seed = 7L).cache()
 
   test("generator is deterministic per seed and differs across seeds") {
-    val a = SyntheticGen.delayEvents(spark, 50, 5, "2024-03-01", 7L).count()
-    val b = SyntheticGen.delayEvents(spark, 50, 5, "2024-03-01", 7L).count()
+    val a = SyntheticGen.delayEvents(spark, 50, 5, "2024-03-01", 7L)
+    val b = SyntheticGen.delayEvents(spark, 50, 5, "2024-03-01", 7L)
     val c = SyntheticGen.delayEvents(spark, 50, 5, "2024-03-01", 8L).count()
-    a shouldBe b
-    (a == c) shouldBe false
+    // full row-set equality, not just counts
+    a.collect().toSet shouldBe b.collect().toSet
+    (a.count() == c) shouldBe false
+    // rand(seed) reseeds per partition, so determinism across deployments
+    // requires the generator to pin its own partition count rather than
+    // inherit defaultParallelism — pinning differently changes the sample
+    a.rdd.getNumPartitions shouldBe 32
+    val p8 = SyntheticGen.delayEvents(spark, 50, 5, "2024-03-01", 7L,
+      partitions = 8)
+    p8.rdd.getNumPartitions shouldBe 8
+    (p8.collect().toSet == a.collect().toSet) shouldBe false
   }
 
   test("delay rate and magnitudes respect the reference's model") {

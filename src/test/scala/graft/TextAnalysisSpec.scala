@@ -44,6 +44,24 @@ class TextAnalysisSpec extends SparkSpec {
     (r.getLong(0) == r.getLong(2)) shouldBe false
   }
 
+  test("multimodal decode measures UTF-8 bytes, not characters") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 'éxé' is 3 chars but 5 UTF-8 bytes: C3 A9 78 C3 A9
+    val df = Seq((0L, "hello", "en", "s", 5L), (1L, "éxé", "fr", "s", 3L),
+                 (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/root/repo/target/scratch/mmspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.extMultimodal(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("byte_len"), r.getAs[Int]("first_byte"),
+          r.getAs[Long]("prefix_checksum")))).toMap
+    out(0L) shouldBe ((5, 104, (104 + 101 + 108 + 108 + 111) % 256L))
+    out(1L) shouldBe ((5, 195, (195 + 169 + 120 + 195 + 169) % 256L))
+    out(2L) shouldBe ((0, 0, 0L))
+  }
+
   test("quality score is monotone in stopword pollution") {
     import spark.implicits._
     val rich = "the cat sat on the mat and the dog ran to the park in the sun"
