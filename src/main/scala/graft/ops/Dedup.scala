@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *    distinct-token count per doc, and blocked here by `source` the way a
   *    100 TB run would block by shard/bucket key.
   *
-  * MinHash/SimHash signatures have no DuckDB-SQL equivalent (xxhash64), so
-  * those two entries are rows-only-checked by the driver; their semantics
-  * are covered by ScalaTest specs with crafted near-duplicates
-  * (DedupSpec). Exact dedup and Jaccard are full oracle entries.
+  * All four entries are full hash-matched oracle queries. MinHash/SimHash
+  * achieve cross-engine reproducibility by hashing with [[hash60]] (md5
+  * prefix) instead of Spark-private xxhash64 — the DuckDB oracle replays
+  * signatures, banding, and candidate counts bit-for-bit. Crafted
+  * near-duplicate semantics are additionally covered by DedupSpec.
   */
 object Dedup {
 
@@ -45,9 +46,23 @@ object Dedup {
       .otherwise(array(lower(text)))
   }
 
+  /** Cross-engine 60-bit hash: the first 15 hex chars of md5, parsed
+    * base-16. Chosen over xxhash64 because any engine with md5 + string
+    * slicing reproduces it bit-for-bit — it is what turns the MinHash and
+    * SimHash queries from rows-only checks into full hash-matched oracle
+    * entries. md5 costs ~2× xxhash64 per token, but token hashing is a
+    * vanishing fraction of these operators' shuffle cost; if it ever
+    * shows up in a profile, swapping xxhash64 back changes only this
+    * function and the oracle. 15 hex chars = 60 bits keeps the parse
+    * inside a signed long with headroom (no ANSI overflow). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   private val P31 = 2147483647L // Mersenne prime 2^31-1
   /** Deterministic 31-bit affine-permutation constants (LCG, fixed seed);
-    * 31-bit domain keeps a*h+b < 2^62, overflow-free under ANSI mode. */
+    * 31-bit domain keeps a*h+b < 2^62, overflow-free under ANSI mode.
+    * The first 16 (a,b) pairs are hard-coded in the minhash oracle SQL —
+    * regenerate there if the seed or k ever changes. */
   private def permConsts(k: Int): Seq[(Long, Long)] = {
     var x = 0x5DEECE66DL
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
@@ -56,17 +71,18 @@ object Dedup {
 
   /** k-permutation MinHash signature of a shingle array (array<long>). */
   def minhashSig(shingles: Column, k: Int = 16): Column = {
-    val hashes = transform(shingles, sh => pmod(xxhash64(sh), lit(P31)))
+    val hashes = transform(shingles, sh => pmod(hash60(sh), lit(P31)))
     array(permConsts(k).map { case (a, b) =>
       aggregate(hashes, lit(Long.MaxValue),
         (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
     }: _*)
   }
 
-  /** 64-bit SimHash of the distinct-token set. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(array_distinct(toks(text)), t => xxhash64(t))
-    val bitSums = (0 until 64).map { b =>
+  /** 60-bit SimHash of the distinct-token set (per-bit ±1 majority vote
+    * over [[hash60]] token hashes). */
+  def simhash60(text: Column): Column = {
+    val hashes = transform(array_distinct(toks(text)), t => hash60(t))
+    val bitSums = (0 until 60).map { b =>
       aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
     }
@@ -88,17 +104,19 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** E2 — MinHash-LSH near-dup: per-doc signature + band-bucket candidate
-    * counts (rows-only check; semantics in DedupSpec). */
+    * counts. The band key is the ':'-joined 4-sig slice — engine-neutral
+    * (the oracle replays it with string_agg), and joining on (band, key)
+    * strings shuffles the same few bytes a rehash would. */
   val extMinhashDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), minhashSig(shingles3(col("text"))).as("sig"))
     val bands = docs.select(
       col("doc_id"),
       posexplode(array((0 until 4).map { b =>
-        xxhash64(lit(b), element_at(col("sig"), 4 * b + 1),
-                 element_at(col("sig"), 4 * b + 2),
-                 element_at(col("sig"), 4 * b + 3),
-                 element_at(col("sig"), 4 * b + 4))
+        concat_ws(":", element_at(col("sig"), 4 * b + 1),
+                  element_at(col("sig"), 4 * b + 2),
+                  element_at(col("sig"), 4 * b + 3),
+                  element_at(col("sig"), 4 * b + 4))
       }: _*)))
       .toDF("doc_id", "band", "band_key")
     val pairs = bands.as("x").join(bands.as("y"),
@@ -117,14 +135,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** E2b — SimHash near-dup: 64-bit signature + 16-bit-band partner counts
-    * (rows-only check; semantics in DedupSpec). */
+  /** E2b — SimHash near-dup: 60-bit signature + 15-bit-band partner
+    * counts (4 bands; docs within hamming distance 3 are guaranteed to
+    * share a band). */
   val extSimhashDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      .select(col("doc_id"), simhash60(col("text")).as("simhash"))
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { k =>
-        shiftrightunsigned(col("simhash"), 16 * k).bitwiseAND(0xFFFFL)
+        shiftrightunsigned(col("simhash"), 15 * k).bitwiseAND(0x7FFFL)
       }: _*)))
       .toDF("doc_id", "simhash", "band", "band_val")
     val partners = bands.as("x").join(bands.as("y"),
@@ -190,6 +209,70 @@ object Dedup {
     "ext_ngram_jaccard" -> extNgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    // full signature/banding/candidate replay — possible because hash60 is
+    // md5-based (the perm constants are permConsts(16), hard-coded here)
+    "ext_minhash_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k, min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |cand AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM (SELECT da AS doc_id FROM pairs UNION ALL SELECT db AS doc_id FROM pairs)
+        |  GROUP BY 1),
+        |s01 AS (SELECT doc_id, min(CASE WHEN k = 0 THEN v END) AS sig0,
+        |               min(CASE WHEN k = 1 THEN v END) AS sig1 FROM sig GROUP BY 1)
+        |SELECT s01.doc_id, sig0, sig1,
+        |  COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates
+        |FROM s01 LEFT JOIN cand USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "ext_simhash_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+        |  FROM documents),
+        |hv AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hv CROSS JOIN range(0, 60) r(b) GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, b AS band, (simhash >> CAST(15 * b AS INTEGER)) & 32767 AS band_val
+        |  FROM sim CROSS JOIN range(0, 4) r(b)),
+        |partners AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_val = y.band_val
+        |    AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_band_partners
+        |  FROM (SELECT da AS doc_id FROM partners UNION ALL SELECT db AS doc_id FROM partners)
+        |  GROUP BY 1)
+        |SELECT sim.doc_id, simhash,
+        |  COALESCE(n_band_partners, CAST(0 AS BIGINT)) AS n_band_partners
+        |FROM sim LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin,
     "ext_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
         |  CAST(count(*) AS BIGINT) AS n_copies

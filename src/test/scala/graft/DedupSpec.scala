@@ -37,8 +37,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: near-dups within small hamming distance, unrelated far") {
+    // 60-bit signatures: thresholds hold with four fewer bits in play
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-    val hs = docs.select(col("doc_id"), simhash64(col("text")).as("h"))
+    val hs = docs.select(col("doc_id"), simhash60(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     hs(0L) shouldBe hs(3L)
     hamming(hs(0L), hs(1L)) should be <= 12
@@ -53,6 +54,14 @@ class DedupSpec extends SparkSpec {
     pairs(0) should be > 0.5
     pairs(1) shouldBe 0.0
     pairs(2) shouldBe 1.0
+  }
+
+  test("hash60 equals the md5-prefix reference value (cross-engine contract)") {
+    import spark.implicits._
+    // int(hashlib.md5(b'hello').hexdigest()[:15], 16) — the value the
+    // DuckDB oracle's hex-parse fold must also produce
+    Seq("hello").toDF("t").select(hash60(col("t")))
+      .first().getLong(0) shouldBe 419982666956583591L
   }
 
   test("shingles fall back to whole text below 3 tokens") {
