@@ -51,19 +51,12 @@ object Quality {
       .agg(min(col("doc_id")).as("doc_id"),
            min_by(col("source"), col("doc_id")).as("source"))
     // stage 2: near-dup candidates among survivors (unigram jaccard >= 0.9,
-    // blocked by source) — drop the LATER doc of each pair
-    val dw = exact.select(col("doc_id"), col("source"),
-      explode(array_distinct(split(lower(col("text")), " "))).as("w"))
-    val cnt = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val dropped = dw.as("x").join(dw.as("y"),
-        col("x.w") === col("y.w") && col("x.source") === col("y.source") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(cnt.withColumnRenamed("doc_id", "d1").withColumnRenamed("nw", "nw1"), "d1")
-      .join(cnt.withColumnRenamed("doc_id", "d2").withColumnRenamed("nw", "nw2"), "d2")
-      .filter(col("n_common").cast("double") /
-              (col("nw1") + col("nw2") - col("n_common")) >= 0.9)
+    // blocked by source) — drop the LATER doc of each pair. Pair scoring
+    // delegates to Dedup.jaccardPairs (adaptive bitmask/postings strategy)
+    val dropped = Dedup.jaccardPairs(
+        exact.select(col("doc_id"), col("source"),
+          array_distinct(split(lower(col("text")), " ")).as("toks")),
+        0.9)
       .select(col("d2").as("doc_id")).distinct()
     val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
     kept.groupBy(col("source"))
