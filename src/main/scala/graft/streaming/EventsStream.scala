@@ -67,6 +67,21 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` (which also sets a NEW
+    * streaming query's state-store partition count) temporarily lowered.
+    * State here is tiny — event types × ~2 h of windows / open sessions —
+    * so 32 state stores would be almost pure per-partition setup+commit
+    * overhead per micro-batch. 8 keeps parallelism ≥ state cardinality at
+    * bench scale; a 100 TB deployment sizes this to its key space (the
+    * count is baked into the checkpoint at first start, so it is a
+    * per-pipeline launch decision, not a hot-tune). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   private def scratch(name: String): String = {
     val dir = s"/root/repo/target/scratch/stream_$name"
     def rm(f: java.io.File): Unit = {
@@ -82,6 +97,7 @@ object EventsStream {
     * deterministic and equals the batch `groupBy(date_trunc)` — which is
     * exactly the oracle SQL used to check it. */
   def hourlyAgg(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
     val q = readEvents(s, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -100,6 +116,7 @@ object EventsStream {
     q.awaitTermination()
     s.table("graft_stream_hourly")
       .orderBy(col("hour_start"), col("event_type"))
+    }
   }
 
   /** ST5 — watermarked streaming dedup on the natural key (the principled
@@ -107,6 +124,7 @@ object EventsStream {
     * dropped exactly-once; output re-aggregated batch-side for a
     * deterministic, oracle-comparable result. */
   def dedupCounts(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
     val q = readEvents(s, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
@@ -123,6 +141,7 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
+    }
   }
 
   /** ST3 — session windows: 30-min-gap sessionization per user via the
@@ -131,6 +150,7 @@ object EventsStream {
     * drains everything, so the result equals batch gap-sessionization —
     * which is exactly the oracle SQL. */
   def sessionStats(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
     val q = readEvents(s, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -150,6 +170,7 @@ object EventsStream {
            max(col("n")).as("max_session_events"),
            sum(col("n")).as("total_events"))
       .orderBy(col("user_id"))
+    }
   }
 
   /** Arbitrary stateful processing (SURVEY §2.10 ST3 custom-state path):
