@@ -56,6 +56,38 @@ class DedupSpec extends SparkSpec {
     pairs(2) shouldBe 1.0
   }
 
+  test("jaccardPairs: bitmask path (vocab<=64) and postings path (vocab>64) " +
+       "both match brute-force jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // deterministic corpus generator: doc i draws tokens i..i+9 from a
+    // cyclic vocabulary, so adjacent docs overlap 90% and distant ones 0%
+    def corpus(vocabSize: Int): DataFrame =
+      (0 until 40).map { i =>
+        val toksSeq = (0 until 10).map(j => s"w${(i + j) % vocabSize}")
+        (i.toLong, if (i % 2 == 0) "s0" else "s1", toksSeq)
+      }.toDF("doc_id", "source", "toks")
+    // brute force: every same-block pair, exact set jaccard
+    val sz = org.apache.spark.sql.functions.size _
+    def brute(df: DataFrame, t: Double) =
+      df.as("x").join(df.as("y"),
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          sz(array_intersect(col("x.toks"), col("y.toks"))).cast("long").as("n_common"),
+          (sz(array_intersect(col("x.toks"), col("y.toks"))).cast("double") /
+           sz(array_union(col("x.toks"), col("y.toks")))).as("jaccard"))
+        .filter(col("jaccard") >= t)
+    def key(df: DataFrame) = df.select("d1", "d2", "n_common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (vocab <- Seq(30, 64, 65, 120)) { // spans the dispatch boundary
+      val c = corpus(vocab)
+      val got = key(Dedup.jaccardPairs(c, 0.5))
+      val want = key(brute(c, 0.5))
+      withClue(s"vocab=$vocab: ") { got shouldBe want }
+      want.nonEmpty shouldBe true
+    }
+  }
+
   test("hash60 equals the md5-prefix reference value (cross-engine contract)") {
     import spark.implicits._
     // int(hashlib.md5(b'hello').hexdigest()[:15], 16) — the value the
