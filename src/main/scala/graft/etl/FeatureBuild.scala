@@ -112,15 +112,19 @@ object FeatureBuild {
     // ml_feature_engineering.sql:370-383). The reference windows by
     // trip_id alone across all days (events from different days tie) and
     // its UPDATE..FROM on (trip_id, stop_sequence) picks an arbitrary
-    // match when several events share the key. Here the window partitions
-    // by (trip_id, service date) with a total ordering, and the event
-    // timestamp rides along so the join-back key is the event identity
-    // (trip_id, stop_id, actual_arrival) — one feature row per event,
-    // deterministic, never row-multiplying.
+    // match when several events share the key. Here the chain is built
+    // over ONE row per event identity (trip_id, stop_id, actual_arrival)
+    // — duplicate reports collapse via min(delay) first, so the window
+    // ordering is total and the join-back is many-to-one: deterministic,
+    // never row-multiplying, even on duplicate-bearing feeds. The window
+    // partitions by (trip_id, service date) so a day's first stop never
+    // inherits the previous day's tail.
     val wPrev = Window
       .partitionBy(col("trip_id"), to_date(col("actual_arrival")))
       .orderBy(col("stop_sequence"), col("actual_arrival"), col("stop_id"))
     val prevStop = de
+      .groupBy(col("trip_id"), col("stop_id"), col("actual_arrival"))
+      .agg(min(col("delay_minutes")).as("delay_minutes"))
       .join(stopSeq, Seq("trip_id", "stop_id"))
       .withColumn("prev_stop_delay",
         avg(col("delay_minutes")).over(wPrev.rowsBetween(-1, -1)))

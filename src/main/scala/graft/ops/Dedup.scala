@@ -182,7 +182,18 @@ object Dedup {
 
   /** Scored candidate pairs (d1 < d2, same `source` block) with exact
     * distinct-token overlap: `(d1, d2, n_common, jaccard)`, filtered to
-    * `jaccard >= threshold`.
+    * `jaccard >= threshold`. `toks` is deduplicated defensively here, so
+    * callers may pass raw token arrays; both strategies then agree even
+    * on duplicate-bearing input.
+    *
+    * `vocabProbe`, when given, is the frame the vocabulary probe runs
+    * against INSTEAD of `docsTok` — pass a cheap superset (e.g. the raw
+    * table scan) when `docsTok` has an expensive lineage (the probe is an
+    * eager stats job, adaptive-planning style, and would otherwise
+    * re-execute that lineage; with a raw-scan probe it costs one columnar
+    * pass). Soundness: any superset of `docsTok`'s tokens is a valid
+    * probe — if the superset fits 64 bits, so does the real vocabulary,
+    * and the mask join only ever looks up tokens present in `docsTok`.
     *
     * Physical strategy is chosen from the data (A/B-measured at sf0.1,
     * bit-identical outputs):
@@ -199,9 +210,12 @@ object Dedup {
     *    join measured no better (this corpus' doc lengths are too
     *    uniform for it to prune).
     */
-  def jaccardPairs(docsTok: org.apache.spark.sql.DataFrame, threshold: Double)
+  def jaccardPairs(docsTokRaw: org.apache.spark.sql.DataFrame, threshold: Double,
+                   vocabProbe: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val scored = vocab64(docsTok) match {
+    val docsTok = docsTokRaw.select(col("doc_id"), col("source"),
+      array_distinct(col("toks")).as("toks"))
+    val scored = vocab64(vocabProbe.getOrElse(docsTok)) match {
       case Some(vocab) =>
         val s = docsTok.sparkSession
         import s.implicits._

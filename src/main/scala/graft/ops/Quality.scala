@@ -52,11 +52,16 @@ object Quality {
            min_by(col("source"), col("doc_id")).as("source"))
     // stage 2: near-dup candidates among survivors (unigram jaccard >= 0.9,
     // blocked by source) — drop the LATER doc of each pair. Pair scoring
-    // delegates to Dedup.jaccardPairs (adaptive bitmask/postings strategy)
+    // delegates to Dedup.jaccardPairs (adaptive bitmask/postings
+    // strategy); the vocabulary probe runs on the RAW table scan — a
+    // superset of the survivors' vocabulary with a cheap lineage — so the
+    // exact-dedup shuffle is not re-executed for the probe jobs
     val dropped = Dedup.jaccardPairs(
         exact.select(col("doc_id"), col("source"),
           array_distinct(split(lower(col("text")), " ")).as("toks")),
-        0.9)
+        0.9,
+        vocabProbe = Some(docs.select(
+          split(lower(col("text")), " ").as("toks"))))
       .select(col("d2").as("doc_id")).distinct()
     val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
     kept.groupBy(col("source"))

@@ -61,9 +61,12 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
     // deterministic corpus generator: doc i draws tokens i..i+9 from a
-    // cyclic vocabulary, so adjacent docs overlap 90% and distant ones 0%
+    // cyclic vocabulary, so adjacent docs overlap 90% and distant ones 0%.
+    // 140 docs ⇒ every vocabSize <= 140 is fully realized, so the
+    // vocab > 64 iterations genuinely exceed the mask and take the
+    // postings path (asserted below)
     def corpus(vocabSize: Int): DataFrame =
-      (0 until 40).map { i =>
+      (0 until 140).map { i =>
         val toksSeq = (0 until 10).map(j => s"w${(i + j) % vocabSize}")
         (i.toLong, if (i % 2 == 0) "s0" else "s1", toksSeq)
       }.toDF("doc_id", "source", "toks")
@@ -81,6 +84,9 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     for (vocab <- Seq(30, 64, 65, 120)) { // spans the dispatch boundary
       val c = corpus(vocab)
+      // the generator must actually realize the intended vocabulary —
+      // a smaller corpus would silently test the bitmask path four times
+      c.select(explode(col("toks"))).distinct().count() shouldBe vocab.toLong
       val got = key(Dedup.jaccardPairs(c, 0.5))
       val want = key(brute(c, 0.5))
       withClue(s"vocab=$vocab: ") { got shouldBe want }

@@ -73,6 +73,9 @@ class FeatureBuildSpec extends SparkSpec {
     // case that a (trip_id, stop_id)-only join-back would fan out n×n
     val multi = Seq(
       ("T1", "S1", "2024-01-08 08:02:00", 2, "clear", false),
+      // exact-duplicate event identity with a conflicting delay report:
+      // must not multiply feature rows; the chain uses min(delay)
+      ("T1", "S1", "2024-01-08 08:02:00", 8, "clear", false),
       ("T1", "S2", "2024-01-08 08:20:00", 6, "clear", false),
       ("T1", "S1", "2024-01-09 08:04:00", 4, "rainy", false),
       ("T1", "S2", "2024-01-09 08:25:00", 9, "rainy", false),
@@ -83,10 +86,10 @@ class FeatureBuildSpec extends SparkSpec {
       .drop("arrival_str")
     val f = FeatureBuild.features(op, wh.dimStop, multi, emptyWeather,
       java.sql.Date.valueOf("2024-01-14"))
-    f.count() shouldBe 5 // one row per event, no fan-out
+    f.count() shouldBe 6 // one row per input event row, no fan-out
     def at(stop: String, dom: Int) =
       f.filter(col("stop_id") === stop && col("day_of_month") === dom).first()
-    at("S2", 8).getAs[Double]("prev_stop_delay") shouldBe 2.0 // Jan-8 chain
+    at("S2", 8).getAs[Double]("prev_stop_delay") shouldBe 2.0 // min of 2,8
     at("S2", 9).getAs[Double]("prev_stop_delay") shouldBe 4.0 // Jan-9 chain
     at("S3", 9).getAs[Double]("prev_stop_delay") shouldBe 9.0
     // first stop of a day never inherits the previous day's tail
