@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.FloatVecDot
+import graft.expressions.{FloatVecDot, MaskAndCount}
 
 /** `SparkSessionExtensions` injection point — the deployment-grade way to
   * ship this library's custom expressions to a cluster:
@@ -18,11 +18,15 @@ import graft.expressions.FloatVecDot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // FloatVecDot.builder validates arity with a clean WRONG_NUM_ARGS
-    // analysis error instead of children.head/children(1) crashing
+    // the builders validate arity with a clean WRONG_NUM_ARGS analysis
+    // error instead of children.head/children(1) crashing
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       FloatVecDot.builder _))
+    ext.injectFunction((
+      FunctionIdentifier("mask_and_count"),
+      new ExpressionInfo(classOf[MaskAndCount].getName, "mask_and_count"),
+      MaskAndCount.builder _))
   }
 }

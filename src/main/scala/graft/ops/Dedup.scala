@@ -162,21 +162,23 @@ object Dedup {
 
   // ---- exact pairwise Jaccard (adaptive physical strategy) ---------------
 
-  /** Dense-vocab probe: Some(sorted vocab) iff the corpus' distinct-token
-    * count fits a 64-bit mask. A 256-doc sample rejects large vocabularies
+  /** Small-vocab probe: Some(sorted vocab) iff the corpus' distinct-token
+    * count is ≤ `maxVocab`. A 256-doc sample rejects large vocabularies
     * with one tiny job; only small-vocab corpora pay the confirming full
-    * distinct (whose shuffle is ≤ 65 tokens × partitions thanks to
-    * map-side partial aggregation + the limit short-circuit). In a
+    * distinct (whose shuffle is ≤ maxVocab+1 tokens × partitions thanks
+    * to map-side partial aggregation + the limit short-circuit). In a
     * production catalog this probe would be a table statistic. */
-  private def vocab64(docsTok: org.apache.spark.sql.DataFrame)
+  private def vocabUpTo(docsTok: org.apache.spark.sql.DataFrame, maxVocab: Int)
       : Option[Array[String]] = {
+    if (maxVocab <= 0) return None
     val sampleOver = docsTok.limit(256)
-      .select(explode(col("toks")).as("w")).distinct().limit(65).count() > 64
+      .select(explode(col("toks")).as("w")).distinct()
+      .limit(maxVocab + 1).count() > maxVocab
     if (sampleOver) None
     else {
-      val v = docsTok.select(explode(col("toks")).as("w")).distinct().limit(65)
-        .collect().map(_.getString(0))
-      if (v.length > 64) None else Some(v.sorted)
+      val v = docsTok.select(explode(col("toks")).as("w")).distinct()
+        .limit(maxVocab + 1).collect().map(_.getString(0))
+      if (v.length > maxVocab) None else Some(v.sorted)
     }
   }
 
@@ -201,22 +203,31 @@ object Dedup {
     *    compact (doc_id, nw, mask) rows, `bit_count(x & y)` per pair:
     *    ~1.0 s vs the postings join's ~4.6 s on this corpus (no explode,
     *    no pair-grained hash aggregate). Exact, not approximate.
+    *  - vocabulary ≤ `maskMaxVocab` (when raised past 64) → the same idea
+    *    over `array<long>` masks (⌈vocab/64⌉ words), intersected per pair
+    *    by the codegen'd [[graft.expressions.MaskAndCount]] kernel — the
+    *    fixed-width cousin of a roaring bitmap. OPT-IN: the mask block
+    *    join costs O(block-pairs × words) while postings cost
+    *    O(Σ|posting|²), so multi-word masks only pay off when blocks are
+    *    pair-DENSE — A/B on a sparse 20k-doc vocab-1000 corpus measured
+    *    postings 4× FASTER (~0.9 s vs ~4.0 s), which is why the default
+    *    dispatch stops at one word.
     *  - otherwise → explode→equi-join on token (posting lists): shuffle
     *    volume is the posting list, pairs sharing no token never meet —
-    *    the general/100 TB shape (real vocabularies don't fit a mask; a
-    *    roaring-bitmap variant would generalize the fast path). An
+    *    the general/100 TB shape (real vocabularies fit no mask). An
     *    `array_intersect` pair-join was also measured (2-3× slower:
     *    per-pair set work dominates) and a Jaccard length filter in the
     *    join measured no better (this corpus' doc lengths are too
     *    uniform for it to prune).
     */
   def jaccardPairs(docsTokRaw: org.apache.spark.sql.DataFrame, threshold: Double,
-                   vocabProbe: Option[org.apache.spark.sql.DataFrame] = None)
+                   vocabProbe: Option[org.apache.spark.sql.DataFrame] = None,
+                   maskMaxVocab: Int = 64)
       : org.apache.spark.sql.DataFrame = {
     val docsTok = docsTokRaw.select(col("doc_id"), col("source"),
       array_distinct(col("toks")).as("toks"))
-    val scored = vocab64(vocabProbe.getOrElse(docsTok)) match {
-      case Some(vocab) =>
+    val scored = vocabUpTo(vocabProbe.getOrElse(docsTok), maskMaxVocab) match {
+      case Some(vocab) if vocab.length <= 64 =>
         val s = docsTok.sparkSession
         import s.implicits._
         val vocabDf = vocab.zipWithIndex.toSeq.toDF("w", "wid")
@@ -232,6 +243,35 @@ object Dedup {
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
             bit_count(col("x.mask").bitwiseAND(col("y.mask")))
               .cast("long").as("n_common"),
+            col("x.nw").as("nw1"), col("y.nw").as("nw2"))
+      case Some(vocab) =>
+        val s = docsTok.sparkSession
+        import s.implicits._
+        graft.expressions.MaskAndCount.register(s)
+        val nSlots = (vocab.length + 63) / 64
+        val vocabDf = vocab.zipWithIndex.toSeq.toDF("w", "wid")
+        // two-level assembly: per-(doc, word-slot) bit_or, then the slot
+        // longs gathered into a dense ⌈vocab/64⌉-word array (absent slots
+        // hold no bits → 0)
+        val slotted = docsTok
+          .select(col("doc_id"), col("source"), size(col("toks")).as("nw"),
+                  explode(col("toks")).as("w"))
+          .join(broadcast(vocabDf), "w")
+          .groupBy(col("doc_id"), col("source"), col("nw"),
+                   expr("wid div 64").cast("int").as("slot"))
+          .agg(bit_or(expr("shiftleft(cast(1 as bigint), wid % 64)")).as("m"))
+        val masked = slotted
+          .groupBy(col("doc_id"), col("source"), col("nw"))
+          .agg(map_from_entries(collect_list(struct(col("slot"), col("m"))))
+            .as("mm"))
+          .select(col("doc_id"), col("source"), col("nw"),
+            transform(sequence(lit(0), lit(nSlots - 1)),
+              i => coalesce(element_at(col("mm"), i), lit(0L))).as("mask"))
+        masked.as("x").join(masked.as("y"),
+            col("x.source") === col("y.source") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            expr("mask_and_count(x.mask, y.mask)").as("n_common"),
             col("x.nw").as("nw1"), col("y.nw").as("nw2"))
       case None =>
         val dw = docsTok.select(col("doc_id"), col("source"),

@@ -29,6 +29,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
         .selectExpr("vec_dot(a, b)").first().getDouble(0)
       r shouldBe 11.0
+      val m = Seq((Array(0x3L), Array(0x1L))).toDF("ma", "mb")
+        .selectExpr("mask_and_count(ma, mb)").first().getLong(0)
+      m shouldBe 1L
       // wrong arity fails with the standard WRONG_NUM_ARGS analysis error
       // naming the function, not a NoSuchElementException from the builder
       val e = intercept[org.apache.spark.sql.AnalysisException] {

@@ -33,6 +33,31 @@ class SimilaritySpec extends SparkSpec {
     diffs shouldBe 0L
   }
 
+  test("MaskAndCount equals the interpreted HOF popcount and validates arity") {
+    import spark.implicits._
+    graft.expressions.MaskAndCount.register(spark)
+    val df = Seq(
+      (Array(0xF0F0L, 0x1L), Array(0x0FF0L, 0x3L)), // overlap: 4 + 1 bits
+      (Array(0L, 0L), Array(-1L, -1L)),             // empty ∩ full = 0
+      (Array(-1L), Array(-1L, 0xFFL)))              // length mismatch: common prefix
+      .toDF("a", "b")
+    val got = df.selectExpr("mask_and_count(a, b)")
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe Seq(5L, 0L, 64L)
+    // equal-length rows must match the interpreted HOF form exactly
+    // (zip_with pads mismatched lengths with null, so only those rows are
+    // comparable; MaskAndCount defines the mismatch case as common-prefix)
+    val sz = org.apache.spark.sql.functions.size _
+    val hof = df.filter(sz(col("a")) === sz(col("b"))).selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> bit_count(x & y)), 0L, (s, v) -> s + v)")
+      .collect().map(_.getLong(0)).toSeq
+    hof shouldBe Seq(5L, 0L)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("mask_and_count(a)")
+    }
+    e.getMessage should include("mask_and_count")
+  }
+
   test("lshSig buckets identical vectors together and is deterministic") {
     import spark.implicits._
     graft.expressions.FloatVecDot.register(spark)
