@@ -23,10 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      FloatVecDot.builder _))
+      FloatVecDot.builder))
     ext.injectFunction((
       FunctionIdentifier("mask_and_count"),
       new ExpressionInfo(classOf[MaskAndCount].getName, "mask_and_count"),
-      MaskAndCount.builder _))
+      MaskAndCount.builder))
   }
 }

@@ -85,23 +85,12 @@ object FloatVecDot {
     * validates arity at plan-build time so `vec_dot(x)` fails with the
     * standard WRONG_NUM_ARGS analysis error naming the signature, not a
     * `NoSuchElementException` out of `children.head`/`children(1)`. */
-  def builder(children: Seq[Expression]): Expression = {
-    if (children.length != 2)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`vec_dot`",
-          "expectedNum" -> "2",
-          "actualNum" -> children.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    FloatVecDot(children.head, children(1))
-  }
+  val builder: Seq[Expression] => Expression =
+    Registration.arityTwoBuilder("vec_dot", FloatVecDot(_, _))
 
   /** Registers `vec_dot(a, b)` in the session's function registry so it is
     * usable from `expr(...)`/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      builder _)
+    Registration.register(spark, "vec_dot",
+      classOf[FloatVecDot].getName, builder)
 }

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   * semantically identical but runs interpreted per pair; this expression
   * emits a tight Java loop inside whole-stage codegen.
   *
-  * Mismatched lengths intersect over the common prefix (missing high
-  * words hold no bits).
+  * Total-function edge semantics (pinned by SimilaritySpec): mismatched
+  * lengths intersect over the common prefix, and a NULL array element
+  * counts as an empty word (0 bits) — both differ from the HOF form,
+  * which null-pads `zip_with` and propagates NULL through the sum. A
+  * mask kernel should treat "no entry" as "no bits", not poison the
+  * count.
   */
 case class MaskAndCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -80,23 +84,12 @@ object MaskAndCount {
 
   /** Registry builder (shared by [[register]] and `GraftExtensions`):
     * validates arity with the standard WRONG_NUM_ARGS analysis error. */
-  def builder(children: Seq[Expression]): Expression = {
-    if (children.length != 2)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`mask_and_count`",
-          "expectedNum" -> "2",
-          "actualNum" -> children.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    MaskAndCount(children.head, children(1))
-  }
+  val builder: Seq[Expression] => Expression =
+    Registration.arityTwoBuilder("mask_and_count", MaskAndCount(_, _))
 
   /** Registers `mask_and_count(a, b)` in the session's function registry.
     * Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("mask_and_count"),
-      new ExpressionInfo(classOf[MaskAndCount].getName, "mask_and_count"),
-      builder _)
+    Registration.register(spark, "mask_and_count",
+      classOf[MaskAndCount].getName, builder)
 }

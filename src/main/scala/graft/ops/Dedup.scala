@@ -171,13 +171,14 @@ object Dedup {
   private def vocabUpTo(docsTok: org.apache.spark.sql.DataFrame, maxVocab: Int)
       : Option[Array[String]] = {
     if (maxVocab <= 0) return None
+    val lim = if (maxVocab == Int.MaxValue) maxVocab else maxVocab + 1
     val sampleOver = docsTok.limit(256)
       .select(explode(col("toks")).as("w")).distinct()
-      .limit(maxVocab + 1).count() > maxVocab
+      .limit(lim).count() > maxVocab
     if (sampleOver) None
     else {
       val v = docsTok.select(explode(col("toks")).as("w")).distinct()
-        .limit(maxVocab + 1).collect().map(_.getString(0))
+        .limit(lim).collect().map(_.getString(0))
       if (v.length > maxVocab) None else Some(v.sorted)
     }
   }
@@ -250,23 +251,24 @@ object Dedup {
         graft.expressions.MaskAndCount.register(s)
         val nSlots = (vocab.length + 63) / 64
         val vocabDf = vocab.zipWithIndex.toSeq.toDF("w", "wid")
-        // two-level assembly: per-(doc, word-slot) bit_or, then the slot
-        // longs gathered into a dense ⌈vocab/64⌉-word array (absent slots
-        // hold no bits → 0)
-        val slotted = docsTok
+        // one-shuffle assembly: nSlots is known at plan time, so each
+        // word-slot is its own conditional bit_or aggregate and the dense
+        // ⌈vocab/64⌉-word array is a post-aggregation projection (absent
+        // slots hold no bits → 0)
+        val slotAggs = (0 until nSlots).map { sl =>
+          coalesce(
+            bit_or(when(expr("wid div 64") === sl,
+              expr("shiftleft(cast(1 as bigint), wid % 64)"))),
+            lit(0L)).as(s"_s$sl")
+        }
+        val masked = docsTok
           .select(col("doc_id"), col("source"), size(col("toks")).as("nw"),
                   explode(col("toks")).as("w"))
           .join(broadcast(vocabDf), "w")
-          .groupBy(col("doc_id"), col("source"), col("nw"),
-                   expr("wid div 64").cast("int").as("slot"))
-          .agg(bit_or(expr("shiftleft(cast(1 as bigint), wid % 64)")).as("m"))
-        val masked = slotted
           .groupBy(col("doc_id"), col("source"), col("nw"))
-          .agg(map_from_entries(collect_list(struct(col("slot"), col("m"))))
-            .as("mm"))
+          .agg(slotAggs.head, slotAggs.tail: _*)
           .select(col("doc_id"), col("source"), col("nw"),
-            transform(sequence(lit(0), lit(nSlots - 1)),
-              i => coalesce(element_at(col("mm"), i), lit(0L))).as("mask"))
+            array((0 until nSlots).map(sl => col(s"_s$sl")): _*).as("mask"))
         masked.as("x").join(masked.as("y"),
             col("x.source") === col("y.source") &&
             col("x.doc_id") < col("y.doc_id"))

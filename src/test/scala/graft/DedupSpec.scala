@@ -82,19 +82,18 @@ class DedupSpec extends SparkSpec {
         .filter(col("jaccard") >= t)
     def key(df: DataFrame) = df.select("d1", "d2", "n_common").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // maskMaxVocab=4096 dispatches 30/64 → single-long mask and 65/120 →
-    // multi-word mask (MaskAndCount kernel); maskMaxVocab=0 forces the
-    // postings path so the general strategy is exercised on the same
-    // corpora (the library default, 64, sends 65/120 to postings too)
-    for (vocab <- Seq(30, 64, 65, 120); forcePostings <- Seq(false, true)) {
+    // the maskMaxVocab axis covers every dispatch route: 0 = postings
+    // with no probe; 64 = the library default (30/64 → single-long mask;
+    // 65/120 → probe sample-REJECTS → postings); 4096 = single-long for
+    // 30/64 and multi-word MaskAndCount for 65/120
+    for (vocab <- Seq(30, 64, 65, 120); maxV <- Seq(0, 64, 4096)) {
       val c = corpus(vocab)
       // the generator must actually realize the intended vocabulary —
       // a smaller corpus would silently test the mask paths only
       c.select(explode(col("toks"))).distinct().count() shouldBe vocab.toLong
-      val got = key(Dedup.jaccardPairs(c, 0.5,
-        maskMaxVocab = if (forcePostings) 0 else 4096))
+      val got = key(Dedup.jaccardPairs(c, 0.5, maskMaxVocab = maxV))
       val want = key(brute(c, 0.5))
-      withClue(s"vocab=$vocab forcePostings=$forcePostings: ") { got shouldBe want }
+      withClue(s"vocab=$vocab maskMaxVocab=$maxV: ") { got shouldBe want }
       want.nonEmpty shouldBe true
     }
   }

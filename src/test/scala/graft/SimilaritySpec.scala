@@ -56,6 +56,11 @@ class SimilaritySpec extends SparkSpec {
       df.selectExpr("mask_and_count(a)")
     }
     e.getMessage should include("mask_and_count")
+    // pinned edge semantics: a NULL array element is an empty word
+    // (0 bits), not a NULL-poisoned count like the HOF form
+    Seq(1).toDF("i")
+      .selectExpr("mask_and_count(array(1L, CAST(NULL AS BIGINT)), array(3L, 3L))")
+      .first().getLong(0) shouldBe 1L
   }
 
   test("lshSig buckets identical vectors together and is deterministic") {
