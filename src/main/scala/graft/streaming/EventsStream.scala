@@ -149,8 +149,9 @@ object EventsStream {
     * overlap; the watermark closes them). Complete mode + AvailableNow
     * drains everything, so the result equals batch gap-sessionization —
     * which is exactly the oracle SQL. */
-  def sessionStats(s: SparkSession, sfDir: String): DataFrame = {
-    withStatePartitions(s, 8) {
+  def sessionStats(s: SparkSession, sfDir: String,
+                   statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(s, statePartitions) {
     val q = readEvents(s, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
