@@ -12,7 +12,10 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "stream_hourly_agg" -> ((s, d) => EventsStream.hourlyAgg(s, d)),
     "stream_dedup_counts" -> ((s, d) => EventsStream.dedupCounts(s, d)),
-    "stream_sessionize" -> ((s, d) => EventsStream.sessionStats(s, d)))
+    "stream_sessionize" -> ((s, d) => EventsStream.sessionStats(s, d)),
+    "stream_running_max" -> ((s, d) => EventsStream.runningMaxQuery(s, d)),
+    "stream_incremental_daily" ->
+      ((s, d) => EventsStream.incrementalDailyQuery(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly_agg" ->
@@ -25,6 +28,15 @@ object Streaming {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM (SELECT DISTINCT ON (event_id, ts) * FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // arbitrary stateful processing drained to completion == batch max
+    "stream_running_max" ->
+      """SELECT event_type, max(value) AS running_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exactly-once incremental day-partitioned append == batch daily counts
+    "stream_incremental_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // gap-method sessionization: new session iff gap >= 30 min (matches
     // session_window's half-open [start, last+gap) semantics)
     "stream_sessionize" ->

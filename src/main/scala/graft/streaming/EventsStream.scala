@@ -39,15 +39,15 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file-stream source requires a directory; the testdata table is a
-    // single parquet file → expose it through a scratch dir of symlinks
-    // (this is also the natural 100 TB layout: a directory that new files
-    // land in, each micro-batch picking up the unseen ones). The scratch
-    // dir is keyed on a hash of the FULL source path — a basename key
-    // would silently reuse a stale link when two different roots share a
-    // directory name — and an existing link pointing elsewhere is replaced.
+  /** Scratch directory exposing `sfDir/events.parquet` through a symlink:
+    * the file-stream source requires a directory; the testdata table is a
+    * single parquet file (this is also the natural 100 TB layout: a
+    * directory that new files land in, each micro-batch picking up the
+    * unseen ones). The dir is keyed on a hash of the FULL source path — a
+    * basename key would silently reuse a stale link when two different
+    * roots share a directory name — and an existing link pointing
+    * elsewhere is replaced. */
+  private[graft] def eventsSourceDir(sfDir: String): String = {
     val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
@@ -59,9 +59,14 @@ object EventsStream {
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, target)
+    dir.toString
+  }
+
+  private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema(eventsRawSchema)
-      .parquet(dir.toString)
+      .parquet(eventsSourceDir(sfDir))
       // TZ (not NTZ) timestamp: watermarks require TimestampType; session
       // TZ is UTC so instants match. Outputs cast to NTZ at the edge.
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -211,6 +216,35 @@ object EventsStream {
       .start()
     q.awaitTermination()
     s.table(outName)
+  }
+
+  /** [[runningMaxPerType]] as an oracle-checked entry: drain the events
+    * source through the flatMapGroupsWithState query and reduce the
+    * per-batch emissions to the final per-type running maximum — which
+    * equals the batch `max(value)` per event_type, the oracle SQL. */
+  def runningMaxQuery(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withStatePartitions(s, 8) {
+      val out = runningMaxPerType(s, eventsSourceDir(sfDir),
+        scratch("runmax_ckpt"), "graft_stream_runmax")
+      out.groupBy(col("event_type"))
+        .agg(max(col("running_max")).as("running_max"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  /** [[incrementalDaily]] as an oracle-checked entry. The sink+checkpoint
+    * pair is keyed by (source path, file mtime), so regenerated testdata
+    * gets a fresh pipeline instead of a stale high-water mark, while
+    * re-running over unchanged data is the exactly-once no-op append the
+    * checkpoint guarantees (the second Bench iteration exercises exactly
+    * that). */
+  def incrementalDailyQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet")).toMillis
+    val key = java.lang.Integer.toHexString((sfDir + ":" + mtime).hashCode)
+    val base = s"/root/repo/target/scratch/stream_inc_$key"
+    incrementalDaily(s, sfDir, s"$base/ckpt", s"$base/out")
   }
 
   /** ST1 — high-water-mark incremental append: the checkpoint IS the water
