@@ -54,12 +54,32 @@ object Extras {
         reverse(col("c_mktsegment")).as("seg_rev"))
       .orderBy(col("c_custkey"))
 
+  /** PIVOT (cross-tab): quantity by return flag × line status with pinned
+    * pivot values (no extra distinct-values job; also what keeps the
+    * output schema static for the oracle). Decimal sums cast double per
+    * the exactness discipline. */
+  val aggPivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
     "win_first_last" -> winFirstLast,
     "set_intersect_except" -> setIntersectExcept,
+    "agg_pivot" -> aggPivot,
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    // the portable spelling of PIVOT: conditional aggregation
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  first_value(o_totalprice) OVER w AS first_price,
