@@ -70,6 +70,19 @@ object Advanced {
       .orderBy(col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
 
+  /** CUBE with grouping_id: all four grouping combinations in one pass
+    * (rollup's sibling; gid disambiguates subtotal rows from genuine
+    * NULLs, the classic cube-consumer trap). */
+  val aggCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+              col("n_rows"), col("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first, col("gid"))
+
   /** T3 — seeded Bernoulli sample (deterministic per seed; no SQL oracle —
     * Spark's and DuckDB's PRNGs differ — so it is rows-only checked here
     * and property-tested for seed-stability in AdvancedSpec). */
@@ -114,6 +127,7 @@ object Advanced {
   val queries: Map[String, Q] = Map(
     "ext_vec_centroid" -> extVecCentroid,
     "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
     "agg_salted" -> aggSalted,
     "agg_approx" -> aggApprox,
     "sample_seeded" -> sampleSeeded)
@@ -136,5 +150,12 @@ object Advanced {
          |  CAST(count(*) AS BIGINT) AS n_rows,
          |  ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid""".stripMargin)
 }
