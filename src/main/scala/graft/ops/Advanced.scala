@@ -78,8 +78,6 @@ object Advanced {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().cast("int").as("gid"),
            count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
-      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
-              col("n_rows"), col("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first, col("gid"))
 
