@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{FloatVecDot, MaskAndCount}
+import graft.expressions.{FloatVecDot, MaskAndCount, SortedIntersectCount}
 
 /** `SparkSessionExtensions` injection point — the deployment-grade way to
   * ship this library's custom expressions to a cluster:
@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mask_and_count"),
       new ExpressionInfo(classOf[MaskAndCount].getName, "mask_and_count"),
       MaskAndCount.builder))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      SortedIntersectCount.builder))
   }
 }

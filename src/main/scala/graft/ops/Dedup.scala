@@ -36,15 +36,23 @@ object Dedup {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  /** Word 3-gram shingles (falls back to the whole text when < 3 tokens). */
-  def shingles3(text: Column): Column = {
-    val t = toks(text)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-                  element_at(t, i + 3)))))
-      .otherwise(array(lower(text)))
-  }
+  /** Word 3-gram shingles (falls back to the whole text when < 3 tokens).
+    *
+    * The token array is bound ONCE as a lambda variable (the
+    * `transform(array(split(...)), t -> …)` wrapper): naming the split
+    * with a plain `val t = split(...)` inlines the split expression into
+    * every `element_at` reference — ~3 regex splits of the full text per
+    * trigram — which profiled at ~1 ms/doc, 5-6 s over the sf0.1 corpus,
+    * before this shape. */
+  def shingles3(text: Column): Column =
+    element_at(
+      transform(array(toks(text)), t =>
+        when(size(t) >= 3,
+          array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+                      element_at(t, i + 3)))))
+          .otherwise(array(lower(text)))),
+      1)
 
   /** Cross-engine 60-bit hash: the first 15 hex chars of md5, parsed
     * base-16. Chosen over xxhash64 because any engine with md5 + string
@@ -289,11 +297,46 @@ object Dedup {
           .join(cnt.withColumnRenamed("doc_id", "d2")
                    .withColumnRenamed("nw", "nw2"), "d2")
     }
+    score(scored, threshold)
+  }
+
+  /** Shared final scoring: `(d1, d2, n_common, nw1, nw2)` →
+    * `(d1, d2, n_common, jaccard >= threshold)`. */
+  private def score(scored: org.apache.spark.sql.DataFrame, threshold: Double)
+      : org.apache.spark.sql.DataFrame =
     scored
       .select(col("d1"), col("d2"), col("n_common"),
               (col("n_common").cast("double") /
                (col("nw1") + col("nw2") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Exact pairwise Jaccard via the sorted-array merge kernel
+    * ([[graft.expressions.SortedIntersectCount]]): per-doc sorted
+    * distinct tokens are a pure expression (no extra shuffle), then each
+    * block pair costs O(|a|+|b|) binary comparisons in codegen. The
+    * shape for token spaces no mask fits AND blocks dense in qualifying
+    * pairs (postings pay Σ|posting|² there) — with one more
+    * precondition, measured the hard way (PLANS.md): the input lineage
+    * should be cheap or cached, because the self-join computes it twice.
+    * On this corpus's SPARSE trigram pairs the postings join won (~2 s
+    * vs ~12.5 s), so the shipped trigram query takes [[jaccardPairs]]'
+    * auto-dispatch; this method is the documented alternative for
+    * pair-dense blocks. */
+  def jaccardPairsKernel(docsTokRaw: org.apache.spark.sql.DataFrame,
+                         threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    graft.expressions.SortedIntersectCount.register(docsTokRaw.sparkSession)
+    val docsTok = docsTokRaw.select(col("doc_id"), col("source"),
+      sort_array(array_distinct(col("toks"))).as("stoks"))
+      .withColumn("nw", size(col("stoks")))
+    score(
+      docsTok.as("x").join(docsTok.as("y"),
+          col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          expr("sorted_intersect_count(x.stoks, y.stoks)").as("n_common"),
+          col("x.nw").as("nw1"), col("y.nw").as("nw2")),
+      threshold)
   }
 
   /** E3 — n-gram (n=1 here, so the oracle is SQL-expressible; the n=3
@@ -305,6 +348,19 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"), col("source"),
         array_distinct(toks(col("text"))).as("toks")),
       0.6)
+      .orderBy(col("d1"), col("d2"))
+
+  /** E3 at n=3 — word-trigram Jaccard over the same adaptive pair
+    * machinery. Trigram vocabularies never fit a mask (the probe's tiny
+    * sample job rejects immediately), so this always takes the postings
+    * path — whose intermediate is far SPARSER than the unigram query's
+    * (Σ|posting(trigram)|² ≪ Σ|posting(word)|²): the n that makes
+    * near-dup detection precise also makes the join cheap. */
+  val extTrigramJaccard: Q = (s, d) =>
+    jaccardPairs(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        shingles3(col("text")).as("toks")),
+      0.5)
       .orderBy(col("d1"), col("d2"))
 
   /** Generic 3-gram Jaccard between two text columns (library form used by
@@ -319,7 +375,8 @@ object Dedup {
     "ext_exact_dedup" -> extExactDedup,
     "ext_minhash_dedup" -> extMinhashDedup,
     "ext_simhash_dedup" -> extSimhashDedup,
-    "ext_ngram_jaccard" -> extNgramJaccard)
+    "ext_ngram_jaccard" -> extNgramJaccard,
+    "ext_trigram_jaccard" -> extTrigramJaccard)
 
   val oracles: Map[String, String] = Map(
     // full signature/banding/candidate replay — possible because hash60 is
@@ -390,6 +447,25 @@ object Dedup {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
         |  CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "ext_trigram_jaccard" ->
+      """WITH dt AS (
+        |  SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END)) AS w
+        |  FROM (SELECT doc_id, source, text, string_split(lower(text), ' ') AS t
+        |        FROM documents)),
+        |cnt AS (SELECT doc_id, count(*) AS nw FROM dt GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM dt x JOIN dt y ON x.w = y.w AND x.source = y.source
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common,
+        |  CAST(n_common AS DOUBLE) / (c1.nw + c2.nw - n_common) AS jaccard
+        |FROM inter JOIN cnt c1 ON inter.d1 = c1.doc_id
+        |  JOIN cnt c2 ON inter.d2 = c2.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (c1.nw + c2.nw - n_common) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
     "ext_ngram_jaccard" ->
       """WITH dw AS (
         |  SELECT doc_id, source, unnest(list_distinct(string_split(lower(text), ' '))) AS w

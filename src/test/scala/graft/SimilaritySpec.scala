@@ -63,6 +63,29 @@ class SimilaritySpec extends SparkSpec {
       .first().getLong(0) shouldBe 1L
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    graft.expressions.SortedIntersectCount.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x", "y"), Seq("x", "y")))
+      .toDF("a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val got = df.selectExpr("sorted_intersect_count(a, b)")
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe Seq(2L, 0L, 0L, 2L)
+    val ai = df.select(org.apache.spark.sql.functions
+        .size(array_intersect(col("a"), col("b"))).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    ai shouldBe got
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("sorted_intersect_count(a)")
+    }
+    e.getMessage should include("sorted_intersect_count")
+  }
+
   test("lshSig buckets identical vectors together and is deterministic") {
     import spark.implicits._
     graft.expressions.FloatVecDot.register(spark)
