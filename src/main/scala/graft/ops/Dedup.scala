@@ -77,27 +77,38 @@ object Dedup {
     (0 until k).map(_ => (next() | 1L, next()))
   }
 
-  /** k-permutation MinHash signature of a shingle array (array<long>). */
-  def minhashSig(shingles: Column, k: Int = 16): Column = {
-    val hashes = transform(shingles, sh => pmod(hash60(sh), lit(P31)))
-    array(permConsts(k).map { case (a, b) =>
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
-    }: _*)
-  }
+  /** k-permutation MinHash signature of a shingle array (array<long>).
+    * The md5-hash array is bound ONCE as a lambda variable — a plain
+    * `val hashes = transform(...)` Column would be inlined into each of
+    * the k permutation aggregates, recomputing every shingle's md5 k
+    * times (the same Column-inlining trap as [[shingles3]]). */
+  def minhashSig(shingles: Column, k: Int = 16): Column =
+    element_at(
+      transform(array(transform(shingles, sh => pmod(hash60(sh), lit(P31)))),
+        hs => array(permConsts(k).map { case (a, b) =>
+          aggregate(hs, lit(Long.MaxValue),
+            (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
+        }: _*)),
+      1)
 
   /** 60-bit SimHash of the distinct-token set (per-bit ±1 majority vote
-    * over [[hash60]] token hashes). */
-  def simhash60(text: Column): Column = {
-    val hashes = transform(array_distinct(toks(text)), t => hash60(t))
-    val bitSums = (0 until 60).map { b =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    bitSums.zipWithIndex.map { case (bs, b) =>
-      when(bs > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+    * over [[hash60]] token hashes). The hash array is bound once as a
+    * lambda variable — inlined, the 60 per-bit aggregates would each
+    * recompute every token's md5 ([[shingles3]]'s inlining trap, ×60). */
+  def simhash60(text: Column): Column =
+    element_at(
+      transform(array(transform(array_distinct(toks(text)), t => hash60(t))),
+        hs => {
+          val bitSums = (0 until 60).map { b =>
+            aggregate(hs, lit(0),
+              (acc, h) =>
+                acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          }
+          bitSums.zipWithIndex.map { case (bs, b) =>
+            when(bs > 0, lit(1L << b)).otherwise(0L)
+          }.reduce(_ + _)
+        }),
+      1)
 
   // ---- operators ---------------------------------------------------------
 
