@@ -41,31 +41,35 @@ object TextAnalysis {
   /** Language-ID heuristic: stopword-marker hit ratio (n-gram/marker
     * heuristic in the stopword limit; real corpora would carry per-language
     * marker lists — the operator shape is identical). */
-  val extLangId: Q = (s, d) => {
-    val toks = tokens(col("text"))
+  val extLangId: Q = (s, d) =>
+    // two-projection shape: the tokenizer regex materializes ONCE as an
+    // attribute; folding these selects together would re-inline (re-run)
+    // it per reference (the Column-inlining trap — see Dedup.shingles3)
     Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
-        stopHits(toks).as("en_hits"),
-        (stopHits(toks).cast("double") / size(toks)).as("en_ratio"))
+        size(col("toks")).as("n_tokens"),
+        stopHits(col("toks")).as("en_hits"),
+        (stopHits(col("toks")).cast("double") / size(col("toks")))
+          .as("en_ratio"))
       .withColumn("guess",
         when(col("en_ratio") >= 0.05, "en").otherwise("unknown"))
       .orderBy(col("doc_id"))
-  }
 
   /** Quality score: length / stopword-ratio / token-length composite
     * (the reference-style engineered feature, cf. delay_category binning,
     * applied to text quality). Pure deterministic double arithmetic. */
   val extQualityScore: Q = (s, d) => {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
+    // two-projection shape (see extLangId): tokenizer runs once per row
+    val nTok = size(col("toks")).cast("double")
     val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
-    val stopRatio = stopHits(toks).cast("double") / size(toks)
+    val stopRatio = stopHits(col("toks")).cast("double") / size(col("toks"))
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
+        size(col("toks")).as("n_tokens"),
         (noSpace / nTok).as("avg_token_len"),
         stopRatio.as("stop_ratio"),
         (lit(0.4) * least(lit(1.0), nTok / 100.0) +
