@@ -125,26 +125,31 @@ object EventsStream {
   }
 
   /** ST5 — watermarked streaming dedup on the natural key (the principled
-    * `ON CONFLICT DO NOTHING`): duplicates within the watermark horizon are
-    * dropped exactly-once; output re-aggregated batch-side for a
-    * deterministic, oracle-comparable result. */
+    * `ON CONFLICT DO NOTHING`), aggregated INSIDE the stream: dedup →
+    * per-(event_type, user_id) counts, so the sink holds types × users
+    * rows, never the deduped event stream itself (a memory sink of raw
+    * events is a driver OOM at scale; exact count-distinct isn't a
+    * streaming aggregate, but count-per-(type, user) is, and the exact
+    * distinct-user count falls out batch-side from the tiny result). */
   def dedupCounts(s: SparkSession, sfDir: String): DataFrame = {
     withStatePartitions(s, 8) {
     val q = readEvents(s, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
       .writeStream
       .format("memory")
       .queryName("graft_stream_dedup")
-      .outputMode("append")
+      .outputMode("complete")
       .option("checkpointLocation", scratch("dedup_ckpt"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table("graft_stream_dedup")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           countDistinct(col("user_id")).as("n_users"))
+      .agg(sum(col("n")).as("n_events"),
+           count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
     }
   }
