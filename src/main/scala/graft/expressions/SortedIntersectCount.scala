@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   * enumeration loses to postings whenever qualifying pairs are sparse).
   *
   * PRECONDITIONS (callers construct both sides with
-  * `sort_array(array_distinct(...))`): elements sorted ascending,
-  * distinct, non-null. Unsorted input undercounts; null elements throw.
+  * `sort_array(filter(array_distinct(...), x -> x.isNotNull))`):
+  * elements sorted ascending, distinct, non-null. Unsorted input
+  * undercounts; null elements throw — `array_distinct` alone does NOT
+  * remove nulls, hence the explicit filter in the recipe.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

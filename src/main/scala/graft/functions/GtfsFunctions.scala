@@ -24,17 +24,16 @@ object GtfsFunctions {
   /** "H+:MM:SS" → seconds since midnight; null on NULL/empty/malformed.
     * Hour capped at 9 digits: the regex must not admit strings whose cast
     * would overflow Long and throw under ANSI mode (EXCEPTION→NULL means
-    * NULL, never a task failure). The split is bound once as a lambda
-    * variable; referencing a named split Column three times would inline
-    * (re-run) the regex split per field. */
+    * NULL, never a task failure). The split is
+    * [[graft.ops.bindOnce bound once]]; a named split Column referenced
+    * three times would re-run the regex split per field. */
   def gtfsTimeToSeconds(timeStr: Column): Column =
     when(timeStr.isNull || !timeStr.rlike("^[0-9]{1,9}:[0-9]{2}:[0-9]{2}$"), lit(null))
-      .otherwise(element_at(
-        transform(array(split(timeStr, ":")), p =>
-          element_at(p, 1).cast("long") * 3600 +
-          element_at(p, 2).cast("long") * 60 +
-          element_at(p, 3).cast("long")),
-        1))
+      .otherwise(graft.ops.bindOnce(split(timeStr, ":")) { p =>
+        element_at(p, 1).cast("long") * 3600 +
+        element_at(p, 2).cast("long") * 60 +
+        element_at(p, 3).cast("long")
+      })
 
   /** Same semantics as a registered Scala UDF (demonstrates the UDF
     * surface; prefer the expression form in real plans). */

@@ -37,22 +37,17 @@ object Dedup {
   private def toks(c: Column): Column = split(lower(c), " ")
 
   /** Word 3-gram shingles (falls back to the whole text when < 3 tokens).
-    *
-    * The token array is bound ONCE as a lambda variable (the
-    * `transform(array(split(...)), t -> …)` wrapper): naming the split
-    * with a plain `val t = split(...)` inlines the split expression into
-    * every `element_at` reference — ~3 regex splits of the full text per
-    * trigram — which profiled at ~1 ms/doc, 5-6 s over the sf0.1 corpus,
-    * before this shape. */
+    * The token array is [[graft.ops.bindOnce bound once]] — a plain
+    * `val t = split(...)` would re-run the split per `element_at`
+    * reference (~3 regex splits per trigram; profiled ~1 ms/doc). */
   def shingles3(text: Column): Column =
-    element_at(
-      transform(array(toks(text)), t =>
-        when(size(t) >= 3,
-          array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
-            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-                      element_at(t, i + 3)))))
-          .otherwise(array(lower(text)))),
-      1)
+    bindOnce(toks(text)) { t =>
+      when(size(t) >= 3,
+        array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+                    element_at(t, i + 3)))))
+        .otherwise(array(lower(text)))
+    }
 
   /** Cross-engine 60-bit hash: the first 15 hex chars of md5, parsed
     * base-16. Chosen over xxhash64 because any engine with md5 + string
@@ -78,37 +73,32 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature of a shingle array (array<long>).
-    * The md5-hash array is bound ONCE as a lambda variable — a plain
-    * `val hashes = transform(...)` Column would be inlined into each of
-    * the k permutation aggregates, recomputing every shingle's md5 k
-    * times (the same Column-inlining trap as [[shingles3]]). */
+    * The md5-hash array is [[graft.ops.bindOnce bound once]] — inlined,
+    * each of the k permutation aggregates would recompute every
+    * shingle's md5. */
   def minhashSig(shingles: Column, k: Int = 16): Column =
-    element_at(
-      transform(array(transform(shingles, sh => pmod(hash60(sh), lit(P31)))),
-        hs => array(permConsts(k).map { case (a, b) =>
-          aggregate(hs, lit(Long.MaxValue),
-            (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
-        }: _*)),
-      1)
+    bindOnce(transform(shingles, sh => pmod(hash60(sh), lit(P31)))) { hs =>
+      array(permConsts(k).map { case (a, b) =>
+        aggregate(hs, lit(Long.MaxValue),
+          (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
+      }: _*)
+    }
 
   /** 60-bit SimHash of the distinct-token set (per-bit ±1 majority vote
-    * over [[hash60]] token hashes). The hash array is bound once as a
-    * lambda variable — inlined, the 60 per-bit aggregates would each
-    * recompute every token's md5 ([[shingles3]]'s inlining trap, ×60). */
+    * over [[hash60]] token hashes). The hash array is
+    * [[graft.ops.bindOnce bound once]] — inlined, the 60 per-bit
+    * aggregates would each recompute every token's md5. */
   def simhash60(text: Column): Column =
-    element_at(
-      transform(array(transform(array_distinct(toks(text)), t => hash60(t))),
-        hs => {
-          val bitSums = (0 until 60).map { b =>
-            aggregate(hs, lit(0),
-              (acc, h) =>
-                acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          }
-          bitSums.zipWithIndex.map { case (bs, b) =>
-            when(bs > 0, lit(1L << b)).otherwise(0L)
-          }.reduce(_ + _)
-        }),
-      1)
+    bindOnce(transform(array_distinct(toks(text)), t => hash60(t))) { hs =>
+      val bitSums = (0 until 60).map { b =>
+        aggregate(hs, lit(0),
+          (acc, h) =>
+            acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      }
+      bitSums.zipWithIndex.map { case (bs, b) =>
+        when(bs > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    }
 
   // ---- operators ---------------------------------------------------------
 
@@ -337,8 +327,12 @@ object Dedup {
                          threshold: Double)
       : org.apache.spark.sql.DataFrame = {
     graft.expressions.SortedIntersectCount.register(docsTokRaw.sparkSession)
+    // filter(isNotNull) establishes the kernel's non-null-element
+    // precondition (array_distinct alone keeps a null; the merge walk's
+    // getUTF8String would NPE on it)
     val docsTok = docsTokRaw.select(col("doc_id"), col("source"),
-      sort_array(array_distinct(col("toks"))).as("stoks"))
+      sort_array(filter(array_distinct(col("toks")), x => x.isNotNull))
+        .as("stoks"))
       .withColumn("nw", size(col("stoks")))
     score(
       docsTok.as("x").join(docsTok.as("y"),

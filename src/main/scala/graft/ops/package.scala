@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
 package object ops {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Column-level `let`: evaluate `c` ONCE and pass it to `f` as a bound
+    * lambda variable. A plain `val t = c` Scala binding is NOT a let —
+    * every reference to `t` inlines (re-evaluates) the whole expression
+    * tree, which profiled at 3 regex splits per trigram in `shingles3`
+    * and ×60 md5 in `simhash60` before this idiom. Use whenever a
+    * non-cheap Column feeds multiple sub-expressions of ONE projection
+    * (across separate projections, alias it instead: CollapseProject
+    * declines to merge non-cheap expressions referenced more than once —
+    * verified on Spark 4.1). */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Exact order-independent sum of a 2-decimal money/qty column → double. */
   def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")

@@ -87,14 +87,53 @@ object EventsStream {
     try f finally s.conf.set(key, prev)
   }
 
-  private def scratch(name: String): String = {
-    val dir = s"/root/repo/target/scratch/stream_$name"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
+  private lazy val pid: Long = ProcessHandle.current().pid()
+
+  /** Null-tolerant recursive delete (a concurrent GC may empty a dir
+    * between the isDirectory check and listFiles). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** True iff the `_p<pid>` embedded in a scratch dir name belongs to this
+    * process or to one that is no longer alive — the only dirs safe to
+    * GC. A LIVE other process may be mid-stream in its dir; deleting its
+    * checkpoint out from under a running query corrupts that query. */
+  private def ownerDeadOrMe(name: String): Boolean = {
+    val re = ".*_p([0-9]+)(_m[0-9]+)?$".r
+    name match {
+      case re(p, _) =>
+        val owner = p.toLong
+        owner == pid || {
+          val h = ProcessHandle.of(owner)
+          !(h.isPresent && h.get().isAlive)
+        }
+      case _ => false
     }
-    rm(new java.io.File(dir))
-    dir
+  }
+
+  private def gcSiblings(root: java.nio.file.Path, prefix: String,
+                         keep: String): Unit = {
+    val files = root.toFile.listFiles()
+    if (files != null) files.foreach { f =>
+      if (f.getName.startsWith(prefix) && f.getName != keep &&
+          ownerDeadOrMe(f.getName))
+        deleteRecursively(f)
+    }
+  }
+
+  /** Per-process scratch checkpoint dir: streaming checkpoints are
+    * single-writer, so concurrent driver processes must never share one.
+    * This process's own prior dir is wiped (each call starts a fresh
+    * stream); dirs left by dead processes are GC'd; live siblings are
+    * left alone. */
+  private def scratch(name: String): String = {
+    val root = java.nio.file.Paths.get("/root/repo/target/scratch")
+    java.nio.file.Files.createDirectories(root)
+    gcSiblings(root, s"stream_${name}_p", keep = "")
+    root.resolve(s"stream_${name}_p$pid").toString
   }
 
   /** ST2 — tumbling 1-hour windowed aggregation per event_type, run to
@@ -146,10 +185,13 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // count(user_id), not count(*): a NULL user_id forms its own group
+    // whose events belong in n_events but which is not a user — matching
+    // batch count(DISTINCT user_id) semantics (NULLs ignored)
     s.table("graft_stream_dedup")
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_events"),
-           count(lit(1)).as("n_users"))
+           count(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
     }
   }
@@ -242,36 +284,24 @@ object EventsStream {
     }
   }
 
-  /** Stable within this JVM, unique across processes: scopes the
-    * incremental sink's checkpoint so concurrent driver processes never
-    * share a streaming writer (checkpoints are single-writer). */
-  private lazy val jvmId =
-    java.util.UUID.randomUUID().toString.take(8)
-
   /** [[incrementalDaily]] as an oracle-checked entry. The sink+checkpoint
-    * pair is scoped per (source path, JVM): within one process a re-run
-    * is the exactly-once no-op append the checkpoint guarantees (the
-    * second Bench iteration exercises exactly that), while a new process
-    * — possibly over regenerated testdata, possibly concurrent with
-    * another driver — always starts a fresh single-writer pipeline
-    * instead of inheriting a stale or contended high-water mark. Dirs
-    * left by dead processes for the same source are garbage-collected on
-    * entry. */
+    * pair is scoped per (source path, process, source mtime): within one
+    * process over unchanged data a re-run is the exactly-once no-op
+    * append the checkpoint guarantees (the second Bench iteration
+    * exercises exactly that); regenerated testdata (new mtime) or a new
+    * process starts a fresh single-writer pipeline instead of inheriting
+    * a stale or contended high-water mark. GC on entry removes only dirs
+    * whose owning process is dead or is this process (its own stale-mtime
+    * leftovers) — never a live sibling's, whose checkpoint may be
+    * mid-write. */
   def incrementalDailyQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet")).toMillis
     val sfKey = java.lang.Integer.toHexString(sfDir.hashCode)
     val root = java.nio.file.Paths.get("/root/repo/target/scratch")
     java.nio.file.Files.createDirectories(root)
-    val prefix = s"stream_inc_${sfKey}_"
-    val mine = s"$prefix$jvmId"
-    root.toFile.listFiles().foreach { f =>
-      if (f.getName.startsWith(prefix) && f.getName != mine) {
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) x.listFiles().foreach(rm)
-          x.delete(): Unit
-        }
-        rm(f)
-      }
-    }
+    val mine = s"stream_inc_${sfKey}_p${pid}_m$mtime"
+    gcSiblings(root, s"stream_inc_${sfKey}_p", keep = mine)
     val base = root.resolve(mine).toString
     incrementalDaily(s, sfDir, s"$base/ckpt", s"$base/out")
   }
