@@ -75,6 +75,24 @@ class ScaleBehaviorSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("bindOnce evaluates an expensive Column once where a val reference inlines it") {
+    val sz = org.apache.spark.sql.functions.size _
+    // range-based source: a local literal relation would be fully
+    // constant-folded at optimize time, leaving nothing to count
+    val df = spark.range(1).select(concat(lit("a b c "), col("id")).as("text"))
+    val tk = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    def occurrences(p: org.apache.spark.sql.DataFrame) =
+      "regexp_extract_all".r.findAllIn(p.queryExecution.optimizedPlan.toString).length
+    // the trap: each reference to a named Column re-inlines the whole tree
+    val inlined = df.select(sz(tk).as("a"), sz(tk).as("b"))
+    occurrences(inlined) shouldBe 2
+    // the fix: bindOnce evaluates once, body references the bound variable
+    val bound = df.select(graft.ops.bindOnce(tk)(t =>
+      struct(sz(t).as("a"), sz(t).as("b"))).as("s"))
+    occurrences(bound) shouldBe 1
+    bound.select(col("s.a"), col("s.b")).first() shouldBe inlined.first()
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {

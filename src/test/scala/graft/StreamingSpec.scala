@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpec {
       .count(_.startsWith("day=")) should be > 20 // ~30 days of events
   }
 
+  test("incrementalDailyQuery is idempotent within a JVM and GCs only safe dirs") {
+    val r1 = EventsStream.incrementalDailyQuery(spark, sf("sf0.001"))
+      .agg(sum("n_events")).first().getLong(0)
+    r1 shouldBe 1000L
+    // same JVM + unchanged source -> same (pid, mtime) pipeline: the
+    // second run is the exactly-once no-op append, not a double-ingest
+    val r2 = EventsStream.incrementalDailyQuery(spark, sf("sf0.001"))
+      .agg(sum("n_events")).first().getLong(0)
+    r2 shouldBe 1000L
+    // a fake LIVE sibling (owner pid = a running process that is not us:
+    // pid 1) must survive the GC; a dead-owner sibling must be removed
+    val root = java.nio.file.Paths.get("/root/repo/target/scratch")
+    val sfKey = java.lang.Integer.toHexString(sf("sf0.001").hashCode)
+    val live = root.resolve(s"stream_inc_${sfKey}_p1_m0")
+    val dead = root.resolve(s"stream_inc_${sfKey}_p999999999_m0")
+    java.nio.file.Files.createDirectories(live)
+    java.nio.file.Files.createDirectories(dead)
+    EventsStream.incrementalDailyQuery(spark, sf("sf0.001")).count()
+    java.nio.file.Files.exists(live) shouldBe true // never rm a live writer
+    java.nio.file.Files.exists(dead) shouldBe false // dead pids are GC'd
+    java.nio.file.Files.delete(live)
+  }
+
   test("flatMapGroupsWithState carries running max across micro-batches") {
     import org.apache.spark.sql.functions.col
     // two-file source: batch 1 holds the global max for 'click', batch 2
