@@ -176,12 +176,20 @@ object Dedup {
     * with one tiny job; only small-vocab corpora pay the confirming full
     * distinct (whose shuffle is ≤ maxVocab+1 tokens × partitions thanks
     * to map-side partial aggregation + the limit short-circuit). In a
-    * production catalog this probe would be a table statistic. */
+    * production catalog this probe would be a table statistic.
+    *
+    * NOTE: this runs EAGER Spark jobs at DataFrame-construction time
+    * (adaptive-planning style) — callers of [[jaccardPairs]] trigger the
+    * probe before any action on the returned frame. The sample is made
+    * deterministic by ordering on `doc_id` before the limit, so the same
+    * corpus always probes the same 256 docs and the chosen physical
+    * strategy is stable across runs (an unordered limit made the strategy
+    * — though never the output — run-dependent). */
   private def vocabUpTo(docsTok: org.apache.spark.sql.DataFrame, maxVocab: Int)
       : Option[Array[String]] = {
     if (maxVocab <= 0) return None
     val lim = if (maxVocab == Int.MaxValue) maxVocab else maxVocab + 1
-    val sampleOver = docsTok.limit(256)
+    val sampleOver = docsTok.orderBy(col("doc_id")).limit(256)
       .select(explode(col("toks")).as("w")).distinct()
       .limit(lim).count() > maxVocab
     if (sampleOver) None

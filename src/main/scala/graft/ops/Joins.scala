@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * resizes; dimension sides (region/nation/customer/part, and the hourly
   * aggregate in the as-of join) are `broadcast()` so no fact-side shuffle
   * happens where it can be avoided. The decorrelated scalar-subquery and
-  * join-update shapes aggregate FIRST (shrinking to one row per key) and
-  * broadcast the result, instead of shuffling the big side twice.
+  * join-update shapes aggregate FIRST (shrinking to one row per key); the
+  * per-key aggregate is left UNHINTED — its cardinality scales with the
+  * fact data, so AQE decides broadcast-vs-SMJ from the measured size at
+  * runtime (explicit hints are reserved for provably bounded sides).
   */
 object Joins {
 
@@ -80,7 +82,14 @@ object Joins {
   }
 
   /** J6 — correlated scalar subquery, decorrelated: aggregate per key, then
-    * broadcast-join the (small) aggregate back and filter. */
+    * join the aggregate back and filter. NO broadcast hint: the aggregate
+    * has one row per customer — a cardinality that grows linearly with the
+    * fact data (billions of rows at 100 TB), where a forced hint would be a
+    * driver OOM/broadcast timeout. AQE sizes the built side at runtime and
+    * still picks BroadcastHashJoin while it is genuinely small (plan-
+    * asserted in ScaleBehaviorSpec), degrading gracefully to sort-merge
+    * when it is not. Hints stay only on provably bounded sides (dims,
+    * per-hour aggregates). */
   val joinScalarSubquery: Q = (s, d) => {
     val o = Tables.orders(s, d)
     // exact decimal sum + count instead of avg(): the `price > avg` filter
@@ -89,7 +98,7 @@ object Joins {
     val custAgg = o.groupBy(col("o_custkey").as("ck"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("cust_sum"),
            count(lit(1)).as("cust_n"))
-    o.join(broadcast(custAgg), col("o_custkey") === col("ck"))
+    o.join(custAgg, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice").cast("decimal(18,2)") * col("cust_n") >
               col("cust_sum"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -125,13 +134,15 @@ object Joins {
   }
 
   /** J9 — `UPDATE ... FROM` join-update, re-expressed as an immutable
-    * rebuild: left-join the per-key aggregate and select-replace columns. */
+    * rebuild: left-join the per-key aggregate and select-replace columns.
+    * Like J6, the per-customer aggregate is unbounded at scale, so no
+    * broadcast hint — AQE broadcasts while small, sort-merges when not. */
   val joinUpdateFrom: Q = (s, d) => {
     val spent = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("spent"), count(lit(1)).as("n_orders"))
     Tables.customer(s, d)
-      .join(broadcast(spent), col("c_custkey") === col("o_custkey"), "left")
+      .join(spent, col("c_custkey") === col("o_custkey"), "left")
       .select(
         col("c_custkey"), col("c_name"),
         coalesce(col("spent"), lit(0.0)).as("total_spent"),

@@ -60,7 +60,7 @@ object Quality {
         exact.select(col("doc_id"), col("source"),
           array_distinct(split(lower(col("text")), " ")).as("toks")),
         0.9,
-        vocabProbe = Some(docs.select(
+        vocabProbe = Some(docs.select(col("doc_id"),
           split(lower(col("text")), " ").as("toks"))))
       .select(col("d2").as("doc_id")).distinct()
     val kept = exact.join(dropped, Seq("doc_id"), "left_anti")

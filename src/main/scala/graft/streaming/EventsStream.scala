@@ -47,9 +47,16 @@ object EventsStream {
     * basename key would silently reuse a stale link when two different
     * roots share a directory name — and an existing link pointing
     * elsewhere is replaced. */
+  /** Collision-resistant key for a dataset path: md5 hex prefix. A 32-bit
+    * String.hashCode key would let two colliding paths share a scratch/
+    * checkpoint namespace and GC each other's dirs mid-stream. */
+  private[graft] def pathKey(p: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(p.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+
   private[graft] def eventsSourceDir(sfDir: String): String = {
     val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val key = pathKey(sfDir)
     val dir = java.nio.file.Paths.get(
       s"/root/repo/target/scratch/stream_src_${new java.io.File(sfDir).getName}_$key")
     java.nio.file.Files.createDirectories(dir)
@@ -79,13 +86,20 @@ object EventsStream {
     * overhead per micro-batch. 8 keeps parallelism ≥ state cardinality at
     * bench scale; a 100 TB deployment sizes this to its key space (the
     * count is baked into the checkpoint at first start, so it is a
-    * per-pipeline launch decision, not a hot-tune). */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
-  }
+    * per-pipeline launch decision, not a hot-tune).
+    *
+    * The set/restore is serialized on the session: shuffle.partitions is
+    * session-global mutable state, so two entries racing through here on
+    * one SparkSession could otherwise leak the temporary value (or bake 8
+    * into the wrong query's checkpoint). The lock makes the streaming
+    * entries single-threaded per session — the intended use. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    s.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, n.toString)
+      try f finally s.conf.set(key, prev)
+    }
 
   private lazy val pid: Long = ProcessHandle.current().pid()
 
@@ -164,36 +178,40 @@ object EventsStream {
   }
 
   /** ST5 — watermarked streaming dedup on the natural key (the principled
-    * `ON CONFLICT DO NOTHING`), aggregated INSIDE the stream: dedup →
-    * per-(event_type, user_id) counts, so the sink holds types × users
-    * rows, never the deduped event stream itself (a memory sink of raw
-    * events is a driver OOM at scale; exact count-distinct isn't a
-    * streaming aggregate, but count-per-(type, user) is, and the exact
-    * distinct-user count falls out batch-side from the tiny result). */
+    * `ON CONFLICT DO NOTHING`). The deduped stream lands in an APPEND-MODE
+    * FILE SINK — distributed, exactly-once via the checkpoint, projected
+    * to the two columns the reduction needs — never in driver memory
+    * (round 2 held a complete-mode memory sink at (type, user) grain:
+    * user-cardinality rows re-emitted wholesale every micro-batch). The
+    * per-type exact counts fall out of a distributed batch aggregate over
+    * the sink directory, so the only driver-resident data is the per-type
+    * result. Streaming state = in-watermark dedup keys (bounded: the
+    * watermark GCs keys older than 1 h); sink growth = deduped rows on
+    * disk, the standard bronze→silver shape at 100 TB. Checkpoint/sink
+    * scoping and GC mirror [[incrementalDailyQuery]]. */
   def dedupCounts(s: SparkSession, sfDir: String): DataFrame = {
+    val base = scopedStreamBase("dedup", sfDir)
     withStatePartitions(s, 8) {
-    val q = readEvents(s, sfDir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id", "ts")
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream
-      .format("memory")
-      .queryName("graft_stream_dedup")
-      .outputMode("complete")
-      .option("checkpointLocation", scratch("dedup_ckpt"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // count(user_id), not count(*): a NULL user_id forms its own group
-    // whose events belong in n_events but which is not a user — matching
-    // batch count(DISTINCT user_id) semantics (NULLs ignored)
-    s.table("graft_stream_dedup")
-      .groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n_events"),
-           count(col("user_id")).as("n_users"))
-      .orderBy(col("event_type"))
+      val q = readEvents(s, sfDir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id", "ts")
+        .select(col("event_type"), col("user_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
+    // count_distinct(user_id) ignores NULL user_ids (events with no user
+    // still count in n_events but are not users) — batch semantics
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
   }
 
   /** ST3 — session windows: 30-min-gap sessionization per user via the
@@ -295,15 +313,26 @@ object EventsStream {
     * leftovers) — never a live sibling's, whose checkpoint may be
     * mid-write. */
   def incrementalDailyQuery(s: SparkSession, sfDir: String): DataFrame = {
+    val base = scopedStreamBase("inc", sfDir)
+    incrementalDaily(s, sfDir, s"$base/ckpt", s"$base/out")
+  }
+
+  /** Scratch base for a checkpointed file-sink pipeline, scoped per
+    * (source path, process, source mtime): within one process over
+    * unchanged data a re-run is the exactly-once no-op the checkpoint
+    * guarantees; regenerated data (new mtime) or a new process starts a
+    * fresh single-writer pipeline. The path key is a md5 prefix
+    * ([[pathKey]]) — collision-resistant where String.hashCode is not.
+    * GC removes only sibling dirs whose owner is dead or is this process. */
+  private def scopedStreamBase(name: String, sfDir: String): String = {
     val mtime = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$sfDir/events.parquet")).toMillis
-    val sfKey = java.lang.Integer.toHexString(sfDir.hashCode)
     val root = java.nio.file.Paths.get("/root/repo/target/scratch")
     java.nio.file.Files.createDirectories(root)
-    val mine = s"stream_inc_${sfKey}_p${pid}_m$mtime"
-    gcSiblings(root, s"stream_inc_${sfKey}_p", keep = mine)
-    val base = root.resolve(mine).toString
-    incrementalDaily(s, sfDir, s"$base/ckpt", s"$base/out")
+    val prefix = s"stream_${name}_${pathKey(sfDir)}_p"
+    val mine = s"$prefix${pid}_m$mtime"
+    gcSiblings(root, prefix, keep = mine)
+    root.resolve(mine).toString
   }
 
   /** ST1 — high-water-mark incremental append: the checkpoint IS the water

@@ -93,6 +93,24 @@ class ScaleBehaviorSpec extends SparkSpec {
     bound.select(col("s.a"), col("s.b")).first() shouldBe inlined.first()
   }
 
+  test("unhinted per-customer aggregates still broadcast at bench scale via AQE") {
+    // J6/J9 deliberately carry NO broadcast() hint: the aggregate side is
+    // one row per customer, a cardinality that scales with the fact data
+    // (a forced hint would be a driver OOM at 100 TB). This asserts the
+    // graceful half of that trade: while the measured size is small, AQE
+    // still picks BroadcastHashJoin at runtime; past the threshold the
+    // same plan degrades to sort-merge instead of dying.
+    for (name <- Seq("join_scalar_subquery", "join_update_from")) {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
+      df.collect() // execute THIS queryExecution (count() plans its own)
+      val executed = df.queryExecution.executedPlan.toString
+      executed should include("isFinalPlan=true")
+      executed should include("BroadcastHashJoin")
+      // and the broadcast is AQE's runtime decision, not a logical hint
+      df.queryExecution.analyzed.toString.contains("ResolvedHint") shouldBe false
+    }
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {

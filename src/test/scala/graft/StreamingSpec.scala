@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
     // a fake LIVE sibling (owner pid = a running process that is not us:
     // pid 1) must survive the GC; a dead-owner sibling must be removed
     val root = java.nio.file.Paths.get("/root/repo/target/scratch")
-    val sfKey = java.lang.Integer.toHexString(sf("sf0.001").hashCode)
+    val sfKey = EventsStream.pathKey(sf("sf0.001"))
     val live = root.resolve(s"stream_inc_${sfKey}_p1_m0")
     val dead = root.resolve(s"stream_inc_${sfKey}_p999999999_m0")
     java.nio.file.Files.createDirectories(live)
@@ -54,6 +54,22 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.exists(live) shouldBe true // never rm a live writer
     java.nio.file.Files.exists(dead) shouldBe false // dead pids are GC'd
     java.nio.file.Files.delete(live)
+  }
+
+  test("stream dedup lands in a file sink, re-runs exactly-once, equals batch dedup") {
+    val r1 = EventsStream.dedupCounts(spark, sf("sf0.001")).collect()
+    // second run over the same checkpoint: no new files -> identical result
+    val r2 = EventsStream.dedupCounts(spark, sf("sf0.001")).collect()
+    r2 shouldBe r1
+    // the streamed dedup+reduction equals the batch computation
+    val batch = graft.Tables.events(spark, sf("sf0.001"))
+      .dropDuplicates("event_id", "ts")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .orderBy("event_type").collect()
+    r1 shouldBe batch
+    // and no driver-resident memory-sink table backs the result
+    spark.catalog.tableExists("graft_stream_dedup") shouldBe false
   }
 
   test("flatMapGroupsWithState carries running max across micro-batches") {
