@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B timing harness: runs the named queries round-robin for
+  * `iters` rounds in ONE JVM, so per-query numbers share identical JVM
+  * warm-up, code-cache, and box-load conditions — the measurement
+  * discipline PLANS.md's "±2× single-shot noise" note demands. Usage:
+  *
+  *   sbt "runMain graft.AB <iters> <name> [name...]"
+  *
+  * Prints one line per (query, round) plus a min/median summary. The
+  * 10×-scaling rows in PLANS.md come from running this against both
+  * SPARK_GRAFT_SF_DIR=sf0.01 and sf0.1.
+  */
+object AB {
+  def main(args: Array[String]): Unit = {
+    val iters = args.headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(1).toSeq
+    require(names.nonEmpty, "usage: AB <iters> <name> [name...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val times = collection.mutable.Map.empty[String, List[Double]]
+    for (i <- 1 to iters; name <- names) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      times(name) = t :: times.getOrElse(name, Nil)
+      println(f"AB $name round$i rows=$n t=$t%.3f")
+    }
+    for (name <- names) {
+      val ts = times(name).sorted
+      println(f"AB-SUMMARY $name min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f sf=$sfDir")
+    }
+    spark.stop()
+  }
+}
