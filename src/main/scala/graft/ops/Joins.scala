@@ -123,6 +123,52 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** J7b — TRUE as-of join (last preceding observation), the principled
+    * variant of the reference's LIMIT-1-per-match weather join
+    * (`sql/ml_feature_engineering.sql:192-213`) that [[joinAsofHour]]
+    * hour-quantizes: every event is joined to the LATEST purchase
+    * observation of the same user with obs.ts <= event.ts.
+    *
+    * Implemented as the union-and-carry shape — the canonical distributed
+    * as-of: tag observation rows 0 and probe rows 1, union, then one
+    * window per user ordered by (ts, side) carrying
+    * `last(obs, ignoreNulls)` over ROWS UNBOUNDED PRECEDING; side 0
+    * sorts before side 1 at equal ts, giving inclusive <= semantics.
+    * Both sides shuffle ONCE on user_id (no range join, no per-row
+    * subquery); per-partition state is a single running struct, so the
+    * operator is linear in rows at any scale, with key skew handled by
+    * AQE. The observation payload rides in a struct so a NULL
+    * observation VALUE is still a match (exactly DuckDB ASOF semantics —
+    * `last(value, ignoreNulls)` alone would skip past it). Observations
+    * are pre-aggregated to unique (user_id, ts) so the match is
+    * deterministic; NULL-user observations are dropped to mirror the
+    * equi-join's NULL-never-matches rule while NULL-user probe rows
+    * survive with a NULL match. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val joinAsofTrue: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val obs = ev
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("obs_value"))
+    val build = obs.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("ts").as("obs_ts"), col("obs_value")).as("obspack"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("struct<obs_ts:timestamp_ntz,obs_value:double>")
+        .as("obspack"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    build.unionByName(probe)
+      .withColumn("m", last(col("obspack"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("m.obs_ts").as("obs_ts"), col("m.obs_value").as("obs_value"))
+      .orderBy(col("event_id"), col("user_id"), col("ts"), col("obs_ts"),
+               col("obs_value"))
+  }
+
   /** J8 — CROSS JOIN of two generated series (hours × quarter-hours →
     * dim_time shape, `fact_dim_tables.sql:215-217`). */
   val joinCrossSeries: Q = (s, _) => {
@@ -158,6 +204,7 @@ object Joins {
     "join_semi_services" -> joinSemiServices,
     "join_scalar_subquery" -> joinScalarSubquery,
     "join_asof_hour" -> joinAsofHour,
+    "join_asof_true" -> joinAsofTrue,
     "join_cross_series" -> joinCrossSeries,
     "join_update_from" -> joinUpdateFrom)
 
@@ -207,6 +254,15 @@ object Joins {
         |    CAST(count(*) AS BIGINT) AS hourly_n
         |  FROM events GROUP BY 1) w ON date_trunc('hour', e.ts) = w.h
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_true" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, max(value) AS obs_value
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, o.ts AS obs_ts, o.obs_value
+        |FROM events e ASOF LEFT JOIN obs o
+        |  ON e.user_id = o.user_id AND e.ts >= o.ts
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     "join_cross_series" ->
       """SELECT CAST(h.i AS INTEGER) AS h, CAST(m.i * 15 AS INTEGER) AS m,
         |  CAST(h.i * 100 + m.i * 15 AS INTEGER) AS time_key

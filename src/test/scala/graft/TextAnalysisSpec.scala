@@ -44,7 +44,37 @@ class TextAnalysisSpec extends SparkSpec {
     (r.getLong(0) == r.getLong(2)) shouldBe false
   }
 
-  test("multimodal decode measures UTF-8 bytes, not characters") {
+  test("BMP codec: encode→decode round-trips dims and pixel sum at every padding residue") {
+    import graft.ops.Multimodal.Bmp
+    // widths 1..5 cover row-padding residues (w*3 mod 4 = 3,2,1,0,3)
+    for (w <- 1 to 5; h <- Seq(1, 3, 4)) {
+      val n = w * h * 3
+      val bytes = Array.tabulate(n)(i => (i * 37 + 11) % 256)
+      val enc = Bmp.encode(w, h, bytes(_))
+      val dec = Bmp.decode(enc).get
+      dec.width shouldBe w
+      dec.height shouldBe h
+      dec.nPixels shouldBe w * h
+      dec.sumRgb shouldBe bytes.map(_.toLong).sum
+    }
+  }
+
+  test("BMP decode rejects malformed payloads instead of mis-reading them") {
+    import graft.ops.Multimodal.Bmp
+    val good = Bmp.encode(3, 2, _ => 7)
+    Bmp.decode(good).isDefined shouldBe true
+    Bmp.decode(Array[Byte]()) shouldBe None              // empty
+    Bmp.decode(good.take(53)) shouldBe None              // truncated header
+    Bmp.decode(good.dropRight(1)) shouldBe None          // truncated pixels
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    Bmp.decode(badMagic) shouldBe None
+    val badBpp = good.clone(); badBpp(28) = 8.toByte     // not 24bpp
+    Bmp.decode(badBpp) shouldBe None
+    val compressed = good.clone(); compressed(30) = 1.toByte
+    Bmp.decode(compressed) shouldBe None
+  }
+
+  test("multimodal pipeline decodes real BMP payloads (UTF-8 byte cycle, empty text)") {
     import spark.implicits._
     import graft.ops.Multimodal
     // 'éxé' is 3 chars but 5 UTF-8 bytes: C3 A9 78 C3 A9
@@ -55,11 +85,18 @@ class TextAnalysisSpec extends SparkSpec {
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Multimodal.extMultimodal(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getAs[Int]("byte_len"), r.getAs[Int]("first_byte"),
-          r.getAs[Long]("prefix_checksum")))).toMap
-    out(0L) shouldBe ((5, 104, (104 + 101 + 108 + 108 + 111) % 256L))
-    out(1L) shouldBe ((5, 195, (195 + 169 + 120 + 195 + 169) % 256L))
-    out(2L) shouldBe ((0, 0, 0L))
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("n_pixels"), r.getAs[Long]("sum_rgb")))).toMap
+    // doc 0: w=1+5%12=6, h=1+0%7=1, 18 channel bytes cycling "hello"(5B):
+    // 3 full cycles (sum 532*3) + 3 bytes (104+101+108)
+    val hello = "hello".getBytes("UTF-8").map(_ & 0xFF)
+    out(0L) shouldBe ((6, 1, 6, hello.sum.toLong * 3 + 104 + 101 + 108))
+    // doc 1: w=1+3%12=4, h=1+1%7=2, 24 bytes cycling 5 UTF-8 bytes:
+    // 4 full cycles + first 4 bytes
+    val exe = "éxé".getBytes("UTF-8").map(_ & 0xFF)
+    out(1L) shouldBe ((4, 2, 8, exe.sum.toLong * 4 + exe.take(4).sum))
+    // doc 2: empty text -> all-zero pixels
+    out(2L) shouldBe ((1, 3, 3, 0L))
   }
 
   test("quality score is monotone in stopword pollution") {
