@@ -24,6 +24,7 @@ object SparkEntry {
     (Streaming.queries, Streaming.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
+    (Curation.queries, Curation.oracles),
     (Similarity.queries, Similarity.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Advanced.queries, Advanced.oracles),

@@ -1,0 +1,241 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM-training-data pipelines (the
+  * BASELINE.json extension mandate beyond `/root/reference`'s own
+  * surface, sibling of [[TextAnalysis]] / [[Dedup]]): repetition signals
+  * (C4/Gopher-style duplicate-n-gram and top-token ratios), PII
+  * scrubbing (regex redaction with counts), TF-IDF term scoring, and
+  * train/test contamination detection (cross-set shingle overlap).
+  *
+  * Scale notes: repetition and PII scrubbing are pure per-row expression
+  * work — shuffle-free map stages at any scale. TF-IDF shuffles postings
+  * (doc, token) twice (tf, then df) — the canonical inverted-index
+  * build; the df side is vocabulary-sized and joins unhinted so AQE
+  * picks broadcast-vs-SMJ from its measured size. Contamination joins
+  * per-doc-DISTINCT shingles across the probe/train split with a
+  * document-frequency cap that drops boilerplate shingles — which is
+  * simultaneously the skew guard: no shingle's posting list exceeds the
+  * cap, so the join cannot produce a hot key.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Raw (non-distinct) word 3-gram list; whole-text fallback below 3
+    * tokens, mirroring [[Dedup.shingles3]] minus its dedup — repetition
+    * measurement needs the duplicates kept. */
+  private def rawShingles3(text: Column): Column =
+    bindOnce(toks(text)) { t =>
+      when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+                    element_at(t, i + 3))))
+        .otherwise(array(lower(text)))
+    }
+
+  /** E5 — repetition signals (the Gopher/C4 quality-filter family):
+    * duplicate-3-gram ratio and top-token ratio per document. Ratios are
+    * exact-integer divisions (bit-identical cross-engine). */
+  val extRepetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), rawShingles3(col("text")).as("gs"),
+              toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("gs")).as("n_3grams"),
+        size(array_distinct(col("gs"))).as("distinct_3grams"),
+        (lit(1.0) - size(array_distinct(col("gs"))).cast("double") /
+          size(col("gs"))).as("dup_3gram_ratio"),
+        (array_max(transform(array_distinct(col("tk")),
+            u => size(filter(col("tk"), x => x === u)))).cast("double") /
+          size(col("tk"))).as("top_token_ratio"))
+      .withColumn("is_repetitive",
+        col("dup_3gram_ratio") > 0.05 || col("top_token_ratio") > 0.2)
+      .orderBy(col("doc_id"))
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** E6 — PII scrub (C4-style cleanup): count and redact email/phone
+    * patterns. Counts are taken on the ORIGINAL text; redaction replaces
+    * emails first, then phone-shaped digit runs on the email-scrubbed
+    * text (pinned order — the two patterns can overlap). The scrubbed
+    * text itself is emitted as a sha256 so the oracle hash-checks the
+    * full transform without hauling text through the dump. */
+  val extPiiScrub: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .as("n_phones"),
+        sha2(regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"), 256).as("scrub_sha"))
+      .withColumn("pii_free", col("n_emails") === 0 && col("n_phones") === 0)
+      .orderBy(col("doc_id"))
+
+  /** E7 — TF-IDF top-3 terms per document over the whole corpus.
+    *
+    * The idf factor is RECIPROCAL, (N+1)/(df+1), not logarithmic: every
+    * score is then one IEEE division of exact integers — bit-identical
+    * across engines — where ln() is library-dependent in its last ulp
+    * and can flip a rank tie. Semantics differ: reciprocal idf boosts
+    * rare terms MORE aggressively than Lucene's 1+ln damping (which can
+    * prefer a high-tf common term — CurationSpec constructs the
+    * disagreement); corpora wanting the damped ranking use [[tfidfLog]]
+    * (spec-checked, not oracle-bound). */
+  val extTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfx, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") * (col("n_docs") + 1) / (col("df") + 1))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"),
+              col("rn").cast("int").as("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Lucene-style log-idf scoring (library form): tf · (1 + ln((N+1)/(df+1))).
+    * Same plan shape as [[extTfidf]]; kept out of the oracle because ln()
+    * is not bit-portable. */
+  def tfidfLog(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfx, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * (lit(1.0) +
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1))))
+          .as("score"))
+  }
+
+  /** E8 — train/test contamination: documents of the held-out `probe`
+    * source sharing word-3-gram shingles with any other source's
+    * documents (the overlap check run before training on any corpus with
+    * a benchmark slice in it). Shingles are per-doc distinct
+    * ([[Dedup.shingles3]]); shingles appearing in more than `maxDf` docs
+    * are dropped as boilerplate — which also caps every posting list, so
+    * the cross-set join has no skew by construction. */
+  def contamination(s: org.apache.spark.sql.SparkSession, d: String,
+                    probe: String, maxDf: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              explode(Dedup.shingles3(col("text"))).as("g"))
+    val ok = sh.groupBy(col("g")).agg(count(lit(1)).as("dfg"))
+      .filter(col("dfg") <= maxDf).select(col("g"))
+    val shOk = sh.join(ok, Seq("g"))
+    val test = shOk.filter(col("source") === probe)
+      .select(col("doc_id").as("test_doc"), col("g"))
+    val train = shOk.filter(col("source") =!= probe)
+      .select(col("doc_id").as("train_doc"), col("g"))
+    test.join(train, Seq("g"))
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
+  val extContamination: Q = (s, d) => contamination(s, d, "src0", 5)
+
+  val queries: Map[String, Q] = Map(
+    "ext_repetition" -> extRepetition,
+    "ext_pii_scrub" -> extPiiScrub,
+    "ext_tfidf" -> extTfidf,
+    "ext_contamination" -> extContamination)
+
+  // ---- oracle SQL --------------------------------------------------------
+
+  private val rawShinglesSql =
+    """CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |ELSE [lt] END""".stripMargin
+
+  private val distinctShinglesSql =
+    """CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |ELSE [lt] END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ext_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         |         lower(text) AS lt FROM documents),
+         |g AS (SELECT doc_id, toks, $rawShinglesSql AS gs FROM t)
+         |SELECT doc_id,
+         |  CAST(len(gs) AS INTEGER) AS n_3grams,
+         |  CAST(len(list_distinct(gs)) AS INTEGER) AS distinct_3grams,
+         |  1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS dup_3gram_ratio,
+         |  CAST(list_max(list_transform(list_distinct(toks),
+         |    u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)
+         |    AS top_token_ratio,
+         |  (1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) > 0.05
+         |    OR (CAST(list_max(list_transform(list_distinct(toks),
+         |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)) > 0.2
+         |    AS is_repetitive
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "ext_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS INTEGER) AS n_phones,
+        |  sha256(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_sha,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+        |  AND len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]')) = 0 AS pii_free
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY 1, 2),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, tok, tf, df, score, rn FROM (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
+        |    CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dfx.df + 1) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |      CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dfx.df + 1) DESC,
+        |      tf.tok) AS INTEGER) AS rn
+        |  FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN n)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "ext_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks,
+         |         lower(text) AS lt FROM documents),
+         |sh AS (SELECT doc_id, source, unnest($distinctShinglesSql) AS g FROM t),
+         |ok AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 5)
+         |SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE source = 'src0') a
+         |JOIN (SELECT doc_id, g FROM sh JOIN ok USING (g) WHERE source <> 'src0') b
+         |  USING (g)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
