@@ -106,6 +106,96 @@ object Multimodal {
     }
   }
 
+  /** Minimal PCM WAV codec (pure JVM, no dependencies). Layout per the
+    * public RIFF/WAVE spec: `RIFF` + riffSize + `WAVE`, then a chunk
+    * sequence — each `4-byte id + u32 size + payload (even-padded)`.
+    * The decoder WALKS the chunk list (it does not assume `fmt ` and
+    * `data` are adjacent), so the encoder deliberately inserts a junk
+    * `LIST` chunk between them to keep the walk honest. 16-bit
+    * little-endian PCM only. */
+  object Wav {
+
+    /** Encode `nTotal` 16-bit samples (interleaved across `channels`)
+      * produced by `sample(j)`, with a junk LIST chunk of `junkLen`
+      * payload bytes between `fmt ` and `data`. */
+    def encode(channels: Int, rate: Int, nTotal: Int, junkLen: Int,
+               sample: Int => Int): Array[Byte] = {
+      require(channels > 0 && rate > 0 && nTotal % channels == 0)
+      val junkPadded = junkLen + (junkLen & 1) // RIFF chunks are even-sized
+      val dataSize = nTotal * 2
+      val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(t: String): Unit = t.foreach(c => buf.put(c.toByte))
+      tag("RIFF"); buf.putInt(riffSize); tag("WAVE")
+      tag("fmt "); buf.putInt(16)
+      buf.putShort(1)                      // PCM
+        .putShort(channels.toShort)
+        .putInt(rate)
+        .putInt(rate * channels * 2)       // byte rate
+        .putShort((channels * 2).toShort)  // block align
+        .putShort(16)                      // bits per sample
+      tag("LIST"); buf.putInt(junkLen)
+      var j = 0
+      while (j < junkPadded) { buf.put(0x4C.toByte); j += 1 }
+      tag("data"); buf.putInt(dataSize)
+      var i = 0
+      while (i < nTotal) { buf.putShort(sample(i).toShort); i += 1 }
+      buf.array()
+    }
+
+    final case class Decoded(channels: Int, rate: Int, nFrames: Int,
+                             sumAbs: Long, peak: Int)
+
+    /** Validate the RIFF/WAVE envelope, walk chunks to find `fmt ` and
+      * `data` (skipping others with even-padding), then fold the sample
+      * array: Σ|s| and max|s|. None on bad magic, non-PCM, non-16-bit,
+      * a chunk overrun, or a data size not aligned to the frame size. */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tagAt(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tagAt(0) != "RIFF" || tagAt(8) != "WAVE") return None
+      val end = math.min(bytes.length.toLong, 8L + bb.getInt(4))
+      var off = 12L
+      var channels = -1; var rate = -1
+      var dataOff = -1L; var dataSize = -1
+      while (off + 8 <= end && (channels < 0 || dataOff < 0)) {
+        val id = tagAt(off.toInt)
+        val size = bb.getInt(off.toInt + 4)
+        if (size < 0 || off + 8 + size > end) return None
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val fmt = bb.getShort(off.toInt + 8)
+            channels = bb.getShort(off.toInt + 10)
+            rate = bb.getInt(off.toInt + 12)
+            val bits = bb.getShort(off.toInt + 22)
+            if (fmt != 1 || bits != 16 || channels <= 0 || rate <= 0)
+              return None
+          case "data" => dataOff = off + 8; dataSize = size
+          case _ => ()
+        }
+        off += 8 + size + (size & 1) // chunks are even-padded
+      }
+      if (channels <= 0 || dataOff < 0) return None
+      if (dataSize % (channels * 2) != 0) return None
+      val nTotal = dataSize / 2
+      var sumAbs = 0L; var peak = 0
+      var i = 0
+      while (i < nTotal) {
+        val v = bb.getShort((dataOff + 2L * i).toInt).toInt
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      Some(Decoded(channels, rate, nTotal / channels, sumAbs, peak))
+    }
+  }
+
   /** Deterministic payload dimensions: width from the doc's length
     * metadata, height from its id — small (≤ 12×7) but exercising every
     * row-padding residue (width mod 4 takes all values). */
@@ -144,7 +234,101 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Map[String, Q] = Map("ext_multimodal" -> extMultimodal)
+  /** E-mm audio — WAV/PCM pipeline: synthesize a real RIFF/WAVE payload
+    * per document (16-bit samples cycling the doc's UTF-8 bytes, centered
+    * at 128 and scaled to full int16 range; channel count, sample rate,
+    * junk-chunk length, and sample count all derived from doc metadata so
+    * every decoder branch — stereo frame alignment, chunk skipping, odd
+    * RIFF padding — is exercised), then decode it partition-wise and emit
+    * audio features: duration, Σ|sample|, peak. */
+  val extAudioFeatures: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val features = docs.as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tb = if (text == null) Array.empty[Byte]
+                 else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val ch = 1 + math.floorMod(id, 2L).toInt
+        val rate = 8000 * (1 + math.floorMod(id, 3L).toInt)
+        val n0 = 8 + tb.length + math.floorMod(id, 32L).toInt
+        val nTotal = n0 + n0 % ch
+        val junkLen = math.floorMod(id, 5L).toInt
+        val payload = Wav.encode(ch, rate, nTotal, junkLen,
+          j => if (tb.isEmpty) 0 else ((tb(j % tb.length) & 0xFF) - 128) * 256)
+        // decode back: the feature extraction under test
+        val dec = Wav.decode(payload).getOrElse(
+          sys.error(s"undecodable WAV for doc $id"))
+        val durationMs = dec.nFrames * 1000L / dec.rate
+        (id, dec.channels, dec.rate, dec.nFrames, durationMs, dec.sumAbs,
+         dec.peak)
+      }).toDF("doc_id", "channels", "sample_rate", "n_samp_frames",
+              "duration_ms", "sum_abs", "peak")
+    features.orderBy(col("doc_id"))
+  }
+
+  /** Per-frame widths for the multi-frame (video-like) container: frame
+    * i is a (1 + (nChars+i) mod 12) × (1 + docId mod 7) BMP, so frame
+    * SIZES differ and the container walk must parse each header's file
+    * size to advance — a misparse desynchronizes and fails loudly. */
+  private def frameWidths(docId: Long, nChars: Int): Array[Int] = {
+    val f = 1 + math.floorMod(docId, 4L).toInt
+    Array.tabulate(f)(i => 1 + math.floorMod(nChars + i, 12))
+  }
+
+  /** E-mm video — frame-sampling pipeline: the payload is a concatenation
+    * of per-frame BMPs (a video-as-frame-sequence container); the decode
+    * stage walks frame boundaries via each BMP's file-size header field,
+    * samples every 2nd frame, and decodes ONLY the sampled frames —
+    * the decode-what-you-keep shape of real frame sampling at scale,
+    * where skipped frames cost a header read, not a pixel walk. */
+  val extFrameSample: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
+    val features = docs.as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val tb = if (text == null) Array.empty[Byte]
+                 else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = 1 + math.floorMod(id, 7L).toInt
+        val pix = (i: Int) => if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
+        val container = frameWidths(id, nChars)
+          .map(w => Bmp.encode(w, h, pix))
+          .reduce(_ ++ _)
+        // decode: walk frame boundaries, decode every 2nd frame only
+        var off = 0
+        var idx = 0
+        var sampled = 0
+        var sumRgb = 0L
+        while (off < container.length) {
+          if (off + 6 > container.length ||
+              container(off) != 'B' || container(off + 1) != 'M')
+            sys.error(s"frame desync at $off for doc $id")
+          val bb = java.nio.ByteBuffer.wrap(container, off + 2, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val frameSize = bb.getInt
+          if (frameSize <= 0 || off + frameSize > container.length)
+            sys.error(s"bad frame size $frameSize at $off for doc $id")
+          if (idx % 2 == 0) {
+            val dec = Bmp.decode(
+              java.util.Arrays.copyOfRange(container, off, off + frameSize))
+              .getOrElse(sys.error(s"undecodable frame $idx for doc $id"))
+            sampled += 1
+            sumRgb += dec.sumRgb
+          }
+          off += frameSize
+          idx += 1
+        }
+        (id, idx, sampled, sumRgb, container.length)
+      }).toDF("doc_id", "n_frames", "n_sampled", "sum_rgb_sampled",
+              "total_bytes")
+    features.orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_multimodal" -> extMultimodal,
+    "ext_audio_features" -> extAudioFeatures,
+    "ext_frame_sample" -> extFrameSample)
 
   /** The oracle recomputes the decoder's outputs from the generator's
     * closed form: dimensions from (n_chars, doc_id); sum_rgb from the
@@ -177,5 +361,81 @@ object Multimodal {
         |        'sum'), 0)
         |  END AS BIGINT) AS sum_rgb,
         |  lang
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Closed form mirrors the WAV generator: sample j = (byte(j mod len)
+    // - 128) * 256, so Σ|s| over n_total cycled positions and max|s| are
+    // recomputed from the hex byte list; n_total/channels/rate/duration
+    // from the same doc-metadata derivations as the encoder.
+    "ext_audio_features" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+        |    coalesce(octet_length(encode(text)), 0) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, channels, sample_rate, len, hx,
+        |    (8 + len + doc_id % 32) + (8 + len + doc_id % 32) % channels
+        |      AS n_total
+        |  FROM h),
+        |b AS (
+        |  SELECT doc_id, channels, sample_rate, len, n_total,
+        |    list_transform(range(1, len + 1),
+        |      i -> abs(CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)
+        |             - 128) * 256) AS absv
+        |  FROM t)
+        |SELECT doc_id, channels, sample_rate,
+        |  CAST(n_total // channels AS INTEGER) AS n_samp_frames,
+        |  (n_total // channels) * 1000 // sample_rate AS duration_ms,
+        |  CAST(CASE WHEN len = 0 THEN 0 ELSE
+        |    (n_total // len) * coalesce(list_aggregate(absv, 'sum'), 0)
+        |    + coalesce(list_aggregate(
+        |        absv[1:CAST(n_total % len AS INTEGER)], 'sum'), 0)
+        |  END AS BIGINT) AS sum_abs,
+        |  CAST(CASE WHEN len = 0 THEN 0
+        |       ELSE list_aggregate(absv, 'max') END AS INTEGER) AS peak
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Closed form mirrors the container generator: frame i is a
+    // (1+(n_chars+i)%12) × (1+doc_id%7) BMP whose pixel stream cycles the
+    // text bytes from offset 0, so each sampled (even-index) frame's RGB
+    // sum is the per-frame cycle sum and total_bytes is Σ header+padded
+    // rows over ALL frames.
+    "ext_frame_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 4 AS INTEGER) AS f,
+        |    CAST(1 + doc_id % 7 AS INTEGER) AS height,
+        |    CAST(n_chars AS INTEGER) AS n_chars,
+        |    coalesce(octet_length(encode(text)), 0) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, f, height, n_chars, len,
+        |    list_transform(range(1, len + 1),
+        |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+        |  FROM h),
+        |w AS (
+        |  SELECT doc_id, f, height, len, bytes,
+        |    list_transform(range(0, f), i -> 1 + (n_chars + i) % 12) AS ws
+        |  FROM b)
+        |SELECT doc_id,
+        |  f AS n_frames,
+        |  CAST((f + 1) // 2 AS INTEGER) AS n_sampled,
+        |  CAST(CASE WHEN len = 0 THEN 0 ELSE
+        |    list_aggregate(list_transform(list_filter(range(0, f), i -> i % 2 = 0),
+        |      i -> (CAST(ws[i + 1] AS BIGINT) * height * 3 // len)
+        |             * coalesce(list_aggregate(bytes, 'sum'), 0)
+        |           + coalesce(list_aggregate(
+        |               bytes[1:CAST(CAST(ws[i + 1] AS BIGINT) * height * 3 % len AS INTEGER)],
+        |               'sum'), 0)), 'sum')
+        |  END AS BIGINT) AS sum_rgb_sampled,
+        |  CAST(list_aggregate(list_transform(ws,
+        |      w -> 54 + (w * 3 + (4 - (w * 3) % 4) % 4) * height), 'sum')
+        |    AS INTEGER) AS total_bytes
+        |FROM w ORDER BY doc_id""".stripMargin)
 }

@@ -99,6 +99,93 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((1, 3, 3, 0L))
   }
 
+  test("WAV codec: encode→decode round-trips format fields and sample stats") {
+    import graft.ops.Multimodal.Wav
+    for (ch <- Seq(1, 2); rate <- Seq(8000, 24000); junk <- 0 to 3) {
+      val n = 12 // divisible by both channel counts
+      val samples = Array.tabulate(n)(i => (i - 6) * 1000)
+      val enc = Wav.encode(ch, rate, n, junk, samples(_))
+      val dec = Wav.decode(enc).get
+      dec.channels shouldBe ch
+      dec.rate shouldBe rate
+      dec.nFrames shouldBe n / ch
+      dec.sumAbs shouldBe samples.map(s => math.abs(s).toLong).sum
+      dec.peak shouldBe 6000
+    }
+  }
+
+  test("WAV decode rejects malformed payloads instead of mis-reading them") {
+    import graft.ops.Multimodal.Wav
+    val good = Wav.encode(1, 8000, 4, 1, _ => 100)
+    Wav.decode(good).isDefined shouldBe true
+    Wav.decode(Array[Byte]()) shouldBe None                 // empty
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    Wav.decode(badMagic) shouldBe None
+    val notWave = good.clone(); notWave(8) = 'A'.toByte
+    Wav.decode(notWave) shouldBe None
+    val nonPcm = good.clone(); nonPcm(20) = 3.toByte        // fmt code
+    Wav.decode(nonPcm) shouldBe None
+    val eightBit = good.clone(); eightBit(34) = 8.toByte    // bits/sample
+    Wav.decode(eightBit) shouldBe None
+    Wav.decode(good.dropRight(1)) shouldBe None             // truncated data
+    // stereo data whose byte size is not a whole number of frames:
+    // patch the data-chunk size (last header field before the samples)
+    // from 8 to 6 — 6 bytes is 1.5 stereo frames
+    val oddStereo = Wav.encode(2, 8000, 4, 0, _ => 1)
+    java.nio.ByteBuffer.wrap(oddStereo)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(oddStereo.length - 12, 6)
+    Wav.decode(oddStereo) shouldBe None
+  }
+
+  test("audio pipeline: closed-form duration/sum/peak over the UTF-8 sample cycle") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val df = Seq((0L, "hello", "en", "s", 5L), (1L, "éxé", "fr", "s", 3L),
+                 (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/root/repo/target/scratch/wavspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.extAudioFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Int]("channels"), r.getAs[Int]("sample_rate"),
+          r.getAs[Int]("n_samp_frames"), r.getAs[Long]("duration_ms"),
+          r.getAs[Long]("sum_abs"), r.getAs[Int]("peak")))).toMap
+    // doc 0: ch=1, rate=8000, n_total=8+5+0=13; abs cycle over "hello"
+    val hAbs = "hello".getBytes("UTF-8").map(b => math.abs((b & 0xFF) - 128) * 256)
+    val sum0 = hAbs.map(_.toLong).sum * 2 + hAbs.take(3).map(_.toLong).sum
+    out(0L) shouldBe ((1, 8000, 13, 13L * 1000 / 8000, sum0, hAbs.max))
+    // doc 1: ch=2, rate=16000, n0=8+5+1=14 (even) → 7 stereo frames
+    val eAbs = "éxé".getBytes("UTF-8").map(b => math.abs((b & 0xFF) - 128) * 256)
+    val sum1 = eAbs.map(_.toLong).sum * 2 + eAbs.take(4).map(_.toLong).sum
+    out(1L) shouldBe ((2, 16000, 7, 0L, sum1, eAbs.max))
+    // doc 2: empty text -> silent samples
+    out(2L) shouldBe ((1, 24000, (8 + 2) / 1, 0L, 0L, 0))
+  }
+
+  test("frame-sample pipeline: walks frame boundaries, decodes only even frames") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // doc 3: f=1+3%4=4 frames, h=1+3%7=4, widths (5+i)%12+1 = 6,7,8,9
+    val df = Seq((3L, "hello", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/root/repo/target/scratch/framespec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.extFrameSample(spark, dir).collect().head
+    r.getAs[Int]("n_frames") shouldBe 4
+    r.getAs[Int]("n_sampled") shouldBe 2
+    val hb = "hello".getBytes("UTF-8").map(_ & 0xFF)
+    def cycleSum(m: Int): Long =
+      hb.map(_.toLong).sum * (m / 5) + hb.take(m % 5).map(_.toLong).sum
+    // sampled frames 0 (w=6) and 2 (w=8), h=4 → m = w*4*3
+    r.getAs[Long]("sum_rgb_sampled") shouldBe cycleSum(6 * 12) + cycleSum(8 * 12)
+    val widths = Seq(6, 7, 8, 9)
+    val expectBytes = widths.map { w =>
+      val rb = w * 3; 54 + (rb + (4 - rb % 4) % 4) * 4
+    }.sum
+    r.getAs[Int]("total_bytes") shouldBe expectBytes
+  }
+
   test("quality score is monotone in stopword pollution") {
     import spark.implicits._
     val rich = "the cat sat on the mat and the dog ran to the park in the sun"
