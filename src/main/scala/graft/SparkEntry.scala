@@ -25,6 +25,7 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Dedup.queries, Dedup.oracles),
     (Curation.queries, Curation.oracles),
+    (Sampling.queries, Sampling.oracles),
     (Similarity.queries, Similarity.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Advanced.queries, Advanced.oracles),

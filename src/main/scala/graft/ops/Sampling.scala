@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-composition operators for LLM-training-data pipelines
+  * (BASELINE.json extension mandate, sibling of [[Curation]]): stratified
+  * sampling, domain-mixture reweighting, and sequence packing. All three
+  * are deterministic — selection is driven by the engine-portable
+  * [[Dedup.hash60]] (md5-prefix) instead of a PRNG, so DuckDB replays
+  * every decision bit-for-bit and the driver hash-compares full results.
+  *
+  * Scale notes: `ext_stratified_sample` shuffles once on the stratum key
+  * and relies on Spark 4's WindowGroupLimit rewrite to turn the
+  * rank-≤-k filter into per-partition top-k heaps (no full stratum
+  * sort materialization). `ext_domain_mix` is a pure map stage plus a
+  * source-cardinality aggregate; the per-domain rates are DERIVED
+  * per-row (hash of the source name), not joined from a dim table, so
+  * there is nothing to broadcast. `ext_seq_pack` packs per-source, the
+  * sharded form used in practice: each source's running token total is
+  * an independent window, so parallelism = number of sources and no
+  * global ordering barrier exists (a single global pack would serialize
+  * the corpus through one partition — deliberately avoided).
+  */
+object Sampling {
+
+  private val ChunkTokens = 512
+
+  /** Portable decision hash, namespaced per operator so the three
+    * operators' choices are mutually independent. */
+  private def decide(ns: String, c: Column): Column =
+    Dedup.hash60(concat(lit(ns), c.cast("string")))
+
+  /** E9 — exact-k stratified sample: the k lexicographically-smallest
+    * decision hashes per source. Equivalent to uniform-without-
+    * replacement at fixed k per stratum, but replayable. */
+  val extStratifiedSample: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(decide("ss|", col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** E10 — domain-mixture reweighting: every doc keeps iff its decision
+    * hash mod 1000 clears the per-source rate (itself hash-derived, a
+    * stand-in for configured mixture weights). Emits per-source audit
+    * counts and the kept token mass — the numbers a mixture tuner reads. */
+  val extDomainMix: Q = (s, d) => {
+    val ratePm = pmod(decide("rate|", col("source")), lit(1000L)) % 800 + 100
+    val keep = pmod(decide("mix|", col("doc_id")), lit(1000L)) < col("rate_pm")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rate_pm", ratePm)
+      .withColumn("keep", keep)
+      .groupBy(col("source"), col("rate_pm"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** E11 — sequence packing (concat-then-chunk, the pretraining shape):
+    * docs are concatenated per source in doc_id order and cut into
+    * fixed-size token chunks; each doc learns its chunk id and whether
+    * it straddles a chunk boundary (= would be split across training
+    * sequences). Pure prefix-sum window — no driver state. */
+  val extSeqPack: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok").cast("long")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tok"),
+        (col("cum_tok") - col("n_tok")).as("start_pos"),
+        expr(s"(cum_tok - n_tok) div $ChunkTokens").as("chunk_id"),
+        (expr(s"(cum_tok - n_tok) div $ChunkTokens") =!=
+          expr(s"(cum_tok - 1) div $ChunkTokens")).as("straddles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_stratified_sample" -> extStratifiedSample,
+    "ext_domain_mix" -> extDomainMix,
+    "ext_seq_pack" -> extSeqPack)
+
+  // DuckDB replay of hash60 (15 hex digits of md5 → bigint), shared by
+  // the three oracles below.
+  private def h60(x: String): String =
+    s"""list_reduce(list_transform(range(1, 16), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ext_stratified_sample" ->
+      s"""SELECT doc_id, source, rn FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h60("'ss|' || doc_id")}, doc_id) AS INTEGER) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    "ext_domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ${h60("'rate|' || source")} % 1000 % 800 + 100 AS rate_pm,
+         |    ${h60("'mix|' || doc_id")} % 1000 <
+         |      ${h60("'rate|' || source")} % 1000 % 800 + 100 AS keep
+         |  FROM documents)
+         |SELECT source, rate_pm,
+         |  count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM t GROUP BY source, rate_pm ORDER BY source""".stripMargin,
+
+    "ext_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+         |    CAST(SUM(len(string_split(text, ' '))) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |  FROM documents)
+         |SELECT doc_id, source, n_tok,
+         |  cum_tok - n_tok AS start_pos,
+         |  (cum_tok - n_tok) // $ChunkTokens AS chunk_id,
+         |  (cum_tok - n_tok) // $ChunkTokens <> (cum_tok - 1) // $ChunkTokens
+         |    AS straddles
+         |FROM t ORDER BY doc_id""".stripMargin)
+}

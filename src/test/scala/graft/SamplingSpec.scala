@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+/** Behavior of the dataset-composition tier (stratified sample, domain
+  * mix, sequence packing) beyond the oracle hash-compare: invariants a
+  * value-equality check can't see, and the top-k plan rewrite. */
+class SamplingSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("stratified sample: exactly min(k, |stratum|) rows per source, stable across runs") {
+    val a = Sampling.extStratifiedSample(spark, dir).collect()
+    val b = Sampling.extStratifiedSample(spark, dir).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // deterministic, no PRNG
+    val perSource = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totals = graft.Tables.documents(spark, dir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      n shouldBe math.min(5L, totals(src))
+      // rn is dense 1..n within each stratum
+      a.filter(_.getString(1) == src).map(_.getInt(2)).sorted shouldBe
+        (1 to n).toArray
+    }
+  }
+
+  test("stratified sample plan uses the WindowGroupLimit top-k rewrite (no full-stratum sort kept)") {
+    val df = Sampling.extStratifiedSample(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
+  test("domain mix: audit rows reconcile with a direct per-doc replay") {
+    val out = Sampling.extDomainMix(spark, dir).collect()
+    out.foreach { r =>
+      val rate = r.getLong(1)
+      rate should be >= 100L
+      rate should be <= 899L
+      r.getLong(3) should be <= r.getLong(2) // kept <= total
+    }
+    // replay one source end-to-end with the same hash
+    val docs = graft.Tables.documents(spark, dir)
+    val src = out.head.getString(0)
+    val rate = out.head.getLong(1)
+    val kept = docs.where(col("source") === src)
+      .where(pmod(graft.ops.Dedup.hash60(
+        concat(lit("mix|"), col("doc_id").cast("string"))), lit(1000L)) < rate)
+      .count()
+    out.head.getLong(3) shouldBe kept
+  }
+
+  test("sequence packing: chunk ids are the prefix-sum cut of each source's token stream") {
+    val rows = Sampling.extSeqPack(spark, dir).collect()
+      .groupBy(_.getString(1))
+    rows.foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_.getLong(0))
+      var cum = 0L
+      inOrder.foreach { r =>
+        r.getLong(3) shouldBe cum // start_pos = tokens before this doc
+        val start = cum
+        cum += r.getInt(2)
+        r.getLong(4) shouldBe start / 512
+        r.getBoolean(5) shouldBe (start / 512 != (cum - 1) / 512)
+      }
+    }
+    // at least one doc must straddle a boundary for the flag to be tested
+    rows.values.flatten.count(_.getBoolean(5)) should be > 0
+  }
+}
