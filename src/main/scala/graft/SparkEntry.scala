@@ -26,6 +26,7 @@ object SparkEntry {
     (Dedup.queries, Dedup.oracles),
     (Curation.queries, Curation.oracles),
     (Sampling.queries, Sampling.oracles),
+    (Clustering.queries, Clustering.oracles),
     (Similarity.queries, Similarity.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (Advanced.queries, Advanced.oracles),

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: the step AFTER candidate-pair
+  * generation in every dedup pipeline — group near-dup pairs into
+  * connected components and elect one representative per cluster
+  * (min doc_id), so "drop the duplicates" becomes a single anti-join
+  * against the non-representatives.
+  *
+  * Algorithm: iterative min-label propagation. Each round unions the
+  * current labels with every node's neighbors' labels and takes the
+  * per-node min — ONE shuffle (groupBy node) per round, converging when
+  * the label multiset stops changing (witnessed by an exact decimal sum,
+  * which strictly decreases until fixpoint because labels only ever
+  * decrease). Rounds needed = graph diameter; near-dup clusters are
+  * dense (a duplicate family shares most band keys, so most pairs
+  * exist) and terminate in 2–4 rounds. For adversarially long chains
+  * the literature's fix is star-contraction (large-star/small-star,
+  * Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) which converges in O(log²) rounds with the same
+  * per-round shuffle shape — the loop below would swap its join for
+  * the two star steps without touching callers.
+  *
+  * Scale notes: state per round is one (node, label) pair per document
+  * — 16 bytes a row, shuffled on node; `localCheckpoint` truncates the
+  * growing lineage each round (on a cluster, prefer
+  * `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+  * executor-loss resilience). The driver sees only one scalar (the
+  * label sum) per round — no row data.
+  */
+object Clustering {
+
+  /** Min-label-propagation connected components.
+    * @param edges    (a, b) undirected edge list
+    * @param vertices single-column frame of all node ids (isolated nodes
+    *                 become singleton clusters)
+    * @return (node, label) with label = min node id in the component */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+                          maxIters: Int = 64): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    val vcol = vertices.columns.head
+    var labels = vertices.select(col(vcol).as("node"), col(vcol).as("label"))
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbr = sym.join(labels, sym("v") === labels("node"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // exact convergence witness: Σlabel as decimal (labels only
+      // decrease, so an unchanged sum means an unchanged assignment)
+      val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      done = prevSum != null && sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
+      labels = next
+      iter += 1
+    }
+    if (!done) sys.error(s"connectedComponents: no fixpoint in $maxIters rounds")
+    labels
+  }
+
+  /** E12 — near-dup cluster resolution over the MinHash-LSH candidate
+    * graph: every document labeled with its duplicate-cluster id (min
+    * doc_id reachable through band-sharing pairs), the cluster size, and
+    * whether it is the elected representative. */
+  val extDedupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Dedup.minhashSig(Dedup.shingles3(col("text"))).as("sig"))
+    val pairs = Dedup.minhashBandPairs(docs)
+    val labels = connectedComponents(pairs, docs.select(col("doc_id")))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+              col("cluster_size"),
+              (col("node") === col("label")).as("is_representative"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map("ext_dedup_clusters" -> extDedupClusters)
+
+  // The oracle replays the minhash banding bit-for-bit (same md5/perm
+  // constants as the ext_minhash_dedup oracle), then resolves components
+  // with a recursive transitive closure and takes min reachable id —
+  // tractable at test scale because near-dup clusters are tiny.
+  val oracles: Map[String, String] = Map(
+    "ext_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k, min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |e AS (SELECT da AS u, db AS v FROM pairs
+        |      UNION ALL SELECT db, da FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+        |cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM cl GROUP BY 1)
+        |SELECT node AS doc_id, cluster_id, cluster_size,
+        |  node = cluster_id AS is_representative
+        |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)
+}

@@ -119,20 +119,7 @@ object Dedup {
   val extMinhashDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), minhashSig(shingles3(col("text"))).as("sig"))
-    val bands = docs.select(
-      col("doc_id"),
-      posexplode(array((0 until 4).map { b =>
-        concat_ws(":", element_at(col("sig"), 4 * b + 1),
-                  element_at(col("sig"), 4 * b + 2),
-                  element_at(col("sig"), 4 * b + 3),
-                  element_at(col("sig"), 4 * b + 4))
-      }: _*)))
-      .toDF("doc_id", "band", "band_key")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val pairs = minhashBandPairs(docs)
     val candCounts = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
@@ -142,6 +129,29 @@ object Dedup {
               element_at(col("sig"), 2).as("sig1"),
               coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Banded-LSH candidate pairs (a < b, distinct) from a (doc_id, sig)
+    * frame: 4 bands of 4 signature slots, equality-joined on the
+    * ':'-joined band key — the same shape [[extMinhashDedup]] counts and
+    * [[Clustering.extDedupClusters]] clusters. Shuffles only
+    * (band, band_key, doc_id); never all-pairs. */
+  def minhashBandPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = docs.select(
+      col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        concat_ws(":", element_at(col("sig"), 4 * b + 1),
+                  element_at(col("sig"), 4 * b + 2),
+                  element_at(col("sig"), 4 * b + 3),
+                  element_at(col("sig"), 4 * b + 4))
+      }: _*)))
+      .toDF("doc_id", "band", "band_key")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
   }
 
   /** E2b — SimHash near-dup: 60-bit signature + 15-bit-band partner

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Clustering
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+class ClusteringSpec extends SparkSpec {
+
+  test("connectedComponents: chain graph needs multi-round propagation and converges to min id") {
+    import spark.implicits._
+    // 0-1-2-...-9 chain (diameter 9) plus isolated node 100
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val vertices = ((0L to 9L) :+ 100L).toDF("id")
+    val labels = Clustering.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(n => labels(n) shouldBe 0L)
+    labels(100L) shouldBe 100L // singleton keeps its own id
+  }
+
+  test("connectedComponents: two components stay separate, labels are component minima") {
+    import spark.implicits._
+    val edges = Seq((5L, 3L), (3L, 8L), (20L, 21L)).toDF("a", "b")
+    val vertices = Seq(3L, 5L, 8L, 20L, 21L).toDF("id")
+    val labels = Clustering.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("dedup clusters: planted duplicate family resolves to one representative") {
+    import spark.implicits._
+    // docs 0,1,2 are exact copies (identical shingles → identical minhash
+    // signature → all bands collide); docs 10, 11 are distinct texts
+    val family = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (0L, family), (1L, family), (2L, family),
+      (10L, "one completely different sentence about trains and delays"),
+      (11L, "yet another unrelated string of tokens for isolation"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/root/repo/target/scratch/ccspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Clustering.extDedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    out(0L) shouldBe ((0L, 3L, true))
+    out(1L) shouldBe ((0L, 3L, false))
+    out(2L) shouldBe ((0L, 3L, false))
+    // the distinct docs are singletons and their own representatives
+    out(10L)._2 shouldBe 1L
+    out(10L)._3 shouldBe true
+    out(11L)._2 shouldBe 1L
+    out(11L)._3 shouldBe true
+    // dropping non-representatives keeps exactly one copy of the family
+    out.values.count(_._3) shouldBe 3
+  }
+}
