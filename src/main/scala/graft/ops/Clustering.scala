@@ -40,10 +40,20 @@ object Clustering {
     * @return (node, label) with label = min node id in the component */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIters: Int = 64): DataFrame = {
+    // Materialize the symmetrized edge list ONCE — edges often carry an
+    // expensive lineage (here: the LSH band self-join), and the loop
+    // re-reads it every round.
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
     val vcol = vertices.columns.head
-    var labels = vertices.select(col(vcol).as("node"), col(vcol).as("label"))
+    val all = vertices.select(col(vcol).as("node"))
+    // Only edge-touched nodes can ever change label; isolated nodes are
+    // singleton clusters by definition and stay OUT of the loop. In a
+    // dedup graph the paired set is a small fraction of the corpus, so
+    // the per-round shuffle shrinks from |corpus| to |paired|.
+    val paired = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var labels = paired.select(col("node"), col("node").as("label"))
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
@@ -63,7 +73,9 @@ object Clustering {
       iter += 1
     }
     if (!done) sys.error(s"connectedComponents: no fixpoint in $maxIters rounds")
-    labels
+    labels.union(
+      all.join(paired, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label")))
   }
 
   /** E12 — near-dup cluster resolution over the MinHash-LSH candidate
