@@ -97,7 +97,31 @@ object Clustering {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Map[String, Q] = Map("ext_dedup_clusters" -> extDedupClusters)
+  /** E12b — embedding-space near-dup clusters: the same component
+    * resolution over the EXACT cosine pair graph (block-pair grid,
+    * threshold 0.35) — semantic-duplicate families rather than lexical
+    * ones. Composes [[Similarity.blockPairs]] (bounded-memory exact
+    * all-pairs) with [[connectedComponents]]; at 100 TB the pair source
+    * swaps to [[Similarity.neardupCandidatesLsh]] without touching the
+    * loop. */
+  val extEmbedClusters: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity.blockPairs(s, emb, blocks = 8)
+      .filter(col("cos") >= 0.35)
+      .select(col("a"), col("b"))
+    val labels = connectedComponents(pairs, emb.select(col("vec_id")))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"),
+              col("cluster_size"),
+              (col("node") === col("label")).as("is_representative"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_dedup_clusters" -> extDedupClusters,
+    "ext_embed_clusters" -> extEmbedClusters)
 
   // The oracle replays the minhash banding bit-for-bit (same md5/perm
   // constants as the ext_minhash_dedup oracle), then resolves components
@@ -142,5 +166,27 @@ object Clustering {
         |       FROM cl GROUP BY 1)
         |SELECT node AS doc_id, cluster_id, cluster_size,
         |  node = cluster_id AS is_representative
-        |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin)
+        |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "ext_embed_clusters" -> {
+      val cos = "list_aggregate(list_transform(list_zip(a.embedding, b.embedding), " +
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') / " +
+        "(sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * " +
+        "sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE $cos >= 0.35),
+         |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+         |cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1)
+         |SELECT node AS vec_id, cluster_id, cluster_size,
+         |  node = cluster_id AS is_representative
+         |FROM cl JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
+    })
 }

@@ -53,4 +53,24 @@ class ClusteringSpec extends SparkSpec {
     // dropping non-representatives keeps exactly one copy of the family
     out.values.count(_._3) shouldBe 3
   }
+
+  test("embed clusters: cosine-similar family clusters, orthogonal vector stays singleton") {
+    import spark.implicits._
+    // vecs 1,2,7 nearly parallel (cos ≈ 1 > 0.35); vec 9 orthogonal
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 0.05f, 0.1f)),
+      (7L, Array(1.1f, -0.02f, 0.12f)),
+      (9L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = "/root/repo/target/scratch/embccspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.ops.Clustering.extEmbedClusters(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((1L, 3L, true))
+    out(2L) shouldBe ((1L, 3L, false))
+    out(7L) shouldBe ((1L, 3L, false))
+    out(9L) shouldBe ((9L, 1L, true))
+  }
 }
