@@ -67,7 +67,10 @@ object Clustering {
       // decrease, so an unchanged sum means an unchanged assignment)
       val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
-      done = prevSum != null && sumNow.compareTo(prevSum) == 0
+      // a NULL sum means the paired set is empty (edge-free graph):
+      // there is nothing to propagate, fixpoint is immediate
+      done = sumNow == null ||
+        (prevSum != null && sumNow.compareTo(prevSum) == 0)
       prevSum = sumNow
       labels = next
       iter += 1

@@ -38,6 +38,60 @@ class PropertySpec extends SparkSpec {
       .map(n => graft.Tables.table(spark, d, n).count()).sum
   }
 
+  test("BMP and WAV codecs round-trip under random dims/formats (seeded sweep)") {
+    import graft.ops.Multimodal.{Bmp, Wav}
+    for (_ <- 1 to 60) {
+      val w = 1 + rng.nextInt(40); val h = 1 + rng.nextInt(20)
+      val pix = Array.fill(w * h * 3)(rng.nextInt(256))
+      val dec = Bmp.decode(Bmp.encode(w, h, pix(_))).get
+      (dec.width, dec.height, dec.sumRgb) shouldBe
+        ((w, h, pix.map(_.toLong).sum))
+    }
+    for (_ <- 1 to 60) {
+      val ch = 1 + rng.nextInt(3)
+      val frames = 1 + rng.nextInt(50)
+      val n = frames * ch
+      val rate = 1 + rng.nextInt(48000)
+      val junk = rng.nextInt(9)
+      val smp = Array.fill(n)(rng.nextInt(65536) - 32768)
+      val dec = Wav.decode(Wav.encode(ch, rate, n, junk, smp(_))).get
+      (dec.channels, dec.rate, dec.nFrames) shouldBe ((ch, rate, frames))
+      dec.sumAbs shouldBe smp.map(s => math.abs(s).toLong).sum
+      dec.peak shouldBe smp.map(math.abs).max
+    }
+  }
+
+  test("connectedComponents agrees with a reference union-find on random graphs") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val nV = 30 + rng.nextInt(40)
+      val nE = rng.nextInt(60)
+      val vertices = (0L until nV).toDF("id")
+      val edgeSeq = Seq.fill(nE)((rng.nextLong(nV), rng.nextLong(nV)))
+        .filter { case (a, b) => a != b }
+      val edges = if (edgeSeq.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+                  else edgeSeq.toDF("a", "b")
+      // reference: sequential union-find with path compression
+      val parent = Array.tabulate(nV)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until nV).map(v => v.toLong -> find(v).toLong).toMap
+      val got = graft.ops.Clustering.connectedComponents(edges, vertices)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"trial $trial (nV=$nV nE=${edgeSeq.size}): ") {
+        got shouldBe expect
+      }
+    }
+  }
+
   test("minhash estimated similarity tracks true jaccard within banding tolerance") {
     import spark.implicits._
     val words = Vector("alpha","beta","gamma","delta","epsilon","zeta","eta",
