@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Min-label-propagation connected components.
+    *
+    * NOTE: iterative — this runs EAGER Spark jobs at call time (the
+    * propagation loop plus its `localCheckpoint`s), not at first action
+    * on the returned frame; callers constructing a query around it (the
+    * two `ext_*_clusters` entries) pay the loop during construction.
+    *
     * @param edges    (a, b) undirected edge list
     * @param vertices single-column frame of all node ids (isolated nodes
     *                 become singleton clusters)
