@@ -70,6 +70,47 @@ object Multimodal {
     final case class Decoded(width: Int, height: Int, nPixels: Int,
                              sumRgb: Long)
 
+    /** Full pixel decode: headers validated as in [[decode]], pixel rows
+      * un-padded and flipped to TOP-DOWN channel order (w·h·3 bytes) —
+      * the layout resize/crop kernels consume. */
+    def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      decode(bytes).map { dec =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val off = bb.getInt(10)
+        val w = dec.width; val h = dec.height
+        val rowBytes = w * 3
+        val stride = rowBytes + ((4 - rowBytes % 4) % 4)
+        val out = new Array[Byte](w * h * 3)
+        var r = 0
+        while (r < h) { // storage row r is image row h-1-r (bottom-up)
+          System.arraycopy(bytes, off + r * stride, out,
+            (h - 1 - r) * rowBytes, rowBytes)
+          r += 1
+        }
+        (w, h, out)
+      }
+    }
+
+    /** Nearest-neighbor resize of a top-down RGB byte array. */
+    def resizeNN(w: Int, h: Int, pix: Array[Byte], w2: Int, h2: Int)
+        : Array[Byte] = {
+      val out = new Array[Byte](w2 * h2 * 3)
+      var ty = 0
+      while (ty < h2) {
+        val sy = ty * h / h2
+        var tx = 0
+        while (tx < w2) {
+          val sp = (sy * w + tx * w / w2) * 3
+          val dp = (ty * w2 + tx) * 3
+          out(dp) = pix(sp); out(dp + 1) = pix(sp + 1); out(dp + 2) = pix(sp + 2)
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
     /** Parse and validate the headers, walk the padded bottom-up pixel
       * array, return dimensions + the sum of all channel bytes (padding
       * EXCLUDED — including it is the classic BMP-walk bug, and the
@@ -325,10 +366,43 @@ object Multimodal {
     features.orderBy(col("doc_id"))
   }
 
+  /** E-mm resize — image downscale pipeline: decode the full pixel array
+    * (bottom-up walk → top-down buffer), nearest-neighbor resize to half
+    * dimensions (floor, min 1), emit resized stats. The resize output is
+    * deterministic byte sampling, so the oracle recomputes the exact
+    * resized RGB sum from the generator's closed form — a kernel that
+    * mis-mapped source coordinates (the classic NN off-by-one) would
+    * hash-mismatch. Decode and resize both run inside one
+    * `mapPartitions` pass: at 100 TB the payload column never leaves
+    * the executor and downstream carries only the small feature row. */
+  val extImageResize: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
+    docs.as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val tb = if (text == null) Array.empty[Byte]
+                 else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (w, h) = dims(id, nChars)
+        val payload = Bmp.encode(w, h,
+          i => if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF)
+        val (dw, dh, pix) = Bmp.decodePixels(payload).getOrElse(
+          sys.error(s"undecodable payload for doc $id"))
+        val w2 = math.max(dw / 2, 1); val h2 = math.max(dh / 2, 1)
+        val small = Bmp.resizeNN(dw, dh, pix, w2, h2)
+        var sum = 0L
+        var i = 0
+        while (i < small.length) { sum += small(i) & 0xFF; i += 1 }
+        (id, dw, dh, w2, h2, sum)
+      }).toDF("doc_id", "src_w", "src_h", "dst_w", "dst_h", "sum_rgb_resized")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_multimodal" -> extMultimodal,
     "ext_audio_features" -> extAudioFeatures,
-    "ext_frame_sample" -> extFrameSample)
+    "ext_frame_sample" -> extFrameSample,
+    "ext_image_resize" -> extImageResize)
 
   /** The oracle recomputes the decoder's outputs from the generator's
     * closed form: dimensions from (n_chars, doc_id); sum_rgb from the
@@ -437,5 +511,34 @@ object Multimodal {
         |  CAST(list_aggregate(list_transform(ws,
         |      w -> 54 + (w * 3 + (4 - (w * 3) % 4) % 4) * height), 'sum')
         |    AS INTEGER) AS total_bytes
-        |FROM w ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Closed form mirrors decode∘resize: top-down pixel p channel c holds
+    // byte (p*3+c) mod len of the text cycle; the NN kernel samples
+    // src = (ty·h/h2, tx·w/w2), so the resized sum re-indexes the same
+    // byte list at the sampled positions (tx and c flattened into k).
+    "ext_image_resize" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(1 + n_chars % 12 AS INTEGER) AS w,
+        |    CAST(1 + doc_id % 7 AS INTEGER) AS hh,
+        |    coalesce(octet_length(encode(text)), 0) AS len,
+        |    hex(encode(text)) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, hh, len,
+        |    greatest(w // 2, 1) AS w2, greatest(hh // 2, 1) AS h2,
+        |    list_transform(range(1, len + 1),
+        |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+        |  FROM h)
+        |SELECT doc_id, w AS src_w, hh AS src_h,
+        |  CAST(w2 AS INTEGER) AS dst_w, CAST(h2 AS INTEGER) AS dst_h,
+        |  CAST(CASE WHEN len = 0 THEN 0 ELSE
+        |    list_aggregate(flatten(list_transform(range(0, h2), ty ->
+        |      list_transform(range(0, w2 * 3), k ->
+        |        bytes[CAST((((ty * hh // h2) * w + (k // 3) * w // w2) * 3 + k % 3)
+        |          % len AS INTEGER) + 1]))), 'sum')
+        |  END AS BIGINT) AS sum_rgb_resized
+        |FROM b ORDER BY doc_id""".stripMargin)
 }

@@ -99,6 +99,25 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((1, 3, 3, 0L))
   }
 
+  test("decodePixels + resizeNN: un-pads, flips to top-down, samples nearest source pixel") {
+    import graft.ops.Multimodal.Bmp
+    // 4×2 image, channel bytes 0..23 in top-down order (w=4 → 12-byte
+    // rows need no padding; use w=3 for the padded case below)
+    val enc = Bmp.encode(4, 2, i => i)
+    val (w, h, pix) = Bmp.decodePixels(enc).get
+    (w, h) shouldBe ((4, 2))
+    pix.map(_ & 0xFF).toSeq shouldBe (0 until 24)
+    // identity resize is a no-op
+    Bmp.resizeNN(4, 2, pix, 4, 2).toSeq shouldBe pix.toSeq
+    // 2×1 downscale samples src (0,0) and (2,0): channels 0,1,2 and 6,7,8
+    Bmp.resizeNN(4, 2, pix, 2, 1).map(_ & 0xFF).toSeq shouldBe
+      Seq(0, 1, 2, 6, 7, 8)
+    // padded width: 3×2 rows are 9 bytes + 3 pad; decode must skip pad
+    val encP = Bmp.encode(3, 2, i => i + 100)
+    Bmp.decodePixels(encP).get._3.map(_ & 0xFF).toSeq shouldBe
+      (100 until 118)
+  }
+
   test("WAV codec: encode→decode round-trips format fields and sample stats") {
     import graft.ops.Multimodal.Wav
     for (ch <- Seq(1, 2); rate <- Seq(8000, 24000); junk <- 0 to 3) {
