@@ -40,7 +40,10 @@ object AB {
     }
     for (name <- names) {
       val ts = times(name).sorted
-      println(f"AB-SUMMARY $name min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f sf=$sfDir")
+      val med = // conventional midpoint average for even sample counts
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      println(f"AB-SUMMARY $name min=${ts.head}%.3f med=$med%.3f sf=$sfDir")
     }
     spark.stop()
   }

@@ -10,19 +10,22 @@ import org.apache.spark.sql.functions._
   * (min doc_id), so "drop the duplicates" becomes a single anti-join
   * against the non-representatives.
   *
-  * Algorithm: iterative min-label propagation. Each round unions the
+  * Algorithm: iterative min-label propagation WITH pointer jumping
+  * (Shiloach–Vishkin-style shortcutting). Each round (a) unions the
   * current labels with every node's neighbors' labels and takes the
-  * per-node min — ONE shuffle (groupBy node) per round, converging when
-  * the label multiset stops changing (witnessed by an exact decimal sum,
-  * which strictly decreases until fixpoint because labels only ever
-  * decrease). Rounds needed = graph diameter; near-dup clusters are
-  * dense (a duplicate family shares most band keys, so most pairs
-  * exist) and terminate in 2–4 rounds. For adversarially long chains
-  * the literature's fix is star-contraction (large-star/small-star,
-  * Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14) which converges in O(log²) rounds with the same
-  * per-round shuffle shape — the loop below would swap its join for
-  * the two star steps without touching callers.
+  * per-node min, then (b) shortcuts `label(n) := label(label(n))` —
+  * so the distance a label has travelled doubles per round and
+  * convergence is O(log n) rounds on ANY shape, including the long
+  * chains that pure propagation needs diameter-many rounds for
+  * (the alternative in the literature is large-star/small-star
+  * contraction, Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14 — same O(log²) bound, more moving parts).
+  * Convergence is witnessed by an exact decimal label sum, which
+  * strictly decreases until fixpoint because labels only ever
+  * decrease pointwise; `maxIters` is derived from the paired-node
+  * count (2·log₂ n + 8), a bound the doubling argument guarantees,
+  * so no input shape can hit a spurious abort. Dense near-dup
+  * clusters still terminate in 2–4 rounds.
   *
   * Scale notes: state per round is one (node, label) pair per document
   * — 16 bytes a row, shuffled on node; `localCheckpoint` truncates the
@@ -45,7 +48,7 @@ object Clustering {
     *                 become singleton clusters)
     * @return (node, label) with label = min node id in the component */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-                          maxIters: Int = 64): DataFrame = {
+                          maxIters: Int = 0): DataFrame = {
     // Materialize the symmetrized edge list ONCE — edges often carry an
     // expensive lineage (here: the LSH band self-join), and the loop
     // re-reads it every round.
@@ -59,15 +62,31 @@ object Clustering {
     // dedup graph the paired set is a small fraction of the corpus, so
     // the per-round shuffle shrinks from |corpus| to |paired|.
     val paired = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    // 2·log₂(n)+8 rounds provably suffice with pointer jumping (label
+    // reach doubles per round); the count is on the checkpointed frame,
+    // one cheap action. Explicit maxIters > 0 overrides (tests).
+    val bound =
+      if (maxIters > 0) maxIters
+      else 2 * (64 - java.lang.Long.numberOfLeadingZeros(paired.count() + 2)) + 8
     var labels = paired.select(col("node"), col("node").as("label"))
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
-    while (!done && iter < maxIters) {
+    while (!done && iter < bound) {
       val nbr = sym.join(labels, sym("v") === labels("node"))
         .select(col("u").as("node"), col("label"))
-      val next = labels.union(nbr)
+      val propagated = labels.union(nbr)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer jump: label(n) := label(label(n)). Labels are always ids
+      // of paired nodes, so the inner join finds every label's own row;
+      // label(y) <= y keeps the pointwise-decreasing invariant intact.
+      // (Renamed projection, not .as("x")/.as("y") aliases — the aliased
+      // self-join under the final union trips Catalyst constraint
+      // rewriting with a missing-attribute error.)
+      val ptr = propagated
+        .select(col("node").as("jn"), col("label").as("jl"))
+      val next = propagated.join(ptr, col("label") === col("jn"))
+        .select(col("node").as("node"), col("jl").as("label"))
         .localCheckpoint()
       // exact convergence witness: Σlabel as decimal (labels only
       // decrease, so an unchanged sum means an unchanged assignment)
@@ -81,7 +100,7 @@ object Clustering {
       labels = next
       iter += 1
     }
-    if (!done) sys.error(s"connectedComponents: no fixpoint in $maxIters rounds")
+    if (!done) sys.error(s"connectedComponents: no fixpoint in $bound rounds")
     labels.union(
       all.join(paired, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("label")))

@@ -129,8 +129,11 @@ object Multimodal {
       val planes = bb.getShort(26)
       val bpp = bb.getShort(28)
       val compression = bb.getInt(30)
+      // w bound keeps rowBytes/stride Int arithmetic overflow-free here and
+      // in decodePixels (which revalidates through this method); any real
+      // pixel array is further bounded by bytes.length via the check below
       if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
-          w <= 0 || h <= 0 || off < HeaderSize)
+          w <= 0 || h <= 0 || off < HeaderSize || w > (Int.MaxValue - 3) / 3)
         return None
       val rowBytes = w * 3
       val stride = rowBytes + ((4 - rowBytes % 4) % 4)
@@ -416,8 +419,8 @@ object Multimodal {
         |  SELECT doc_id, lang,
         |    CAST(1 + n_chars % 12 AS INTEGER) AS width,
         |    CAST(1 + doc_id % 7 AS INTEGER) AS height,
-        |    octet_length(encode(text)) AS len,
-        |    hex(encode(text)) AS hx
+        |    coalesce(octet_length(encode(text)), 0) AS len,
+        |    coalesce(hex(encode(text)), '') AS hx
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, lang, width, height, len,

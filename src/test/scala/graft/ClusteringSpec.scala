@@ -17,6 +17,20 @@ class ClusteringSpec extends SparkSpec {
     labels(100L) shouldBe 100L // singleton keeps its own id
   }
 
+  test("connectedComponents: 300-node chain converges in O(log n) rounds via pointer jumping") {
+    import spark.implicits._
+    // diameter 299 — pure min-label propagation would need ~299 rounds
+    // and round 3's fixed maxIters=64 aborted on shapes like this
+    // (round-3 advice); with pointer jumping the derived 2·log2(n)+8
+    // bound (~26 here) must be enough.
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val vertices = (0L to 299L).toDF("id")
+    val labels = Clustering.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.size shouldBe 300
+    labels.values.toSet shouldBe Set(0L)
+  }
+
   test("connectedComponents: two components stay separate, labels are component minima") {
     import spark.implicits._
     val edges = Seq((5L, 3L), (3L, 8L), (20L, 21L)).toDF("a", "b")

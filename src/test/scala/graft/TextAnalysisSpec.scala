@@ -72,6 +72,16 @@ class TextAnalysisSpec extends SparkSpec {
     Bmp.decode(badBpp) shouldBe None
     val compressed = good.clone(); compressed(30) = 1.toByte
     Bmp.decode(compressed) shouldBe None
+    // header-controlled width near Int.MaxValue/3: rowBytes = w*3 would
+    // overflow Int to negative, sneaking past the overrun check and
+    // "decoding" garbage (round-3 advice). Must be rejected, not decoded.
+    val hugeW = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(hugeW)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 800000000) // w: 800M * 3 overflows to negative Int
+    bb.putInt(22, 3)
+    Bmp.decode(hugeW) shouldBe None
+    Bmp.decodePixels(hugeW) shouldBe None
   }
 
   test("multimodal pipeline decodes real BMP payloads (UTF-8 byte cycle, empty text)") {
