@@ -80,14 +80,22 @@ object Clustering {
       // pointer jump: label(n) := label(label(n)). Labels are always ids
       // of paired nodes, so the inner join finds every label's own row;
       // label(y) <= y keeps the pointwise-decreasing invariant intact.
+      // Applied only from round 3 on: dense dedup graphs (diameter 1–2)
+      // converge before then and skip the extra join+shuffle entirely
+      // (A/B: unconditional jumping cost ~1 s/query at sf0.1), while a
+      // long chain still gets doubling reach = O(log n) rounds overall.
       // (Renamed projection, not .as("x")/.as("y") aliases — the aliased
       // self-join under the final union trips Catalyst constraint
       // rewriting with a missing-attribute error.)
-      val ptr = propagated
-        .select(col("node").as("jn"), col("label").as("jl"))
-      val next = propagated.join(ptr, col("label") === col("jn"))
-        .select(col("node").as("node"), col("jl").as("label"))
-        .localCheckpoint()
+      val jumped =
+        if (iter < 2) propagated
+        else {
+          val ptr = propagated
+            .select(col("node").as("jn"), col("label").as("jl"))
+          propagated.join(ptr, col("label") === col("jn"))
+            .select(col("node").as("node"), col("jl").as("label"))
+        }
+      val next = jumped.localCheckpoint()
       // exact convergence witness: Σlabel as decimal (labels only
       // decrease, so an unchanged sum means an unchanged assignment)
       val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))

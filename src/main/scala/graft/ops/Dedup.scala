@@ -136,9 +136,13 @@ object Dedup {
     * ':'-joined band key — the same shape [[extMinhashDedup]] counts and
     * [[Clustering.extDedupClusters]] clusters. Shuffles only
     * (band, band_key, doc_id); never all-pairs. */
-  def minhashBandPairs(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val bands = docs.select(
+  /** (doc_id, band, band_key) from a (doc_id, sig) frame: 4 bands of 4
+    * signature slots, ':'-joined — the LSH bucketing both the self-join
+    * ([[minhashBandPairs]]) and the cross-corpus join
+    * ([[extIncrementalDedup]]) hang off. */
+  def bandKeys(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(
       col("doc_id"),
       posexplode(array((0 until 4).map { b =>
         concat_ws(":", element_at(col("sig"), 4 * b + 1),
@@ -147,11 +151,57 @@ object Dedup {
                   element_at(col("sig"), 4 * b + 4))
       }: _*)))
       .toDF("doc_id", "band", "band_key")
+
+  def minhashBandPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = bandKeys(docs)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** E13 — incremental (cross-corpus) near-dedup: the arriving-batch
+    * shape of every production dedup pipeline — dedupe NEW documents
+    * against an EXISTING corpus without re-pairing the corpus with
+    * itself. New batch = doc_id % 5 == 0 (a deterministic 20% stand-in
+    * for "today's crawl"); a new doc is dropped iff it shares a MinHash
+    * LSH band with any existing doc. The band join is new-side ×
+    * old-side only — no old×old pairs are ever generated, which is the
+    * entire point at 100 TB: per-increment cost scales with the batch,
+    * not the corpus. Corpus band keys would be a precomputed, bucketed
+    * table in a deployment; the signature recompute here is the
+    * self-contained equivalent. */
+  val extIncrementalDedup: Q = (s, d) =>
+    incrementalDedup(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      col("doc_id") % 5 === 0)
+      .orderBy(col("doc_id"))
+
+  /** Core of [[extIncrementalDedup]], injectable for specs: `docs` needs
+    * (doc_id, text); `isNew` splits the arriving batch from the corpus.
+    * Returns one row per NEW doc: (doc_id, n_old_matches, kept). */
+  def incrementalDedup(docs: org.apache.spark.sql.DataFrame,
+                       isNew: Column): org.apache.spark.sql.DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), isNew.as("is_new"),
+              minhashSig(shingles3(col("text"))).as("sig"))
+    val bands = bandKeys(sigs.select(col("doc_id"), col("sig")))
+      .join(sigs.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+    val newB = bands.filter(col("is_new"))
+    val oldB = bands.filter(!col("is_new"))
+      .select(col("band").as("ob"), col("band_key").as("obk"),
+              col("doc_id").as("old_id"))
+    val matches = newB.join(oldB,
+        col("band") === col("ob") && col("band_key") === col("obk"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("old_id")).as("n_old_matches"))
+    docs.select(col("doc_id")).filter(isNew)
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_old_matches"), lit(0L)).as("n_old_matches"))
+      .withColumn("kept", col("n_old_matches") === 0L)
   }
 
   /** E2b — SimHash near-dup: 60-bit signature + 15-bit-band partner
@@ -399,7 +449,8 @@ object Dedup {
     "ext_minhash_dedup" -> extMinhashDedup,
     "ext_simhash_dedup" -> extSimhashDedup,
     "ext_ngram_jaccard" -> extNgramJaccard,
-    "ext_trigram_jaccard" -> extTrigramJaccard)
+    "ext_trigram_jaccard" -> extTrigramJaccard,
+    "ext_incremental_dedup" -> extIncrementalDedup)
 
   val oracles: Map[String, String] = Map(
     // full signature/banding/candidate replay — possible because hash60 is
@@ -439,6 +490,42 @@ object Dedup {
         |SELECT s01.doc_id, sig0, sig1,
         |  COALESCE(n_candidates, CAST(0 AS BIGINT)) AS n_candidates
         |FROM s01 LEFT JOIN cand USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // same banding replay as ext_minhash_dedup, joined new-side (doc_id
+    // % 5 = 0) against old-side only
+    "ext_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k, min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |m AS (SELECT x.doc_id, CAST(count(DISTINCT y.doc_id) AS BIGINT) AS n_old_matches
+        |  FROM bk x JOIN bk y
+        |    ON x.band = y.band AND x.band_key = y.band_key
+        |   AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_old_matches, CAST(0 AS BIGINT)) AS n_old_matches,
+        |  COALESCE(n_old_matches, 0) = 0 AS kept
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
     "ext_simhash_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t

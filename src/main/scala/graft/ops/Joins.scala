@@ -196,7 +196,50 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** J10 — SCD2 (slowly-changing-dimension type 2) merge: the immutable
+    * re-expression of the reference's `ON CONFLICT DO UPDATE` dimension
+    * upserts (`sql/load_gtfs_data.sql` upsert blocks) with history kept.
+    * An update batch (deterministic stand-in: every 7th customer moves
+    * segment and gains 100.0 balance) closes the prior version
+    * (`is_current = false`) and appends version 2; untouched keys keep
+    * their open version-1 row.
+    *
+    * Plan shape: one semi- and one anti-join of the dimension against
+    * the update keys plus a union — all on the same key, and the update
+    * batch is the small side, so AQE broadcasts it and the dimension is
+    * scanned twice without shuffling (at 100 TB: two broadcast probes of
+    * a daily change set over a partitioned dim, then a partition
+    * overwrite — no MERGE engine required, same result). */
+  val joinScd2Merge: Q = (s, d) => {
+    val cur = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = cur.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+              (col("c_acctbal") + 100.0).as("c_acctbal"),
+              lit("MIGRATED").as("c_mktsegment"))
+    scd2Merge(cur, updates, "c_custkey")
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  /** Core of [[joinScd2Merge]], injectable for specs: `cur` is the open
+    * version-1 dimension, `updates` the change batch (same schema);
+    * changed keys get their v1 row closed and a v2 row appended. */
+  def scd2Merge(cur: org.apache.spark.sql.DataFrame,
+                updates: org.apache.spark.sql.DataFrame,
+                key: String): org.apache.spark.sql.DataFrame = {
+    val keys = updates.select(col(key))
+    val payload = cur.columns.filterNot(_ == key)
+    def shaped(df: org.apache.spark.sql.DataFrame, version: Int,
+               isCurrent: org.apache.spark.sql.Column) =
+      df.select(col(key) +: lit(version).as("version") +:
+        payload.map(col) :+ isCurrent.as("is_current"): _*)
+    shaped(cur.join(keys, Seq(key), "left_semi"), 1, lit(false))
+      .unionByName(shaped(cur.join(keys, Seq(key), "left_anti"), 1, lit(true)))
+      .unionByName(shaped(updates, 2, lit(true)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_scd2_merge" -> joinScd2Merge,
     "join_inner_equi" -> joinInnerEqui,
     "join_star_5way" -> joinStar5way,
     "join_left" -> joinLeft,
@@ -209,6 +252,22 @@ object Joins {
     "join_update_from" -> joinUpdateFrom)
 
   val oracles: Map[String, String] = Map(
+    "join_scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+        |    'MIGRATED' AS c_mktsegment
+        |  FROM cur WHERE c_custkey % 7 = 0)
+        |SELECT c_custkey, CAST(1 AS INTEGER) AS version, c_acctbal,
+        |  c_mktsegment,
+        |  c_custkey NOT IN (SELECT c_custkey FROM upd) AS is_current
+        |FROM cur
+        |UNION ALL
+        |SELECT c_custkey, CAST(2 AS INTEGER) AS version, c_acctbal,
+        |  c_mktsegment, TRUE AS is_current
+        |FROM upd
+        |ORDER BY c_custkey, version""".stripMargin,
     "join_inner_equi" ->
       s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
          |  ${dsumSql("l_quantity")} AS sum_qty

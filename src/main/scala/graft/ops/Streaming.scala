@@ -15,7 +15,9 @@ object Streaming {
     "stream_sessionize" -> ((s, d) => EventsStream.sessionStats(s, d)),
     "stream_running_max" -> ((s, d) => EventsStream.runningMaxQuery(s, d)),
     "stream_incremental_daily" ->
-      ((s, d) => EventsStream.incrementalDailyQuery(s, d)))
+      ((s, d) => EventsStream.incrementalDailyQuery(s, d)),
+    "stream_enrich_join" -> ((s, d) => EventsStream.enrichJoin(s, d)),
+    "stream_interval_join" -> ((s, d) => EventsStream.intervalJoin(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly_agg" ->
@@ -37,6 +39,23 @@ object Streaming {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream-static broadcast enrich drained to completion == batch join
+    "stream_enrich_join" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stream-stream interval join drained == batch interval self-join
+    "stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
     // gap-method sessionization: new session iff gap >= 30 min (matches
     // session_window's half-open [start, last+gap) semantics)
     "stream_sessionize" ->

@@ -143,7 +143,42 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** W10 — batch gap-sessionization at session grain: the window-function
+    * twin of the streaming `session_window` entry (stream_sessionize
+    * checks the per-user rollup; this one pins each session's boundaries).
+    * New session iff the gap since the previous event is >= 30 min —
+    * compared as a timestamp difference against an interval literal, NOT
+    * truncated seconds, so both engines cut sessions at identical
+    * microsecond gaps. Scale shape: one shuffle on user_id, then two
+    * stacked windows over the same partitioning (Catalyst plans a single
+    * sort) and a hash aggregate — no second shuffle. */
+  val winSessionizeGap: Q = (s, d) =>
+    sessionizeByGap(Tables.events(s, d).select("user_id", "ts", "event_id"))
+
+  /** Core of [[winSessionizeGap]], injectable for boundary specs: input
+    * needs (user_id, ts, event_id). New session iff gap >= `gap`. */
+  def sessionizeByGap(events: org.apache.spark.sql.DataFrame,
+                      gap: String = "INTERVAL 30 MINUTES")
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+             col("ts") - lag(col("ts"), 1).over(w) >= expr(gap), 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_sessionize_gap" -> winSessionizeGap,
     "win_lag" -> winLag,
     "win_row_number" -> winRowNumber,
     "win_dense_rank" -> winDenseRank,
@@ -155,6 +190,22 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    "win_sessionize_gap" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flags)
+        |SELECT user_id, sid, min(ts) AS session_start,
+        |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "win_lag" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  lag(o_totalprice, 1) OVER w AS prev_price,

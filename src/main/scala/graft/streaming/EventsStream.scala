@@ -244,6 +244,86 @@ object EventsStream {
     }
   }
 
+  /** ST6 — stream-static enrich join: the streaming fact joined mid-stream
+    * to a STATIC dimension (customer→nation, the reference's
+    * trips→routes enrichment shape, `sql/analysis_queries.sql` joins),
+    * then aggregated per nation. The static side is a bounded dim so it
+    * is explicitly broadcast — every micro-batch probes the same
+    * executor-resident hash map, no shuffle of the stream side at any
+    * scale; Spark re-plans the static side per batch, picking up dim
+    * updates between batches (the streaming analogue of a dimension
+    * cache refresh). Complete mode + AvailableNow drains to the batch
+    * equivalent — the oracle SQL. */
+  def enrichJoin(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
+      val cust = s.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = s.read.parquet(s"$sfDir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val dim = broadcast(
+        cust.join(nation, cust("c_nationkey") === nation("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")))
+      val q = readEvents(s, sfDir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .select(col("n_name"), col("n_events"),
+                col("sum_value").cast("double").as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_stream_enrich")
+        .outputMode("complete")
+        .option("checkpointLocation", scratch("enrich_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_enrich").orderBy(col("n_name"))
+    }
+  }
+
+  /** ST7 — stream-stream interval join: click events joined to purchase
+    * events of the same user within [click_ts, click_ts + 30 min] — the
+    * attribution-window shape. Both sides carry watermarks and the join
+    * condition bounds event time BOTH ways, so each side's buffered
+    * state is GC'd once the other side's watermark passes the window:
+    * state is ~1.5 h of events per side at any scale, not history.
+    * Append mode (the only mode stream-stream joins support) drained
+    * with AvailableNow equals the batch interval self-join — the oracle
+    * SQL. Match grain output (one row per qualifying pair), total-ordered
+    * on all three ids. */
+  def intervalJoin(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
+      val clicks = readEvents(s, sfDir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = readEvents(s, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+                col("click_ts").cast("timestamp_ntz").as("click_ts"),
+                col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_stream_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", scratch("attrib_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_attrib")
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }
+  }
+
   /** Arbitrary stateful processing (SURVEY §2.10 ST3 custom-state path):
     * per-event_type running maximum of `value` across micro-batches via
     * `flatMapGroupsWithState` — emits (event_type, batch_max, running_max)

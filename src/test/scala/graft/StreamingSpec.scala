@@ -133,4 +133,38 @@ class StreamingSpec extends SparkSpec {
     streamed.getLong(0) shouldBe batch.getLong(0)
     streamed.getLong(1) shouldBe batch.getLong(1)
   }
+
+  test("stream-static enrich join equals batch join+aggregate") {
+    val streamed = EventsStream.enrichJoin(spark, sf("sf0.001"))
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+    val nat = spark.read.parquet(sf("sf0.001") + "/nation.parquet")
+    val batch = ev.join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_events"))
+    val sMap = streamed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bMap = batch.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sMap shouldBe bMap
+    sMap.nonEmpty shouldBe true
+  }
+
+  test("stream-stream interval join: window is inclusive at both bounds, per-user only") {
+    val out = EventsStream.intervalJoin(spark, sf("sf0.001")).collect()
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+      // microsecond precision — a millis-grain reference could silently
+      // agree on a boundary the micros comparison decides differently
+      .select(col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("us"),
+              col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val purchases = ev.filter(_._4 == "purchase")
+    // independent reference: brute-force pairs within [0, 30 min]
+    val expect = (for {
+      c <- clicks; p <- purchases
+      if c._3 == p._3 && p._2 >= c._2 && p._2 <= c._2 + 30L * 60 * 1000000
+    } yield (c._3, c._1, p._1)).toSet
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe expect
+    expect.nonEmpty shouldBe true // fixture actually exercises the window
+  }
 }
