@@ -65,13 +65,78 @@ object Extras {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
       .orderBy(col("l_returnflag"))
 
+  /** Time-series resample to an hourly grid + forward fill — the
+    * gap-filling shape every sensor/telemetry pipeline needs (the
+    * reference's hourly weather series implicitly assumes a dense grid;
+    * this makes sparse→dense explicit). Per event_type: a dense hour
+    * series over the corpus span (cross join of the distinct-types
+    * frame with ONE sequence-exploded row — both sides tiny), left join
+    * of per-hour aggregates, then `last(value, ignoreNulls)` over an
+    * unbounded-preceding window per type to carry the last observed
+    * hourly average across gap hours.
+    *
+    * Scale shape: grid rows = types × hours (grows with time span, not
+    * event volume); the heavy side aggregates BEFORE the grid join, so
+    * events shuffle once into (type, hour) partials; the ffill window
+    * partitions by type over already-tiny grid rows. Hour averages are
+    * decimal-sum / count so the carried values are bit-identical across
+    * engines. */
+  val fnResampleFfill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+              col("value"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sv"))
+      .select(col("event_type"), col("h"), col("n_events"),
+              (col("sv").cast("double") / col("n_events")).as("v"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(
+        ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"),
+                                   expr("INTERVAL 1 HOUR"))).as("h")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+              // date_trunc yields TZ TimestampType; re-badge NTZ at the
+              // edge so the parquet dump matches the oracle's naive ts
+              col("h").cast("timestamp_ntz").as("hour_start"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              last(col("v"), ignoreNulls = true).over(w).as("value_ffill"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_resample_ffill" -> fnResampleFfill,
     "win_first_last" -> winFirstLast,
     "set_intersect_except" -> setIntersectExcept,
     "agg_pivot" -> aggPivot,
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "fn_resample_ffill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(date_trunc('hour', ts)) AS mn,
+        |         max(date_trunc('hour', ts)) AS mx
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |              FROM bounds) g)
+        |SELECT grid.event_type, grid.h AS hour_start,
+        |  COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY grid.event_type
+        |    ORDER BY grid.h ROWS UNBOUNDED PRECEDING) AS value_ffill
+        |FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type
+        |  AND grid.h = hourly.h
+        |ORDER BY 1, 2""".stripMargin,
     // the portable spelling of PIVOT: conditional aggregation
     "agg_pivot" ->
       """SELECT l_returnflag,

@@ -54,9 +54,28 @@ object SqlSurface {
       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize —
+    * both already entries via `agg_rollup`/`agg_cube`): per-(status,
+    * priority), per-status, and grand-total in ONE scan with partial
+    * aggregation before the expand — not three queries unioned.
+    * `GROUPING()` disambiguates a genuine NULL group key from a
+    * summarized one, exactly as the rollup/cube entries do. */
+  val sqlGroupingSets: Q = q("orders")(
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+      .stripMargin)
+
   val queries: Map[String, Q] = Map(
     "sql_pricing_summary" -> sqlPricingSummary,
-    "sql_correlated_subquery" -> sqlCorrelatedSubquery)
+    "sql_correlated_subquery" -> sqlCorrelatedSubquery,
+    "sql_grouping_sets" -> sqlGroupingSets)
 
   val oracles: Map[String, String] = Map(
     "sql_pricing_summary" ->
@@ -75,5 +94,16 @@ object SqlSurface {
         |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
         |         count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
+        .stripMargin)
 }

@@ -122,7 +122,61 @@ object TextAnalysis {
       .withColumn("n_norm_chars", length(col("norm_text")))
       .orderBy(col("doc_id"))
 
+  /** E17 — BM25 ranked retrieval for a fixed 3-term query
+    * ("hash join vector"), k1 = 1.2, b = 0.75: the relevance-scoring
+    * sibling of [[Curation]]'s TF-IDF — doc-length-normalized term
+    * saturation, the standard lexical-retrieval primitive a curation
+    * stack uses for targeted corpus slicing. Per-term scores are summed
+    * in FIXED term order (s1+s2+s3 literally) and rounded to 6 places on
+    * both engines, so ranking ties are decided identically; doc_id
+    * breaks residual ties.
+    *
+    * Scale shape: tf comes from one explode+filter+groupBy on the
+    * matching tokens only (3-term IN filter prunes before the shuffle);
+    * df/N/avglen are three scalar aggregates carried on a broadcast
+    * single-row frame; final ranking is TakeOrderedAndProject. Nothing
+    * driver-side, nothing all-pairs. */
+  val extBm25: Q = (s, d) => {
+    val terms = Seq("hash", "join", "vector")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val lens = docs.select(col("doc_id"), size(col("toks")).as("len"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) -> pivot to fixed columns tf1..tf3
+    val tfw = lens
+      .join(tf.groupBy(col("doc_id"))
+              .pivot("t", terms).agg(first(col("tf"))),
+            Seq("doc_id"), "left")
+    // corpus stats: N, avglen, and per-term df, all on ONE broadcast row
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      tf.filter(col("t") === t)
+        .agg(count(lit(1)).cast("double").as(s"df$i"))
+    }.reduce(_.crossJoin(_))
+    val const = broadcast(stats.crossJoin(dfs))
+    def idf(dfc: Column) =
+      log((col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0)
+    def term(tfc: Column, dfc: Column) = {
+      val tfv = coalesce(tfc.cast("double"), lit(0.0))
+      idf(dfc) * (tfv * (1.2 + 1.0)) /
+        (tfv + lit(1.2) * (lit(1.0 - 0.75) +
+           lit(0.75) * col("len") / col("avglen")))
+    }
+    tfw.crossJoin(const)
+      .select(col("doc_id"),
+              round(term(col(terms(0)), col("df0")) +
+                    term(col(terms(1)), col("df1")) +
+                    term(col(terms(2)), col("df2")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_bm25" -> extBm25,
     "ext_text_stats" -> extTextStats,
     "ext_lang_id" -> extLangId,
     "ext_quality_score" -> extQualityScore,
@@ -135,6 +189,39 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(
+    // same formula, same fixed term order, same round(…, 6); ln (natural
+    // log — DuckDB's log() is log10) matches Spark's log()
+    "ext_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |lens AS (SELECT doc_id, len(tk) AS len FROM toks),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+        |  WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len) AS DOUBLE) / count(*) AS avglen
+        |  FROM lens),
+        |dfs AS (SELECT
+        |  CAST((SELECT count(*) FROM tf WHERE t = 'hash') AS DOUBLE) AS df0,
+        |  CAST((SELECT count(*) FROM tf WHERE t = 'join') AS DOUBLE) AS df1,
+        |  CAST((SELECT count(*) FROM tf WHERE t = 'vector') AS DOUBLE) AS df2),
+        |tfw AS (
+        |  SELECT l.doc_id, l.len,
+        |    CAST(coalesce(max(CASE WHEN t = 'hash' THEN tf END), 0) AS DOUBLE) AS tf0,
+        |    CAST(coalesce(max(CASE WHEN t = 'join' THEN tf END), 0) AS DOUBLE) AS tf1,
+        |    CAST(coalesce(max(CASE WHEN t = 'vector' THEN tf END), 0) AS DOUBLE) AS tf2
+        |  FROM lens l LEFT JOIN tf ON tf.doc_id = l.doc_id GROUP BY 1, 2)
+        |SELECT doc_id, round(
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * (1.2 + 1.0))
+        |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))
+        |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0))
+        |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))
+        |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0))
+        |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen)), 6) AS score
+        |FROM tfw CROSS JOIN stats CROSS JOIN dfs
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "ext_text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
