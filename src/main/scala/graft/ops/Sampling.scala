@@ -86,10 +86,58 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** E18 — sliding-window chunking WITH overlap (window 128 tokens,
+    * stride 96): the retrieval/pretraining complement of [[extSeqPack]]'s
+    * disjoint concat-then-chunk — each document yields
+    * ⌈n_tok/stride⌉-ish overlapping chunks carrying their actual text.
+    * Pure per-row explode: no shuffle at all until the presentation
+    * sort; chunk count scales with token mass, each chunk built by an
+    * array slice on the executor. */
+  val extChunkOverlap: Q = (s, d) => {
+    val win = 128
+    val stride = 96
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .select(col("doc_id"), col("n_tok"), col("tk"),
+              posexplode(sequence(lit(0), col("n_tok") - 1, lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_tok")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+              least(lit(win), col("n_tok") - col("start_tok"))
+                .as("n_chunk_tok"),
+              concat_ws(" ",
+                slice(col("tk"), col("start_tok") + 1, lit(win)))
+                .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** E19 — dataset card: the per-language corpus summary every dataset
+    * release ships (docs, sources, token mass, exact-dup incidence).
+    * One window over text (the dup probe shuffles 32-byte-hash-sized
+    * keys conceptually; here the text key itself — at 100 TB swap the
+    * partition key for sha2(text) with identical grouping) and one
+    * aggregate to language grain. */
+  val extDatasetCard: Q = (s, d) => {
+    val w = Window.partitionBy(col("text"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+              size(split(col("text"), " ")).as("n_tok"), col("text"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           count_distinct(col("source")).as("n_sources"),
+           sum(col("n_tok").cast("long")).as("total_tokens"),
+           sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_stratified_sample" -> extStratifiedSample,
     "ext_domain_mix" -> extDomainMix,
-    "ext_seq_pack" -> extSeqPack)
+    "ext_seq_pack" -> extSeqPack,
+    "ext_chunk_overlap" -> extChunkOverlap,
+    "ext_dataset_card" -> extDatasetCard)
 
   // DuckDB replay of hash60 (15 hex digits of md5 → bigint), shared by
   // the three oracles below.
@@ -99,6 +147,33 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok, tk,
+        |    CAST(unnest(range(0, n_tok, 96)) AS INTEGER) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(start_tok // 96 AS INTEGER) AS chunk_idx,
+        |  start_tok,
+        |  CAST(least(128, n_tok - start_tok) AS INTEGER) AS n_chunk_tok,
+        |  array_to_string(tk[start_tok + 1 : start_tok + 128], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "ext_dataset_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, text,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    count(*) OVER (PARTITION BY text) AS n_copies
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ext_stratified_sample" ->
       s"""SELECT doc_id, source, rn FROM (
          |  SELECT doc_id, source,

@@ -70,4 +70,34 @@ class SamplingSpec extends SparkSpec {
     // at least one doc must straddle a boundary for the flag to be tested
     rows.values.flatten.count(_.getBoolean(5)) should be > 0
   }
+
+  test("chunk overlap: full coverage, 32-token overlap between consecutive full chunks") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              org.apache.spark.sql.functions.size(split(col("text"), " "))
+                .as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Sampling.extChunkOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+                 r.getString(4)))
+      .groupBy(_._1)
+    chunks.keySet shouldBe docs.keySet // every doc chunked
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.head._3 shouldBe 0 // first chunk starts at token 0
+      sorted.foreach { case (_, idx, start, n, text) =>
+        start shouldBe idx * 96 // stride
+        n shouldBe math.min(128, docs(id) - start)
+        text.split(" ", -1).length shouldBe n // text matches token count
+      }
+      // chunks cover the last token
+      (sorted.last._3 + sorted.last._4 : Int) shouldBe docs(id)
+      // consecutive full chunks overlap by 128 - 96 = 32 tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a._4 == 128 =>
+          (a._3 + a._4 - b._3) shouldBe 32
+        case _ =>
+      }
+    }
+  }
 }
