@@ -284,11 +284,51 @@ object Similarity {
                 .as("centroid"))
   }
 
+  /** E20 — product-quantization encode (M=4 subspaces × 16 sub-centroids
+    * over the 64-dim embeddings): each vector compresses to 4 one-byte
+    * codes — the memory-side scale path that makes billion-vector ANN
+    * feasible (codebook lookups instead of raw floats; IVF lists + PQ
+    * codes is the standard shape). Sub-codebooks use the same
+    * deterministic seed trick as [[extAnnIvf]] (sub-slices of vec_id <
+    * 16), so the oracle replays the whole encode bit-for-bit.
+    *
+    * Plan shape: ONE posexplode into (vec, subspace) rows, a broadcast
+    * join against the 64 sub-seeds, argmax-per-(vec, subspace) via
+    * row_number, then a 4-way pivot back to one row per vector — work
+    * linear in N·M·K with nothing driver-side. */
+  val extPqEncode: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val M = 4
+    val subDim = 16
+    val e = Tables.embeddings(s, d)
+    val sliced = e.select(col("vec_id"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("embedding"), m * subDim + 1, subDim)): _*)))
+      .toDF("vec_id", "m", "sv")
+    val seeds = sliced.filter(col("vec_id") < 16)
+      .select(col("m").as("sm"), col("vec_id").as("seed_id"),
+              col("sv").as("se"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("c").desc, col("seed_id"))
+    sliced.join(broadcast(seeds), col("m") === col("sm"))
+      .select(col("vec_id"), col("m"), col("seed_id"),
+              cosine(col("sv"), col("se")).as("c"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .pivot("m", Seq(0, 1, 2, 3)).agg(first(col("seed_id")))
+      .select(col("vec_id"), col("0").as("c0"), col("1").as("c1"),
+              col("2").as("c2"), col("3").as("c3"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
     "ext_ann_lsh" -> extAnnLsh,
-    "ext_ann_ivf" -> extAnnIvf)
+    "ext_ann_ivf" -> extAnnIvf,
+    "ext_pq_encode" -> extPqEncode)
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -312,6 +352,26 @@ object Similarity {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "ext_pq_encode" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    embedding[CAST(r.m * 16 + 1 AS INTEGER):CAST((r.m + 1) * 16 AS INTEGER)] AS sv
+         |  FROM embeddings CROSS JOIN range(0, 4) r(m)),
+         |seeds AS (
+         |  SELECT m AS sm, vec_id AS seed_id, sv AS se FROM sub WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT vec_id, m, seed_id, ${cosSql("sv", "se")} AS c
+         |  FROM sub JOIN seeds ON m = sm),
+         |best AS (
+         |  SELECT vec_id, m, seed_id,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY c DESC, seed_id) AS rn
+         |  FROM scored)
+         |SELECT vec_id,
+         |  max(CASE WHEN m = 0 THEN seed_id END) AS c0,
+         |  max(CASE WHEN m = 1 THEN seed_id END) AS c1,
+         |  max(CASE WHEN m = 2 THEN seed_id END) AS c2,
+         |  max(CASE WHEN m = 3 THEN seed_id END) AS c3
+         |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_knn_cosine" ->
       s"""SELECT qid, cid, cos, rn FROM (
          |  SELECT qid, cid, cos, CAST(row_number() OVER (

@@ -164,6 +164,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ encode: each code is the brute-force argmax sub-centroid for its subspace") {
+    val d = sf("sf0.001")
+    val vecs = graft.Tables.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def subCos(a: Array[Float], b: Array[Float], m: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- m * 16 until (m + 1) * 16) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = (0L until 16L).map(i => i -> vecs(i)).toMap
+    val out = extPqEncode(spark, d).collect()
+    out.length shouldBe vecs.size
+    out.take(50).foreach { r =>
+      val v = vecs(r.getLong(0))
+      for (m <- 0 until 4) {
+        val code = r.getLong(1 + m)
+        // brute-force argmax with the same (cos desc, seed_id) tie-break
+        val best = seeds.toSeq
+          .map { case (sid, sv) => (sid, subCos(v, sv, m)) }
+          .sortBy { case (sid, c) => (-c, sid) }.head._1
+        code shouldBe best
+      }
+    }
+  }
+
   test("IVF ANN: every reported neighbor shares the query's inverted list and scores exactly") {
     val d = sf("sf0.001")
     val ivf = extAnnIvf(spark, d).collect()
