@@ -296,15 +296,20 @@ object Similarity {
     * join against the 64 sub-seeds, argmax-per-(vec, subspace) via
     * row_number, then a 4-way pivot back to one row per vector — work
     * linear in N·M·K with nothing driver-side. */
-  val extPqEncode: Q = (s, d) => {
+  val extPqEncode: Q = (s, d) =>
+    pqCodes(s, d)
+      .groupBy(col("vec_id"))
+      .pivot("m", Seq(0, 1, 2, 3)).agg(first(col("seed_id")))
+      .select(col("vec_id"), col("0").as("c0"), col("1").as("c1"),
+              col("2").as("c2"), col("3").as("c3"))
+      .orderBy(col("vec_id"))
+
+  /** (vec_id, m, seed_id): the per-subspace PQ code assignment behind
+    * [[extPqEncode]] and [[extPqAdc]] — argmax sub-cosine against the 16
+    * seed sub-centroids of subspace m, ties to the smaller seed. */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVecDot.register(s)
-    val M = 4
-    val subDim = 16
-    val e = Tables.embeddings(s, d)
-    val sliced = e.select(col("vec_id"),
-        posexplode(array((0 until M).map(m =>
-          slice(col("embedding"), m * subDim + 1, subDim)): _*)))
-      .toDF("vec_id", "m", "sv")
+    val sliced = pqSliced(s, d)
     val seeds = sliced.filter(col("vec_id") < 16)
       .select(col("m").as("sm"), col("vec_id").as("seed_id"),
               col("sv").as("se"))
@@ -316,11 +321,62 @@ object Similarity {
               cosine(col("sv"), col("se")).as("c"))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") === 1)
-      .groupBy(col("vec_id"))
-      .pivot("m", Seq(0, 1, 2, 3)).agg(first(col("seed_id")))
-      .select(col("vec_id"), col("0").as("c0"), col("1").as("c1"),
-              col("2").as("c2"), col("3").as("c3"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("m"), col("seed_id"))
+  }
+
+  /** (vec_id, m, sv): every embedding cut into M=4 sub-slices of 16. */
+  private def pqSliced(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(array((0 until 4).map(m =>
+          slice(col("embedding"), m * 16 + 1, 16)): _*)))
+      .toDF("vec_id", "m", "sv")
+
+  /** E20b — asymmetric-distance (ADC) top-k search over the PQ codes:
+    * the query side stays RAW (its 4 sub-slices), the candidate side is
+    * only its 4 codes — the approximate inner product is
+    * Σ_m ⟨q_m, centroid(code_m)⟩, i.e. what a deployment computes from a
+    * 16×4 per-query lookup table against billions of 4-byte codes. Here
+    * the table lookup is a broadcast join of (code, m) → centroid and
+    * the per-query sums are pivoted to FIXED m-order (s0+s1+s2+s3,
+    * round 6) so both engines rank identically.
+    *
+    * Plan shape: candidate side is the codes frame (4 rows/vector,
+    * nothing raw), query sub-slices and sub-codebook both broadcast;
+    * one groupBy (qid, cid) pivot; TakeOrderedAndProject per query. */
+  val extPqAdc: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val codes = pqCodes(s, d)
+    val sliced = pqSliced(s, d)
+    val seeds = sliced.filter(col("vec_id") < 16)
+      .select(col("m").as("sm"), col("vec_id").as("sid"), col("sv").as("se"))
+    val queries10 = sliced.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("sv").as("qv"))
+    val scored = codes
+      .join(broadcast(seeds),
+            col("m") === col("sm") && col("seed_id") === col("sid"))
+      .join(broadcast(queries10), col("m") === col("qm"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("m"),
+              dotD(col("qv"), col("se")).as("p"),
+              dotD(col("se"), col("se")).as("nn"))
+      .groupBy(col("qid"), col("cid"))
+      .pivot("m", Seq(0, 1, 2, 3))
+      .agg(first(col("p")).as("p"), first(col("nn")).as("nn"))
+      // cosine-ADC: Σ⟨q_m, c_m⟩ / ‖recon‖ (query norm is constant per
+      // query so it cannot change ranks; the reconstruction norm is NOT
+      // and unnormalized inner-product ADC would rank long
+      // reconstructions first). All sums in fixed m-order.
+      .select(col("qid"), col("cid"),
+              round((col("0_p") + col("1_p") + col("2_p") + col("3_p")) /
+                    sqrt(col("0_nn") + col("1_nn") + col("2_nn") + col("3_nn")),
+                    6).as("adc_score"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("adc_score"),
+              col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -328,7 +384,8 @@ object Similarity {
     "ext_embed_neardup" -> extEmbedNeardup,
     "ext_ann_lsh" -> extAnnLsh,
     "ext_ann_ivf" -> extAnnIvf,
-    "ext_pq_encode" -> extPqEncode)
+    "ext_pq_encode" -> extPqEncode,
+    "ext_pq_adc" -> extPqAdc)
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -372,6 +429,44 @@ object Similarity {
          |  max(CASE WHEN m = 2 THEN seed_id END) AS c2,
          |  max(CASE WHEN m = 3 THEN seed_id END) AS c3
          |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ext_pq_adc" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    embedding[CAST(r.m * 16 + 1 AS INTEGER):CAST((r.m + 1) * 16 AS INTEGER)] AS sv
+         |  FROM embeddings CROSS JOIN range(0, 4) r(m)),
+         |seeds AS (
+         |  SELECT m AS sm, vec_id AS seed_id, sv AS se FROM sub WHERE vec_id < 16),
+         |scored0 AS (
+         |  SELECT vec_id, m, seed_id, ${cosSql("sv", "se")} AS c
+         |  FROM sub JOIN seeds ON m = sm),
+         |best AS (
+         |  SELECT vec_id, m, seed_id,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY c DESC, seed_id) AS rn
+         |  FROM scored0),
+         |codes AS (SELECT vec_id, m, seed_id FROM best WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, m AS qm, sv AS qv FROM sub WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.qid, c.vec_id AS cid, c.m, ${dotSql("qv", "se")} AS p,
+         |    ${dotSql("se", "se")} AS nn
+         |  FROM codes c
+         |  JOIN seeds s ON c.m = s.sm AND c.seed_id = s.seed_id
+         |  JOIN q ON c.m = q.qm
+         |  WHERE q.qid <> c.vec_id),
+         |g AS (
+         |  SELECT qid, cid,
+         |    round((max(CASE WHEN m = 0 THEN p END) + max(CASE WHEN m = 1 THEN p END)
+         |         + max(CASE WHEN m = 2 THEN p END) + max(CASE WHEN m = 3 THEN p END))
+         |      / sqrt(max(CASE WHEN m = 0 THEN nn END) + max(CASE WHEN m = 1 THEN nn END)
+         |           + max(CASE WHEN m = 2 THEN nn END) + max(CASE WHEN m = 3 THEN nn END)),
+         |      6) AS adc_score
+         |  FROM sc GROUP BY 1, 2),
+         |r AS (
+         |  SELECT qid, cid, adc_score,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_score DESC, cid) AS INTEGER) AS rn
+         |  FROM g)
+         |SELECT qid, cid, adc_score, rn FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     "ext_knn_cosine" ->
       s"""SELECT qid, cid, cos, rn FROM (
          |  SELECT qid, cid, cos, CAST(row_number() OVER (
