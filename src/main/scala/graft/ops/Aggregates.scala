@@ -123,7 +123,33 @@ object Aggregates {
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"),
                col("ship_month"), col("supp_bucket"))
 
+  /** A9 — Pearson correlation per group (value vs hour-of-day), computed
+    * EXPLICITLY from exact decimal sums rather than `corr()`: the builtin
+    * accumulates doubles in partition-merge order (engine- and
+    * plan-dependent), while n/Σx/Σy/Σxy/Σx²/Σy² as decimals are
+    * order-independent, so the final fixed-shape double expression
+    * (n·Σxy − ΣxΣy)/(√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) is bit-identical across
+    * engines. Same one-pass partial-aggregate plan as any other group-by
+    * — the portability costs nothing. */
+  val aggCorr: Q = (s, d) => {
+    val x = col("value").cast("decimal(18,6)")
+    val y = hour(col("ts")).cast("decimal(18,6)")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).as("sx"), sum(y).as("sy"),
+           sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+           sum(y * y).as("syy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("corr_value_hour"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_corr" -> aggCorr,
     "agg_basic" -> aggBasic,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_stddev" -> aggStddev,
@@ -134,6 +160,21 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_corr" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x,
+        |    CAST(EXTRACT(hour FROM ts) AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_value_hour
+        |FROM a ORDER BY 1""".stripMargin,
     "agg_basic" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS n_rows,
