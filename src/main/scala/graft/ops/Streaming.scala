@@ -17,7 +17,8 @@ object Streaming {
     "stream_incremental_daily" ->
       ((s, d) => EventsStream.incrementalDailyQuery(s, d)),
     "stream_enrich_join" -> ((s, d) => EventsStream.enrichJoin(s, d)),
-    "stream_interval_join" -> ((s, d) => EventsStream.intervalJoin(s, d)))
+    "stream_interval_join" -> ((s, d) => EventsStream.intervalJoin(s, d)),
+    "stream_upsert_merge" -> ((s, d) => EventsStream.upsertMerge(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly_agg" ->
@@ -56,6 +57,19 @@ object Streaming {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+    // foreachBatch merge drained == batch last-event-per-user
+    "stream_upsert_merge" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT c.user_id, n_events, r.ts AS last_ts, r.value AS last_value
+        |FROM c JOIN r ON c.user_id = r.user_id AND rn = 1
+        |ORDER BY 1""".stripMargin,
     // gap-method sessionization: new session iff gap >= 30 min (matches
     // session_window's half-open [start, last+gap) semantics)
     "stream_sessionize" ->

@@ -324,6 +324,75 @@ object EventsStream {
     }
   }
 
+  /** ST8 — `foreachBatch` keyed-merge sink: the production "MERGE INTO
+    * snapshot" pattern no built-in sink provides. Each micro-batch is
+    * first reduced to per-user partials (count + latest-event struct —
+    * map-side work, one small shuffle per batch), merged with the
+    * previous snapshot, and written as a NEW versioned snapshot dir —
+    * the write-new-version-then-switch discipline of
+    * [[graft.etl.MaterializedViews]], never overwriting the files being
+    * read. "Latest" is `max(struct(ts, event_id, value))`: lexicographic
+    * struct ordering = latest ts with event_id as the deterministic
+    * tie-break. Exactly-once comes from the checkpoint: a replayed batch
+    * rewrites the same version dir idempotently. Snapshot size is
+    * |users|, not |events| — the merge cost per batch is batch + state,
+    * the at-scale shape of every delta-merge ingest. Drained result ==
+    * batch last-event-per-user (the oracle). */
+  def upsertMergeFrom(s: SparkSession, srcDir: String, base: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stateRoot = java.nio.file.Paths.get(s"$base/state")
+    java.nio.file.Files.createDirectories(stateRoot)
+    def versions: Seq[java.nio.file.Path] = {
+      val fs = stateRoot.toFile.listFiles()
+      (if (fs == null) Array.empty[java.io.File] else fs)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .sortBy(_.getName).map(_.toPath).toSeq
+    }
+    def reduceBatch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             max(struct(col("ts"), col("event_id"), col("value")))
+               .as("latest"))
+    val reader = s.readStream.schema(eventsRawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val agg = reduceBatch(batch)
+        val merged = versions.lastOption match {
+          case Some(prev) =>
+            batch.sparkSession.read.parquet(prev.toString)
+              .unionByName(agg)
+              .groupBy(col("user_id"))
+              .agg(sum(col("n_events")).as("n_events"),
+                   max(col("latest")).as("latest"))
+          case None => agg
+        }
+        merged.write.mode("overwrite")
+          .parquet(stateRoot.resolve(f"v$id%05d").toString): Unit
+      }
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(versions.last.toString)
+      .select(col("user_id"), col("n_events"),
+              col("latest.ts").cast("timestamp_ntz").as("last_ts"),
+              col("latest.value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** [[upsertMergeFrom]] as an oracle-checked entry over the events
+    * table (checkpoint/state scoping and GC as the other file-sink
+    * entries). */
+  def upsertMerge(s: SparkSession, sfDir: String): DataFrame =
+    upsertMergeFrom(s, eventsSourceDir(sfDir),
+                    scopedStreamBase("upsert", sfDir))
+
   /** Arbitrary stateful processing (SURVEY §2.10 ST3 custom-state path):
     * per-event_type running maximum of `value` across micro-batches via
     * `flatMapGroupsWithState` — emits (event_type, batch_max, running_max)

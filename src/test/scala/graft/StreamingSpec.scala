@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     rows.exists { case (_, bm, rm) => rm > bm } shouldBe true
   }
 
+  test("foreachBatch upsert merge: multi-batch state accumulates to the batch reduction") {
+    import org.apache.spark.sql.functions._
+    // same two-file split as the running-max spec: maxFilesPerTrigger=1
+    // forces TWO micro-batches, so the second merge must fold version v0
+    // into v1 (count accumulation + latest-wins) rather than start fresh
+    val src = tmp("upsert_src")
+    val ev = graft.Tables.table(spark, sf("sf0.001"), "events")
+    Seq(("f1", col("event_id") < 500), ("f2", col("event_id") >= 500))
+      .foreach { case (name, cond) =>
+        val stage = tmp(s"upsert_stage_$name")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$src/$name.parquet"))
+      }
+    val base = tmp("upsert_base")
+    val out = EventsStream.upsertMergeFrom(spark, src, base,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // two versioned snapshots were actually written
+    new java.io.File(s"$base/state").listFiles()
+      .count(_.getName.startsWith("v")) shouldBe 2
+    // merged counts equal the whole-table batch reduction
+    val expect = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe expect
+  }
+
   test("day-partitioned layout prunes partitions under a date predicate") {
     import org.apache.spark.sql.functions._
     val dir = tmp("layout")
