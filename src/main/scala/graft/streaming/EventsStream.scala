@@ -293,7 +293,12 @@ object EventsStream {
     * SQL. Match grain output (one row per qualifying pair), total-ordered
     * on all three ids. */
   def intervalJoin(s: SparkSession, sfDir: String): DataFrame = {
-    withStatePartitions(s, 8) {
+    // 4, not 8: a stream-stream join keeps four state stores per
+    // partition (left/right × keyed/keyWithIndex). A/B 8 vs 4 at sf0.1:
+    // 2.56 → 2.51 s — the dominant cost is the two file-stream sources +
+    // per-batch planning, not store commits; 4 kept as the right-sized
+    // setting for the (user_id) key space at bench scale.
+    withStatePartitions(s, 4) {
       val clicks = readEvents(s, sfDir)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
