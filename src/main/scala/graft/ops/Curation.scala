@@ -176,11 +176,58 @@ object Curation {
 
   val extContamination: Q = (s, d) => contamination(s, d, "src0", 5)
 
+  /** E21 — language-model quality scoring (the CCNet/KenLM filter
+    * pattern): a char-trigram unigram LM with add-one smoothing is
+    * "trained" on a deterministic corpus slice (doc_id % 2 = 0) and every
+    * document is scored by its mean trigram log-probability — low scores
+    * flag text unlike the reference distribution (the standard
+    * perplexity-bucket curation signal).
+    *
+    * Cross-engine determinism: each trigram's log-prob is rounded to 9
+    * decimals and cast to DECIMAL BEFORE summing, so the per-doc sum is
+    * order-independent (a raw double Σln depends on shuffle order). Add-
+    * one mass: p(t) = (cnt(t)+1)/(N+V), unseen p = 1/(N+V).
+    *
+    * Scale shape: LM build is one groupBy on the train slice's trigrams;
+    * scoring is an equi-join of doc trigrams against the (vocabulary-
+    * sized, AQE-broadcastable) LM table + one per-doc aggregate. Nothing
+    * driver-side. */
+  val extLmScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // char trigrams of lower(text); whole text as one gram below length 3
+    // (expr form: functions.substring takes literal positions only)
+    def chargrams(c: String): Column =
+      when(length(lower(col(c))) >= 3,
+        expr(s"transform(sequence(1, length(lower($c)) - 2), " +
+             s"i -> substring(lower($c), i, 3))"))
+        .otherwise(array(lower(col(c))))
+    val tri = docs.select(col("doc_id"), explode(chargrams("text")).as("t"))
+    val train = tri.filter(col("doc_id") % 2 === 0)
+    val lm = train.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val stats = broadcast(
+      lm.agg(sum(col("cnt")).as("n_total"),
+             count(lit(1)).as("v_size")))
+    val logp = round(
+      log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("v_size")).cast("double")), 9)
+      .cast("decimal(18,9)")
+    tri.join(lm, Seq("t"), "left")
+      .crossJoin(stats)
+      .select(col("doc_id"), logp.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tri"),
+              round(col("slp").cast("double") / col("n_tri"), 6)
+                .as("mean_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_repetition" -> extRepetition,
     "ext_pii_scrub" -> extPiiScrub,
     "ext_tfidf" -> extTfidf,
-    "ext_contamination" -> extContamination)
+    "ext_contamination" -> extContamination,
+    "ext_lm_score" -> extLmScore)
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -195,6 +242,31 @@ object Curation {
       |ELSE [lt] END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same LM replay: per-trigram log-probs rounded to 9 decimals and
+    // decimal-summed, so both engines' per-doc sums are order-free
+    "ext_lm_score" ->
+      """WITH lt AS (SELECT doc_id, lower(text) AS x FROM documents),
+        |tri AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(x) >= 3
+        |    THEN list_transform(range(1, len(x) - 1),
+        |           i -> substr(x, CAST(i AS INTEGER), 3))
+        |    ELSE [x] END) AS t
+        |  FROM lt),
+        |lm AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |         CAST(count(*) AS BIGINT) AS v_size
+        |  FROM lm),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) /
+        |      CAST(n_total + v_size AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+        |  FROM tri LEFT JOIN lm USING (t) CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
