@@ -194,16 +194,33 @@ object Curation {
     * driver-side. */
   val extLmScore: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // char trigrams of lower(text); whole text as one gram below length 3
-    // (expr form: functions.substring takes literal positions only)
+    // char trigrams of lower(text); whole text as one gram below length 3.
+    // bindOnce is load-bearing: an inline lower(text) inside the
+    // transform lambda re-lowercases the WHOLE document once per
+    // position (O(len²) char copies), the same repeated-inlining trap
+    // shingles3 hit in round 2. A/B at sf0.1: 4.6 s inlined → 2.9 s
+    // bound (with the postings-grain rework below already in place).
     def chargrams(c: String): Column =
-      when(length(lower(col(c))) >= 3,
-        expr(s"transform(sequence(1, length(lower($c)) - 2), " +
-             s"i -> substring(lower($c), i, 3))"))
-        .otherwise(array(lower(col(c))))
-    val tri = docs.select(col("doc_id"), explode(chargrams("text")).as("t"))
-    val train = tri.filter(col("doc_id") % 2 === 0)
-    val lm = train.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      bindOnce(lower(col(c))) { lt =>
+        when(length(lt) >= 3,
+          transform(sequence(lit(1), length(lt) - 2),
+                    i => lt.substr(i, lit(3))))
+          .otherwise(array(lt))
+      }
+    // Postings grain, not occurrence grain: per-doc trigram COUNTS are
+    // built once (one explode + one shuffle, materialized — the "build
+    // the postings table" step a deployment would persist), the LM is a
+    // reaggregation of the train half of the SAME frame, and scoring
+    // weights each distinct trigram's log-prob by its count (c·logp with
+    // c exact — identical sum, ~⅓ the join/shuffle rows). The first cut
+    // joined raw occurrences and re-exploded the corpus twice; together
+    // with the bindOnce fix above: 4.9 s → 2.9 s at sf0.1.
+    val perDoc = docs
+      .select(col("doc_id"), explode(chargrams("text")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val lm = perDoc.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("t")).agg(sum(col("c")).as("cnt"))
     val stats = broadcast(
       lm.agg(sum(col("cnt")).as("n_total"),
              count(lit(1)).as("v_size")))
@@ -211,11 +228,12 @@ object Curation {
       log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
           (col("n_total") + col("v_size")).cast("double")), 9)
       .cast("decimal(18,9)")
-    tri.join(lm, Seq("t"), "left")
+    perDoc.join(lm, Seq("t"), "left")
       .crossJoin(stats)
-      .select(col("doc_id"), logp.as("lp"))
+      .select(col("doc_id"), col("c"), logp.as("lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), sum(col("lp")).as("slp"))
+      .agg(sum(col("c")).as("n_tri"),
+           sum(col("c") * col("lp")).as("slp"))
       .select(col("doc_id"), col("n_tri"),
               round(col("slp").cast("double") / col("n_tri"), 6)
                 .as("mean_logp"))
