@@ -107,6 +107,8 @@ object Clustering {
       prevSum = sumNow
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter done=$done t=${System.nanoTime() / 1e9}")
     }
     if (!done) sys.error(s"connectedComponents: no fixpoint in $bound rounds")
     labels.union(

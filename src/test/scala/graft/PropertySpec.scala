@@ -92,6 +92,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionizeByGap agrees with a sequential reference on random event streams") {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    for (trial <- 1 to 5) {
+      val nUsers = 1 + rng.nextInt(5)
+      val rows = (0 until 120).map { i =>
+        // gaps cluster around the 30-min boundary to stress the edge
+        val us = rng.nextLong(3 * gapUs)
+        (rng.nextInt(nUsers).toLong, us, i.toLong)
+      }
+      // reference: sort per user, cut where gap >= 30 min
+      val expect = rows.groupBy(_._1).map { case (u, es) =>
+        val ts = es.sortBy(e => (e._2, e._3))
+        val sessions = scala.collection.mutable.ArrayBuffer(List(ts.head))
+        ts.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b._2 - a._2 >= gapUs) sessions += List(b)
+            else sessions(sessions.size - 1) :+= b
+          case _ =>
+        }
+        u -> sessions.map(_.size).toList
+      }
+      val got = graft.ops.Windows.sessionizeByGap(
+          rows.toDF("user_id", "us", "event_id")
+            .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+                    col("event_id")))
+        .collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) =>
+          u -> rs.sortBy(_.getLong(1)).map(_.getLong(4).toInt).toList }
+      withClue(s"trial $trial: ") { got shouldBe expect }
+    }
+  }
+
+  test("scd2Merge invariants hold on random dimensions and update batches") {
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val nKeys = 5 + rng.nextInt(20)
+      val cur = (0 until nKeys)
+        .map(k => (k.toLong, rng.nextDouble() * 100, s"s$k"))
+        .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+      val updKeys = (0 until nKeys).filter(_ => rng.nextBoolean())
+      val upd = updKeys.map(k => (k.toLong, -1.0, "UPD"))
+        .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+      val out = graft.ops.Joins.scd2Merge(cur, upd, "c_custkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getBoolean(4)))
+      withClue(s"trial $trial: ") {
+        out.length shouldBe nKeys + updKeys.size
+        // exactly one open (is_current) version per key
+        out.filter(_._4).groupBy(_._1).values.foreach(_.length shouldBe 1)
+        // every updated key's open version is v2 with the new payload;
+        // every untouched key keeps an open v1 with the old payload
+        val open = out.filter(_._4).map(t => t._1 -> (t._2, t._3)).toMap
+        (0 until nKeys).foreach { k =>
+          open(k.toLong) shouldBe
+            (if (updKeys.contains(k)) (2, "UPD") else (1, s"s$k"))
+        }
+        // closed rows exist exactly for updated keys, as v1
+        out.filterNot(_._4).map(t => (t._1, t._2)).sorted shouldBe
+          updKeys.map(k => (k.toLong, 1)).sorted
+      }
+    }
+  }
+
   test("minhash estimated similarity tracks true jaccard within banding tolerance") {
     import spark.implicits._
     val words = Vector("alpha","beta","gamma","delta","epsilon","zeta","eta",

@@ -111,6 +111,49 @@ class ScaleBehaviorSpec extends SparkSpec {
     }
   }
 
+  // AQE final-plan section of an executed plan string (the full
+  // toString repeats the pre-AQE plan under "== Initial Plan ==", which
+  // would double every count); shuffle Exchange lines render as
+  // "- Exchange ..." while broadcasts render "- BroadcastExchange ...",
+  // so the plain substring cleanly counts only data shuffles.
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // execute THIS queryExecution (count() plans its own)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+  private def shuffleCount(plan: String): Int =
+    "- Exchange ".r.findAllIn(plan).size
+
+  test("sessionize-gap plan: one data shuffle, both windows share a single sort") {
+    val plan = finalPlan(
+      SparkEntry.queries("win_sessionize_gap")(spark, sf("sf0.01")))
+    // hash exchange on user_id + the presentation range exchange — any
+    // third shuffle means the stacked windows or the session aggregate
+    // re-partitioned, i.e. the single-pass claim in PLANS.md broke
+    shuffleCount(plan) shouldBe 2
+    // one sort serves both window functions; plus the presentation sort
+    "Sort \\[".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("scd2-merge plan: update keys broadcast to both dimension probes, no dim shuffle") {
+    val plan = finalPlan(
+      SparkEntry.queries("join_scd2_merge")(spark, sf("sf0.01")))
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    plan should include("BroadcastExchange")
+    // the only data shuffle is the presentation orderBy's range exchange
+    shuffleCount(plan) shouldBe 1
+  }
+
+  test("incremental-dedup plan: the band join is new-side vs old-side, never old x old") {
+    // structural guarantee: one join input filters doc_id%5=0 (the new
+    // batch), the other NOT doc_id%5=0 (the corpus) — pushed to the
+    // scans, so no old x old pair can exist anywhere in the plan
+    val plan = finalPlan(
+      SparkEntry.queries("ext_incremental_dedup")(spark, sf("sf0.01")))
+    (plan should include).regex("""\(\(doc_id#\d+L % 5\) = 0\)""")
+    (plan should include).regex("""NOT \(\(doc_id#\d+L % 5\) = 0\)""")
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
