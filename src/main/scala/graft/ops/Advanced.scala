@@ -108,6 +108,33 @@ object Advanced {
       .orderBy(col("event_type"))
   }
 
+  /** Salted JOIN — the manual hot-key mitigation for joins (the sibling
+    * of [[aggSalted]]'s two-phase aggregate): `event_type` has 5 values,
+    * so a plain equi-join funnels ~20% of a 100 TB fact through ONE
+    * reducer. Salting replicates the (tiny) dim side SALT times and
+    * routes each fact row to a random-but-deterministic replica
+    * (`event_id % SALT`), so the hot key fans out over SALT reducers.
+    * Result provably equals the unsalted join — which is exactly the
+    * oracle SQL. AQE's skew split handles this adaptively when stats
+    * catch it; explicit salting is the belt-and-braces for keys KNOWN
+    * to be degenerate (here: a 5-value type column). */
+  val joinSaltedSkew: Q = (s, d) => {
+    val salt = 8
+    val ev = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(salt)))
+    // dim: per-type reference stats (derived here; a real dim in prod)
+    val dim = Tables.events(s, d)
+      .groupBy(col("event_type").as("dt"))
+      .agg(min(col("value")).as("type_min"))
+      .crossJoin(s.range(0, salt).select(col("id").as("dsalt")))
+    ev.join(dim,
+        col("event_type") === col("dt") && col("salt") === col("dsalt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           max(col("value") - col("type_min")).as("max_spread"))
+      .orderBy(col("event_type"))
+  }
+
   /** Approximate-aggregate variants — the 100 TB defaults where exactness
     * isn't required: HLL distinct counts (one pass, fixed memory — no
     * exact-distinct double shuffle) and quantile sketches (no per-group
@@ -127,6 +154,7 @@ object Advanced {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_salted" -> aggSalted,
+    "join_salted_skew" -> joinSaltedSkew,
     "agg_approx" -> aggApprox,
     "sample_seeded" -> sampleSeeded)
 
@@ -143,6 +171,14 @@ object Advanced {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the salted join equals the plain per-type join/aggregate
+    "join_salted_skew" ->
+      """WITH dim AS (SELECT event_type, min(value) AS type_min
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(e.value - d.type_min) AS max_spread
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS n_rows,
