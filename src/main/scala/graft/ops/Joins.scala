@@ -19,25 +19,27 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: the fact-side tables (lineitem/orders/events) shuffle on
   * the join key — at 100 TB that's a sort-merge join whose exchanges AQE
-  * resizes; dimension sides (region/nation/customer/part, and the hourly
-  * aggregate in the as-of join) are `broadcast()` so no fact-side shuffle
-  * happens where it can be avoided. The decorrelated scalar-subquery and
-  * join-update shapes aggregate FIRST (shrinking to one row per key); the
-  * per-key aggregate is left UNHINTED — its cardinality scales with the
-  * fact data, so AQE decides broadcast-vs-SMJ from the measured size at
-  * runtime (explicit hints are reserved for provably bounded sides).
+  * resizes. Explicit `broadcast()` hints are reserved for PROVABLY
+  * bounded sides (region 5 rows, nation 25, the per-hour as-of
+  * aggregate); part and customer scale linearly with the fact data
+  * (200k/150k × SF), so they are left UNHINTED like the per-key
+  * aggregates in J6/J9 — AQE broadcasts them while they measure small
+  * and degrades to sort-merge instead of a driver OOM past the
+  * threshold (ScaleBehaviorSpec pins the broadcast at bench scale).
   */
 object Joins {
 
-  /** J1 — 2-way inner equi-join, small side broadcast. */
+  /** J1 — 2-way inner equi-join; part grows with SF so the broadcast is
+    * AQE's runtime call, not a hint. */
   val joinInnerEqui: Q = (s, d) =>
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("p_brand"))
 
-  /** J2 — 5-way star join (fact ⨝ four dims), dims broadcast. */
+  /** J2 — 5-way star join (fact ⨝ four dims): bounded dims (nation,
+    * region) hinted; customer scales with SF → unhinted, AQE decides. */
   val joinStar5way: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -45,7 +47,7 @@ object Joins {
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

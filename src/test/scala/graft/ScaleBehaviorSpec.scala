@@ -100,7 +100,23 @@ class ScaleBehaviorSpec extends SparkSpec {
     // graceful half of that trade: while the measured size is small, AQE
     // still picks BroadcastHashJoin at runtime; past the threshold the
     // same plan degrades to sort-merge instead of dying.
-    for (name <- Seq("join_scalar_subquery", "join_update_from")) {
+    // round 4 extends the same de-hinting to J1 (part) and J2 (customer):
+    // both grow linearly with SF — the identical cardinality class the
+    // round-2 verdict flagged on J6/J9's aggregates. J2 keeps exactly two
+    // hints, on the PROVABLY bounded dims (nation 25 rows, region 5);
+    // its customer join must broadcast by AQE's choice alone.
+    {
+      val df = SparkEntry.queries("join_star_5way")(spark, sf("sf0.01"))
+      df.collect()
+      df.queryExecution.executedPlan.toString should include("isFinalPlan=true")
+      "BroadcastHashJoin".r
+        .findAllIn(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).size should be >= 3
+      "ResolvedHint".r
+        .findAllIn(df.queryExecution.analyzed.toString).size shouldBe 2
+    }
+    for (name <- Seq("join_scalar_subquery", "join_update_from",
+                     "join_inner_equi")) {
       val df = SparkEntry.queries(name)(spark, sf("sf0.01"))
       df.collect() // execute THIS queryExecution (count() plans its own)
       val executed = df.queryExecution.executedPlan.toString
