@@ -247,22 +247,27 @@ object EventsStream {
   /** ST6 — stream-static enrich join: the streaming fact joined mid-stream
     * to a STATIC dimension (customer→nation, the reference's
     * trips→routes enrichment shape, `sql/analysis_queries.sql` joins),
-    * then aggregated per nation. The static side is a bounded dim so it
-    * is explicitly broadcast — every micro-batch probes the same
-    * executor-resident hash map, no shuffle of the stream side at any
-    * scale; Spark re-plans the static side per batch, picking up dim
-    * updates between batches (the streaming analogue of a dimension
-    * cache refresh). Complete mode + AvailableNow drains to the batch
-    * equivalent — the oracle SQL. */
+    * then aggregated per nation. The customer side scales with the fact
+    * data, so it carries NO broadcast hint (the same de-hinting rule as
+    * the batch joins): the planner broadcasts it from its measured size
+    * while small — every micro-batch then probes an executor-resident
+    * hash map with no stream-side shuffle — and falls back to a per-
+    * batch shuffle join past the threshold instead of a driver OOM.
+    * The genuinely bounded nation dim (25 rows) keeps its hint. Spark
+    * re-plans the static side per batch, picking up dim updates between
+    * batches (the streaming analogue of a dimension cache refresh).
+    * Complete mode + AvailableNow drains to the batch equivalent — the
+    * oracle SQL. */
   def enrichJoin(s: SparkSession, sfDir: String): DataFrame = {
     withStatePartitions(s, 8) {
       val cust = s.read.parquet(s"$sfDir/customer.parquet")
         .select(col("c_custkey"), col("c_nationkey"))
       val nation = s.read.parquet(s"$sfDir/nation.parquet")
         .select(col("n_nationkey"), col("n_name"))
-      val dim = broadcast(
-        cust.join(nation, cust("c_nationkey") === nation("n_nationkey"))
-          .select(col("c_custkey"), col("n_name")))
+      val dim =
+        cust.join(broadcast(nation),
+                  cust("c_nationkey") === nation("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
       val q = readEvents(s, sfDir)
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("n_name"))
