@@ -107,7 +107,21 @@ object Extras {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** Bitwise-operator surface (masks, flags, shard routing — the bit
+    * arithmetic [[graft.etl.ZOrder]] builds on): AND/OR/XOR and shifts
+    * over event_id, all exact integer ops on both engines. */
+  val fnBitwise: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+              col("event_id").bitwiseAND(lit(255L)).as("masked"),
+              col("event_id").bitwiseOR(lit(4096L)).as("flagged"),
+              col("event_id").bitwiseXOR(lit(170L)).as("xored"),
+              shiftleft(col("event_id"), 3).as("shl3"),
+              shiftright(col("event_id"), 4).as("shr4"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_resample_ffill" -> fnResampleFfill,
     "win_first_last" -> winFirstLast,
     "set_intersect_except" -> setIntersectExcept,
@@ -115,6 +129,14 @@ object Extras {
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |  event_id & 255 AS masked,
+        |  event_id | 4096 AS flagged,
+        |  xor(event_id, 170) AS xored,
+        |  event_id << 3 AS shl3,
+        |  event_id >> 4 AS shr4
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_resample_ffill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

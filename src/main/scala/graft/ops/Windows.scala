@@ -177,7 +177,22 @@ object Windows {
       .orderBy(col("user_id"), col("sid"))
   }
 
+  /** W11 — CUME_DIST (completes the rank-family surface alongside
+    * row_number/dense_rank/ntile/percent_rank): fraction of partition
+    * rows ordered at-or-before the current row. Tie-STABLE by definition
+    * (ties share a value), so it is oracle-safe even on the tied `value`
+    * column — unlike arg_max/max_by, which are deliberately absent as
+    * entries because engine tie-breaks differ. */
+  val winCumeDist: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+              round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_cume_dist" -> winCumeDist,
     "win_sessionize_gap" -> winSessionizeGap,
     "win_lag" -> winLag,
     "win_row_number" -> winRowNumber,
@@ -190,6 +205,11 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    "win_cume_dist" ->
+      """SELECT event_id, event_type, value,
+        |  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value),
+        |        6) AS cd
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_sessionize_gap" ->
       """WITH flags AS (
         |  SELECT user_id, ts, event_id,
