@@ -133,6 +133,31 @@ class StreamingSpec extends SparkSpec {
     out shouldBe expect
   }
 
+  test("foreachBatch upsert merge is exactly-once: re-run over the same checkpoint adds nothing") {
+    val src = tmp("upsert2_src")
+    val ev = graft.Tables.table(spark, sf("sf0.001"), "events")
+    val stage = tmp("upsert2_stage")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$src/all.parquet"))
+    val base = tmp("upsert2_base")
+    def stateVersions = new java.io.File(s"$base/state").listFiles()
+      .count(_.getName.startsWith("v"))
+    val r1 = EventsStream.upsertMergeFrom(spark, src, base)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).first().getLong(0)
+    val v1 = stateVersions
+    // second run over the SAME checkpoint: no new source files -> the
+    // stream processes zero batches, no new snapshot version, counts
+    // unchanged (NOT doubled by re-merging the same events)
+    val r2 = EventsStream.upsertMergeFrom(spark, src, base)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).first().getLong(0)
+    r1 shouldBe 1000L
+    r2 shouldBe 1000L
+    stateVersions shouldBe v1
+  }
+
   test("day-partitioned layout prunes partitions under a date predicate") {
     import org.apache.spark.sql.functions._
     val dir = tmp("layout")
