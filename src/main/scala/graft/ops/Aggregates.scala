@@ -148,8 +148,35 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** A10 — string aggregation (LISTAGG shape): distinct statuses per
+    * priority, comma-joined. Determinism discipline: collect_set is
+    * partition-order-dependent, so the list is `array_sort`ed BEFORE
+    * joining — which is exactly `string_agg(DISTINCT … ORDER BY …)` on
+    * the oracle side. */
+  val aggStringAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+             .as("statuses"),
+           count_distinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A11 — boolean + bitwise aggregates (EVERY/ANY, BIT_AND/BIT_OR/
+    * BIT_XOR): flag rollups and bitmask accumulation, all exact. */
+  val aggBoolBit: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(bool_and(col("value") > 0d).as("all_positive"),
+           bool_or(col("value") > 199d).as("any_near_max"),
+           bit_and(col("event_id").bitwiseAND(lit(255L))).as("band"),
+           bit_or(col("event_id").bitwiseAND(lit(255L))).as("bor"),
+           bit_xor(col("event_id")).as("bxor"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "agg_corr" -> aggCorr,
+    "agg_string_agg" -> aggStringAgg,
+    "agg_bool_bit" -> aggBoolBit,
     "agg_basic" -> aggBasic,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_stddev" -> aggStddev,
@@ -160,6 +187,20 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_bool_bit" ->
+      """SELECT event_type,
+        |  bool_and(value > 0) AS all_positive,
+        |  bool_or(value > 199) AS any_near_max,
+        |  bit_and(event_id & 255) AS band,
+        |  bit_or(event_id & 255) AS bor,
+        |  bit_xor(event_id) AS bxor
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr" ->
       """WITH t AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x,
