@@ -72,10 +72,40 @@ object SqlSurface {
       |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""
       .stripMargin)
 
+  /** EXISTS / NOT EXISTS correlated predicates — Catalyst's
+    * RewritePredicateSubquery turns them into the semi/anti joins the
+    * DataFrame entries (J4/J5) build by hand; this entry checks the SQL
+    * path end-to-end: customers holding at least one >150k order but no
+    * order below 5k. */
+  val sqlExists: Q = q("customer", "orders")(
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice < 5000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** LATERAL correlated subquery — per-customer top-2 orders by price,
+    * the classic top-N-per-group as its SQL-standard LATERAL spelling
+    * (Catalyst decorrelates into the same WindowGroupLimit-able shape
+    * the DataFrame rank entries use). */
+  val sqlLateral: Q = q("customer", "orders")(
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "sql_pricing_summary" -> sqlPricingSummary,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
-    "sql_grouping_sets" -> sqlGroupingSets)
+    "sql_grouping_sets" -> sqlGroupingSets,
+    "sql_exists_not_exists" -> sqlExists,
+    "sql_lateral_topn" -> sqlLateral)
 
   val oracles: Map[String, String] = Map(
     "sql_pricing_summary" ->
@@ -95,6 +125,23 @@ object SqlSurface {
         |         count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_exists_not_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice < 5000)
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
