@@ -60,6 +60,27 @@ object TextAnalysis {
   /** Quality score: length / stopword-ratio / token-length composite
     * (the reference-style engineered feature, cf. delay_category binning,
     * applied to text quality). Pure deterministic double arithmetic. */
+  /** The composite quality formula over a pre-projected `toks` column —
+    * shared by [[extQualityScore]] and [[Quality]]'s keep-best-per-
+    * cluster policy (which must score with the IDENTICAL expression so
+    * its oracle replays). */
+  private[ops] def qualityExpr(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val noSpace = length(regexp_replace(text, " ", "")).cast("double")
+    val stopRatio = stopHits(toks).cast("double") / size(toks)
+    lit(0.4) * least(lit(1.0), nTok / 100.0) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(lit(1.0), (noSpace / nTok) / 8.0)
+  }
+
+  /** DuckDB spelling of [[qualityExpr]] over a raw text column name. */
+  private[ops] def qualityExprSql(text: String): String =
+    s"""0.4 * least(1.0, CAST(len(string_split(lower($text), ' ')) AS DOUBLE) / 100.0) +
+       |  0.3 * (1.0 - CAST(${hitsSql(text)} AS DOUBLE) /
+       |    len(string_split(lower($text), ' '))) +
+       |  0.3 * least(1.0, (CAST(length(replace($text, ' ', '')) AS DOUBLE) /
+       |    CAST(len(string_split(lower($text), ' ')) AS DOUBLE)) / 8.0)""".stripMargin
+
   val extQualityScore: Q = (s, d) => {
     // two-projection shape (see extLangId): tokenizer runs once per row
     val nTok = size(col("toks")).cast("double")
@@ -72,9 +93,7 @@ object TextAnalysis {
         size(col("toks")).as("n_tokens"),
         (noSpace / nTok).as("avg_token_len"),
         stopRatio.as("stop_ratio"),
-        (lit(0.4) * least(lit(1.0), nTok / 100.0) +
-         lit(0.3) * (lit(1.0) - stopRatio) +
-         lit(0.3) * least(lit(1.0), (noSpace / nTok) / 8.0)).as("quality"))
+        qualityExpr(col("text"), col("toks")).as("quality"))
       .orderBy(col("doc_id"))
   }
 
