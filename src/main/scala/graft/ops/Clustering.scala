@@ -72,30 +72,35 @@ object Clustering {
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
-    while (!done && iter < bound) {
-      val nbr = sym.join(labels, sym("v") === labels("node"))
+    // One min-label propagation step; labels only decrease pointwise.
+    def propagate(ls: DataFrame): DataFrame = {
+      val nbr = sym.join(ls, sym("v") === ls("node"))
         .select(col("u").as("node"), col("label"))
-      val propagated = labels.union(nbr)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-      // pointer jump: label(n) := label(label(n)). Labels are always ids
-      // of paired nodes, so the inner join finds every label's own row;
-      // label(y) <= y keeps the pointwise-decreasing invariant intact.
-      // Applied only from round 3 on: dense dedup graphs (diameter 1–2)
-      // converge before then and skip the extra join+shuffle entirely
-      // (A/B: unconditional jumping cost ~1 s/query at sf0.1), while a
-      // long chain still gets doubling reach = O(log n) rounds overall.
-      // (Renamed projection, not .as("x")/.as("y") aliases — the aliased
-      // self-join under the final union trips Catalyst constraint
-      // rewriting with a missing-attribute error.)
-      val jumped =
-        if (iter < 2) propagated
-        else {
-          val ptr = propagated
-            .select(col("node").as("jn"), col("label").as("jl"))
-          propagated.join(ptr, col("label") === col("jn"))
-            .select(col("node").as("node"), col("jl").as("label"))
-        }
-      val next = jumped.localCheckpoint()
+      ls.union(nbr).groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+    // Pointer jump: label(n) := label(label(n)). Labels are always ids
+    // of paired nodes, so the inner join finds every label's own row;
+    // label(y) <= y keeps the pointwise-decreasing invariant intact.
+    // (Renamed projection, not .as("x")/.as("y") aliases — the aliased
+    // self-join under the final union trips Catalyst constraint
+    // rewriting with a missing-attribute error.)
+    def jump(ls: DataFrame): DataFrame = {
+      val ptr = ls.select(col("node").as("jn"), col("label").as("jl"))
+      ls.join(ptr, col("label") === col("jn"))
+        .select(col("node").as("node"), col("jl").as("label"))
+    }
+    while (!done && iter < bound) {
+      // TWO propagation steps per materialization+witness: the
+      // checkpoint job and the Σlabel action dominate per-round cost at
+      // small data (measured ~0.45 s/round, data-independent), so
+      // halving their count nearly halves loop wall time; worst case one
+      // extra no-op sub-round after an odd-round fixpoint. The jump is
+      // fused into sub-round 2 from outer iteration 2 on (effective
+      // round ≥ 3): dense dedup graphs (diameter 1–2) converge earlier
+      // and never pay its join, chains still get doubling reach.
+      val once = propagate(labels)
+      val twice = propagate(once)
+      val next = (if (iter < 1) twice else jump(twice)).localCheckpoint()
       // exact convergence witness: Σlabel as decimal (labels only
       // decrease, so an unchanged sum means an unchanged assignment)
       val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
@@ -108,7 +113,7 @@ object Clustering {
       labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $iter done=$done t=${System.nanoTime() / 1e9}")
+        println(s"[cc] outer $iter done=$done t=${System.nanoTime() / 1e9}")
     }
     if (!done) sys.error(s"connectedComponents: no fixpoint in $bound rounds")
     labels.union(
