@@ -191,7 +191,23 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** W12 — time-based RANGE frame: trailing-hour event count per type
+    * (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`) — the
+    * event-time sliding aggregate the row-count frames (W6/W9) cannot
+    * express when rows are irregularly spaced. RANGE frames are
+    * peer-inclusive, so equal timestamps share a value and the result
+    * is deterministic without a tie-break column. (SQL-expr form:
+    * the DataFrame `rangeBetween` API takes numeric offsets only.) */
+  val winTimeRange: Q = (s, d) =>
+    Tables.events(s, d)
+      .selectExpr("event_id", "event_type",
+        """count(*) OVER (PARTITION BY event_type ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |  AS n_last_hour""".stripMargin)
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
+    "win_time_range" -> winTimeRange,
     "win_cume_dist" -> winCumeDist,
     "win_sessionize_gap" -> winSessionizeGap,
     "win_lag" -> winLag,
@@ -205,6 +221,12 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    "win_time_range" ->
+      """SELECT event_id, event_type,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_cume_dist" ->
       """SELECT event_id, event_type, value,
         |  round(cume_dist() OVER (PARTITION BY event_type ORDER BY value),
