@@ -36,6 +36,7 @@ object Compaction {
 
   /** Number of output files compaction would produce for `dir`. */
   def plannedFileCount(dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val total = dataFiles(dir).map(_.length()).sum
     math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
   }

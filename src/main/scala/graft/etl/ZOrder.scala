@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * table format required.
   *
   * The curve here interleaves 16 bits per dimension (65536 buckets each
-  * — file-pruning granularity, not row precision). Inputs are first
-  * rank-normalized to [0, 65535] by the caller or clamped here; the
-  * interleave itself is pure column arithmetic (codegen'd, no UDF).
+  * — file-pruning granularity, not row precision). Inputs must be
+  * rank-normalized to [0, 65535] by the caller: `zvalue` MASKS to the
+  * low 16 bits (a 65536 wraps to bucket 0, it is not clamped), which is
+  * correct only after normalization. The interleave itself is pure
+  * column arithmetic (codegen'd, no UDF).
   *
   * Scale notes: `repartitionByRange(zvalue)` is one range shuffle of the
   * data being laid out — the same cost as any global sort, paid once at

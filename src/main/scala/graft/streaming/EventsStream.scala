@@ -389,11 +389,21 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(versions.last.toString)
-      .select(col("user_id"), col("n_events"),
-              col("latest.ts").cast("timestamp_ntz").as("last_ts"),
-              col("latest.value").as("last_value"))
-      .orderBy(col("user_id"))
+    // an empty source directory drains zero batches and writes no
+    // snapshot; surface that as an empty result, not a missing-path read
+    versions.lastOption match {
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+          .toDF("user_id", "n_events", "last_ts", "last_value")
+          .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
+      case Some(last) =>
+        s.read.parquet(last.toString)
+          .select(col("user_id"), col("n_events"),
+                  col("latest.ts").cast("timestamp_ntz").as("last_ts"),
+                  col("latest.value").as("last_value"))
+          .orderBy(col("user_id"))
+    }
   }
 
   /** [[upsertMergeFrom]] as an oracle-checked entry over the events
