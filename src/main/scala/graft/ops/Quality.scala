@@ -106,8 +106,12 @@ object Quality {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("cluster_id"))))
       .filter(col("rn") === 1)
+      // RAW quality double (bit-identical across engines, as the
+      // ext_quality_score oracle proves) — round(…, 6) here hit a
+      // half-way boundary at sf0.001 where Spark HALF_UP and DuckDB
+      // disagree on the last digit
       .select(col("cluster_id"), col("doc_id").as("kept_doc"),
-              round(col("quality"), 6).as("kept_quality"),
+              col("quality").as("kept_quality"),
               col("cluster_size"))
       .orderBy(col("cluster_id"))
   }
@@ -164,7 +168,7 @@ object Quality {
          |    ORDER BY q.quality DESC, cl.node) AS rn
          |  FROM cl JOIN q ON q.doc_id = cl.node)
          |SELECT r.cluster_id, r.doc_id AS kept_doc,
-         |  round(r.quality, 6) AS kept_quality, sz.cluster_size
+         |  r.quality AS kept_quality, sz.cluster_size
          |FROM r JOIN sz USING (cluster_id)
          |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dq_report" ->
