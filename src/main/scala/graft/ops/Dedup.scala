@@ -131,11 +131,6 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Banded-LSH candidate pairs (a < b, distinct) from a (doc_id, sig)
-    * frame: 4 bands of 4 signature slots, equality-joined on the
-    * ':'-joined band key — the same shape [[extMinhashDedup]] counts and
-    * [[Clustering.extDedupClusters]] clusters. Shuffles only
-    * (band, band_key, doc_id); never all-pairs. */
   /** (doc_id, band, band_key) from a (doc_id, sig) frame: 4 bands of 4
     * signature slots, ':'-joined — the LSH bucketing both the self-join
     * ([[minhashBandPairs]]) and the cross-corpus join
@@ -301,6 +296,16 @@ object Dedup {
   def jaccardPairs(docsTokRaw: org.apache.spark.sql.DataFrame, threshold: Double,
                    vocabProbe: Option[org.apache.spark.sql.DataFrame] = None,
                    maskMaxVocab: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    score(sharedTokenPairs(docsTokRaw, vocabProbe, maskMaxVocab), threshold)
+
+  /** The adaptive pair machinery behind [[jaccardPairs]] and
+    * [[extContainment]]: `(d1, d2, n_common, nw1, nw2)` for every
+    * source-blocked pair sharing at least one token, via the
+    * bitmask/postings auto-dispatch. */
+  def sharedTokenPairs(docsTokRaw: org.apache.spark.sql.DataFrame,
+                       vocabProbe: Option[org.apache.spark.sql.DataFrame] = None,
+                       maskMaxVocab: Int = 64)
       : org.apache.spark.sql.DataFrame = {
     val docsTok = docsTokRaw.select(col("doc_id"), col("source"),
       array_distinct(col("toks")).as("toks"))
@@ -366,7 +371,7 @@ object Dedup {
           .join(cnt.withColumnRenamed("doc_id", "d2")
                    .withColumnRenamed("nw", "nw2"), "d2")
     }
-    score(scored, threshold)
+    scored
   }
 
   /** Shared final scoring: `(d1, d2, n_common, nw1, nw2)` →
@@ -436,6 +441,24 @@ object Dedup {
       0.5)
       .orderBy(col("d1"), col("d2"))
 
+  /** E23 — containment similarity: |A∩B| / min(|A|,|B|) over distinct
+    * unigrams — the ASYMMETRIC near-dup semantic Jaccard misses: a short
+    * document fully embedded in a much longer one (quote, excerpt,
+    * boilerplate wrapper) has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0.
+    * Reuses the adaptive [[sharedTokenPairs]] machinery (bitmask or
+    * postings, source-blocked) with a different final score; both
+    * directional containments are emitted so the consumer can tell
+    * which side is the subset. */
+  val extContainment: Q = (s, d) =>
+    sharedTokenPairs(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        array_distinct(toks(col("text"))).as("toks")))
+      .select(col("d1"), col("d2"), col("n_common"),
+              (col("n_common").cast("double") / col("nw1")).as("contain1"),
+              (col("n_common").cast("double") / col("nw2")).as("contain2"))
+      .filter(greatest(col("contain1"), col("contain2")) >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+
   /** Generic 3-gram Jaccard between two text columns (library form used by
     * the spec; not oracle-bound). */
   def jaccard3(a: Column, b: Column): Column = {
@@ -450,7 +473,8 @@ object Dedup {
     "ext_simhash_dedup" -> extSimhashDedup,
     "ext_ngram_jaccard" -> extNgramJaccard,
     "ext_trigram_jaccard" -> extTrigramJaccard,
-    "ext_incremental_dedup" -> extIncrementalDedup)
+    "ext_incremental_dedup" -> extIncrementalDedup,
+    "ext_containment" -> extContainment)
 
   val oracles: Map[String, String] = Map(
     // full signature/banding/candidate replay — possible because hash60 is
@@ -575,6 +599,24 @@ object Dedup {
         |FROM inter JOIN cnt c1 ON inter.d1 = c1.doc_id
         |  JOIN cnt c2 ON inter.d2 = c2.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (c1.nw + c2.nw - n_common) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "ext_containment" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, count(*) AS nw FROM dw GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM dw x JOIN dw y ON x.w = y.w AND x.source = y.source
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common,
+        |  CAST(n_common AS DOUBLE) / c1.nw AS contain1,
+        |  CAST(n_common AS DOUBLE) / c2.nw AS contain2
+        |FROM inter JOIN cnt c1 ON inter.d1 = c1.doc_id
+        |  JOIN cnt c2 ON inter.d2 = c2.doc_id
+        |WHERE greatest(CAST(n_common AS DOUBLE) / c1.nw,
+        |               CAST(n_common AS DOUBLE) / c2.nw) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "ext_ngram_jaccard" ->
       """WITH dw AS (
