@@ -120,7 +120,19 @@ object Extras {
               shiftright(col("event_id"), 4).as("shr4"))
       .orderBy(col("event_id"))
 
+  /** Content-hash function surface (md5 / sha256) — the fingerprint
+    * primitives the dedup stack builds on, exposed as a checked entry:
+    * both engines emit lowercase hex over the UTF-8 bytes. */
+  val fnHashFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              md5(col("text").cast("binary")).as("md5_hex"),
+              sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+              length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "fn_hash_funcs" -> fnHashFuncs,
     "fn_bitwise" -> fnBitwise,
     "fn_resample_ffill" -> fnResampleFfill,
     "win_first_last" -> winFirstLast,
@@ -129,6 +141,10 @@ object Extras {
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "fn_hash_funcs" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT event_id,
         |  event_id & 255 AS masked,
