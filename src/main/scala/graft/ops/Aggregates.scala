@@ -173,7 +173,68 @@ object Aggregates {
            bit_xor(col("event_id")).as("bxor"))
       .orderBy(col("event_type"))
 
+  /** A12 — skewness per group from exact raw moments (same discipline as
+    * [[aggCorr]]): n, Σx, Σx², Σx³ as decimals (order-free), then the
+    * population-skewness formula in ONE fixed double expression —
+    * engines' built-in `skewness()` accumulate doubles in merge order
+    * and differ in bias correction, so neither side uses it. decimal
+    * precision: x ≤ ~10³ at scale 6 → x³ ≤ 10⁹ at scale 18; the sum has
+    * 38−18 = 20 integer digits of headroom (10¹¹ rows at x=10³). */
+  val aggSkewness: Q = (s, d) => {
+    // Exact INTEGER moments, not decimal ones: the cube of any decimal
+    // wide enough for the data blows past precision 38, where Spark and
+    // DuckDB reduce scale differently (observed 1e-15 s3 drift), and
+    // DuckDB's decimal multiply overflows its int64-backed widths.
+    // Values are floor-quantized to 1e-4 (floor, not round — round can
+    // split a .5 boundary across engines), cubes accumulate exactly in
+    // decimal(38,0) here / HUGEINT in the oracle, and skewness is
+    // invariant under the 10^4 scaling, so the formula is unchanged.
+    val xi = floor(col("value") * 10000).cast("long")
+    val xd = xi.cast("decimal(38,0)")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(xd).as("s1"),
+           sum(xd * xi).as("s2"), sum(xd * xi * xi).as("s3"))
+      .select(col("event_type"), col("n"), {
+        val n = col("n").cast("double")
+        val m = col("s1").cast("double") / n
+        val m2 = col("s2").cast("double") / n - m * m
+        val m3 = col("s3").cast("double") / n -
+          lit(3.0) * m * (col("s2").cast("double") / n) +
+          lit(2.0) * m * m * m
+        // raw double: the expression trees match the oracle exactly so
+        // the values are bit-identical - round() could only introduce a
+        // half-way-boundary divergence (see keep_best, round 4)
+        (m3 / pow(m2, 1.5)).as("skewness")
+      })
+      .orderBy(col("event_type"))
+  }
+
+  /** A13 — Shannon entropy of the event-type mix per day (the
+    * distribution-drift profiling signal): exact per-(day, type) counts,
+    * each type's −p·ln p term rounded to 12 decimals and decimal-summed
+    * so the 5-term reduction is order-free (the [[Curation.extLmScore]]
+    * trick at aggregate grain). */
+  val aggEntropy: Q = (s, d) => {
+    val byDay = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val withTot = byDay
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
+    val p = col("c").cast("double") / col("n").cast("double")
+    withTot
+      .select(col("day"), col("n"),
+              round(-p * log(p), 12).cast("decimal(18,12)").as("term"))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_events"),
+           sum(col("term")).cast("double").as("entropy_nats"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_skewness" -> aggSkewness,
+    "agg_entropy" -> aggEntropy,
     "agg_corr" -> aggCorr,
     "agg_string_agg" -> aggStringAgg,
     "agg_bool_bit" -> aggBoolBit,
@@ -187,6 +248,42 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_skewness" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(CAST(floor(value * 10000) AS BIGINT) AS HUGEINT)) AS s1,
+        |    SUM(CAST(CAST(floor(value * 10000) AS BIGINT) AS HUGEINT)
+        |        * CAST(floor(value * 10000) AS BIGINT)) AS s2,
+        |    SUM(CAST(CAST(floor(value * 10000) AS BIGINT) AS HUGEINT)
+        |        * CAST(floor(value * 10000) AS BIGINT)
+        |        * CAST(floor(value * 10000) AS BIGINT)) AS s3
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |     + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |   / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5)
+        |   AS skewness
+        |FROM a ORDER BY 1""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT day, c,
+        |    CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT day, max(n) AS n_events,
+        |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |    AS DECIMAL(18,12))) AS DOUBLE) AS entropy_nats
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_string_agg" ->
       """SELECT o_orderpriority,
         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)

@@ -131,7 +131,24 @@ object Extras {
               length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Edit-distance surface: Levenshtein between each customer name and
+    * its segment-ordered predecessor — the fuzzy-matching primitive for
+    * entity resolution, computed exactly (integer DP) on both engines.
+    * Composes with the window surface (lag supplies the pair). */
+  val fnEditDistance: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+              lag(col("c_name"), 1).over(w).as("prev_name"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+              levenshtein(col("c_name"), coalesce(col("prev_name"), lit("")))
+                .as("edit_dist"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_edit_distance" -> fnEditDistance,
     "fn_hash_funcs" -> fnHashFuncs,
     "fn_bitwise" -> fnBitwise,
     "fn_resample_ffill" -> fnResampleFfill,
@@ -141,6 +158,16 @@ object Extras {
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "fn_edit_distance" ->
+      """WITH p AS (
+        |  SELECT c_custkey, c_mktsegment, c_name,
+        |    lag(c_name) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_custkey) AS prev_name
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment,
+        |  CAST(levenshtein(c_name, coalesce(prev_name, '')) AS INTEGER)
+        |    AS edit_dist
+        |FROM p ORDER BY c_custkey""".stripMargin,
     "fn_hash_funcs" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |  CAST(length(text) AS INTEGER) AS n_chars
