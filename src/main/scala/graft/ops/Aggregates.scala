@@ -202,10 +202,12 @@ object Aggregates {
         val m3 = col("s3").cast("double") / n -
           lit(3.0) * m * (col("s2").cast("double") / n) +
           lit(2.0) * m * m * m
-        // raw double: the expression trees match the oracle exactly so
-        // the values are bit-identical - round() could only introduce a
-        // half-way-boundary divergence (see keep_best, round 4)
-        (m3 / pow(m2, 1.5)).as("skewness")
+        // round(6) here is load-bearing, unlike keep_best: the moment
+        // sums exceed 2^53 and DuckDB's int128->double conversion can
+        // land 1 ulp away from JVM BigDecimal.doubleValue (observed at
+        // sf0.001), so the raw doubles are NOT bit-identical — this is
+        // exactly the representation drift round() exists to absorb
+        round(m3 / pow(m2, 1.5), 6).as("skewness")
       })
       .orderBy(col("event_type"))
   }
@@ -259,7 +261,7 @@ object Aggregates {
         |        * CAST(floor(value * 10000) AS BIGINT)) AS s3
         |  FROM events GROUP BY 1)
         |SELECT event_type, n,
-        |  (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |  round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
         |     - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |         * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
         |     + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
@@ -267,8 +269,8 @@ object Aggregates {
         |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
         |   / pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5)
-        |   AS skewness
+        |         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 1.5),
+        |   6) AS skewness
         |FROM a ORDER BY 1""".stripMargin,
     "agg_entropy" ->
       """WITH c AS (
