@@ -234,7 +234,22 @@ object Aggregates {
       .orderBy(col("day"))
   }
 
+  /** A14 — fixed-bucket histogram per group (the profiling shape behind
+    * every distribution dashboard): bucket = ⌊value / width⌋ with a
+    * pinned width — exact double division + floor, identical on both
+    * engines, no width_bucket dependency (DuckDB lacks it). Count per
+    * (group, bucket); empty buckets simply absent (dense grids are
+    * [[graft.ops.Extras.fnResampleFfill]]'s job). */
+  val aggHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+               floor(col("value") / 25.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+
   val queries: Map[String, Q] = Map(
+    "agg_histogram" -> aggHistogram,
     "agg_skewness" -> aggSkewness,
     "agg_entropy" -> aggEntropy,
     "agg_corr" -> aggCorr,
@@ -250,6 +265,12 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_skewness" ->
       """WITH a AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -194,7 +194,33 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** E24 — per-language character-trigram profile (top-3 by frequency):
+    * the reference table a trained language identifier compares against
+    * — [[extLangId]] uses heuristics; this builds the empirical profile
+    * those heuristics approximate. Deterministic ranking via
+    * (count DESC, trigram) and the same bindOnce'd trigram explode as
+    * [[Curation.extLmScore]] (inlined lower() is O(len²)). */
+  val extNgramProfile: Q = (s, d) => {
+    val grams = bindOnce(lower(col("text"))) { lt =>
+      when(length(lt) >= 3,
+        transform(sequence(lit(1), length(lt) - 2),
+                  i => lt.substr(i, lit(3))))
+        .otherwise(array(lt))
+    }
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(grams).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn").cast("int").as("rn"),
+              col("g").as("trigram"), col("n"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_ngram_profile" -> extNgramProfile,
     "ext_bm25" -> extBm25,
     "ext_text_stats" -> extTextStats,
     "ext_lang_id" -> extLangId,
@@ -208,6 +234,22 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(
+    "ext_ngram_profile" ->
+      """WITH lt AS (SELECT lang, lower(text) AS x FROM documents),
+        |tri AS (
+        |  SELECT lang, unnest(CASE WHEN len(x) >= 3
+        |    THEN list_transform(range(1, len(x) - 1),
+        |           i -> substr(x, CAST(i AS INTEGER), 3))
+        |    ELSE [x] END) AS g
+        |  FROM lt),
+        |c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+        |      FROM tri GROUP BY 1, 2),
+        |r AS (SELECT lang, g, n,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, g) AS INTEGER) AS rn
+        |  FROM c)
+        |SELECT lang, rn, g AS trigram, n FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
     // same formula, same fixed term order, same round(…, 6); ln (natural
     // log — DuckDB's log() is log10) matches Spark's log()
     "ext_bm25" ->
