@@ -32,7 +32,8 @@ object SparkEntry {
     (Advanced.queries, Advanced.oracles),
     (Quality.queries, Quality.oracles),
     (SqlSurface.queries, SqlSurface.oracles),
-    (Extras.queries, Extras.oracles))
+    (Extras.queries, Extras.oracles),
+    (Behavior.queries, Behavior.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -248,7 +248,91 @@ object Aggregates {
            min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** A15 — per-group simple linear regression (price explained by
+    * quantity): slope / intercept / r² from exact integer raw moments,
+    * the [[aggSkewness]] discipline applied to the bivariate case.
+    * Both engines' native `regr_*` accumulate doubles in partition-merge
+    * order, so neither side uses them: values are floor-quantized to
+    * cents (floor, not round — see skewness note), the five moment sums
+    * accumulate exactly in decimal(38,0) / HUGEINT, and the closed-form
+    * OLS expressions run in ONE fixed double shape. Slope and r² are
+    * invariant under the common ×100 scaling; the intercept divides it
+    * back out. round(6) absorbs the ≤1-ulp int128→double conversion
+    * drift (observed on skewness).
+    *
+    * This is the trend-fit the reference's delay-trend queries eyeball
+    * (`/root/reference/sql/analysis_queries.sql:158-191`) and its model
+    * tier learns (`/root/reference/train_delay_model.py:274-355`) —
+    * expressed as a one-pass partial aggregate. */
+  val aggRegression: Q = (s, d) => {
+    val xi = floor(col("l_quantity") * 100).cast("long")
+    val yi = floor(col("l_extendedprice") * 100).cast("long")
+    val xd = xi.cast("decimal(38,0)")
+    val yd = yi.cast("decimal(38,0)")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(xd).as("sx"), sum(yd).as("sy"),
+           sum(xd * yi).as("sxy"), sum(xd * xi).as("sxx"),
+           sum(yd * yi).as("syy"))
+      .select(col("l_returnflag"), col("n"), {
+        val n   = col("n").cast("double")
+        val sx  = col("sx").cast("double");  val sy  = col("sy").cast("double")
+        val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+        val syy = col("syy").cast("double")
+        val cov = n * sxy - sx * sy
+        val vx  = n * sxx - sx * sx
+        val vy  = n * syy - sy * sy
+        struct(
+          round(cov / vx, 6).as("slope"),
+          round((sy - (cov / vx) * sx) / n / 100.0, 6).as("intercept"),
+          round(cov * cov / (vx * vy), 6).as("r2"))
+      }.as("r"))
+      .select(col("l_returnflag"), col("n"),
+              col("r.slope").as("slope"), col("r.intercept").as("intercept"),
+              col("r.r2").as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A16 — z-score outlier screen per group (the distribution-drift /
+    * bad-batch detector every curation pipeline runs before training):
+    * per order priority, mean and sample stddev of the order total from
+    * exact integer moments, then the count of orders beyond 2σ. Two
+    * passes over orders with the 5-row moment frame joined back — AQE
+    * broadcasts it, so the probe pass is scan + map; the window
+    * alternative (moments OVER (PARTITION BY priority)) would shuffle
+    * every order into 5 skew-prone partitions, the wrong trade at scale.
+    * The classification margin |x−μ|−2σ is rounded to 6 decimals so a
+    * ≤1-ulp cross-engine drift in μ/σ cannot flip a boundary row. */
+  val aggOutlierZscore: Q = (s, d) => {
+    val zi = floor(col("o_totalprice") * 100).cast("long")
+    val zd = zi.cast("decimal(38,0)")
+    val o = Tables.orders(s, d)
+    val m = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(zd).as("s1"), sum(zd * zi).as("s2"))
+      .select(col("o_orderpriority"), col("n"), {
+        val n = col("n").cast("double")
+        val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+        struct((s1 / n).as("mean_c"),
+               sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))).as("std_c"))
+      }.as("ms"))
+      .select(col("o_orderpriority"), col("n"),
+              col("ms.mean_c").as("mean_c"), col("ms.std_c").as("std_c"))
+    o.select(col("o_orderpriority"), zi.cast("double").as("z"))
+      .join(m, Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_orders"),
+           round(max(col("mean_c")) / 100.0, 6).as("mean_price"),
+           round(max(col("std_c")) / 100.0, 6).as("stddev_price"),
+           sum(when(round(abs(col("z") - col("mean_c")) -
+                          lit(2.0) * col("std_c"), 6) > 0, 1L)
+                 .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_regression" -> aggRegression,
+    "agg_outlier_zscore" -> aggOutlierZscore,
     "agg_histogram" -> aggHistogram,
     "agg_skewness" -> aggSkewness,
     "agg_entropy" -> aggEntropy,
@@ -265,6 +349,64 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_regression" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS HUGEINT)) AS sx,
+        |    SUM(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+        |    SUM(CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    SUM(CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(floor(l_quantity * 100) AS BIGINT)) AS sxx,
+        |    SUM(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |           * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+        |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM a ORDER BY 1""".stripMargin,
+    "agg_outlier_zscore" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS s1,
+        |    SUM(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |        * CAST(floor(o_totalprice * 100) AS BIGINT)) AS s2
+        |  FROM orders GROUP BY 1),
+        |ms AS (
+        |  SELECT o_orderpriority, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_c
+        |  FROM m)
+        |SELECT o.o_orderpriority,
+        |  max(ms.n) AS n_orders,
+        |  round(max(ms.mean_c) / 100.0, 6) AS mean_price,
+        |  round(max(ms.std_c) / 100.0, 6) AS stddev_price,
+        |  SUM(CASE WHEN round(abs(CAST(CAST(floor(o.o_totalprice * 100)
+        |                                AS BIGINT) AS DOUBLE) - ms.mean_c)
+        |                     - 2.0 * ms.std_c, 6) > 0
+        |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+        |    AS n_outliers
+        |FROM orders o JOIN ms USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_histogram" ->
       """SELECT event_type,
         |  CAST(floor(value / 25.0) AS INTEGER) AS bucket,

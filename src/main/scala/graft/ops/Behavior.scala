@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the `events` stream — the product-analytics
+  * triple (ordered funnel, cohort retention, transition matrix) that the
+  * reference's trend/dashboard tier implies but never names: its daily /
+  * weekly delay-trend queries (`/root/reference/sql/analysis_queries.sql:
+  * 70-100,158-191`) and the Streamlit dashboard's per-period rollups
+  * (`/root/reference/streamlit_dashboard.py:80-140`) are exactly the
+  * cohort/period-offset shape, and the Airflow incremental tier replays
+  * user-ordered event sequences. All three are single-logical-shuffle
+  * plans keyed on `user_id`.
+  *
+  * Determinism discipline: counts are exact longs; every ratio is ONE
+  * IEEE division of values both engines hold bit-identically (see
+  * [[graft.ops.ravg]] for why quotients are left unrounded).
+  */
+object Behavior {
+
+  /** Strictly-ordered conversion funnel signup → view → click → purchase:
+    * a user reaches stage k+1 only with an event of that type STRICTLY
+    * AFTER their stage-k timestamp (independent per-type minima would
+    * count a purchase that precedes the first view).
+    *
+    * Shape: four chained `min(CASE …) OVER (PARTITION BY user_id)`
+    * aggregates — each references the previous stage's timestamp, which
+    * is partition-constant, so all four Window operators share ONE
+    * hash-partitioning on user_id (one exchange; no sort needed for
+    * unbounded frames) and the per-user reduce + global count ride the
+    * same partitioning. At 100 TB this is the plan you want: events
+    * shuffle once, stage logic is map-side over each user's partition
+    * slice, and the output is 4 rows. The staged-join alternative
+    * (frontier ⋈ events per stage) costs one shuffle PER stage.
+    */
+  val extFunnel: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    def stageMin(tpe: String, after: Option[String]): org.apache.spark.sql.Column = {
+      val hit = after match {
+        case None       => col("event_type") === tpe
+        case Some(prev) => col("event_type") === tpe && col("ts") > col(prev)
+      }
+      min(when(hit, col("ts"))).over(w)
+    }
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", stageMin("signup", None))
+      .withColumn("t2", stageMin("view", Some("t1")))
+      .withColumn("t3", stageMin("click", Some("t2")))
+      .withColumn("t4", stageMin("purchase", Some("t3")))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+           max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+           count(col("t3")).as("u3"), count(col("t4")).as("u4"))
+      .selectExpr(
+        """stack(4,
+          |  1, 'signup',   u1,
+          |  2, 'view',     u2,
+          |  3, 'click',    u3,
+          |  4, 'purchase', u4) AS (stage_no, stage, users)""".stripMargin)
+      // unpartitioned window over the 4-row stage frame only (the
+      // single-partition WARN it logs is about THIS frame, not events)
+      .withColumn("conv_from_first",
+        col("users").cast("double") /
+          first(col("users")).over(Window.orderBy(col("stage_no"))))
+      .orderBy(col("stage_no"))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's first event;
+    * cell (cohort_week, week_no) = distinct users of that cohort active
+    * week_no weeks later. One user_id shuffle for the first-event window,
+    * a distinct on (user, cohort, week) grain, then the final cell
+    * aggregate — cells are bounded by weeks², not by events. */
+  val extCohortRetention: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("cohort_week",
+        date_trunc("week", min(col("ts")).over(w)).cast("date"))
+      .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+      .select(col("user_id"), col("cohort_week"), col("week"))
+      .distinct()
+      .withColumn("week_no",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_no"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): per user,
+    * each consecutive event pair (lag over ts with event_id tiebreak so
+    * the order is total), counted per (prev, curr) with the row-
+    * conditional probability. The lag window and nothing else touches
+    * event volume; the matrix itself is |types|² rows. */
+  val winEventTransitions: Q = (s, d) => {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wo))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("curr_type"))
+      .groupBy(col("prev_type"), col("curr_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .orderBy(col("prev_type"), col("curr_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext_funnel" -> extFunnel,
+    "ext_cohort_retention" -> extCohortRetention,
+    "win_event_transitions" -> winEventTransitions)
+
+  val oracles: Map[String, String] = Map(
+    "ext_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3 FROM b),
+        |d AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t4 FROM c),
+        |u AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2,
+        |         max(t3) AS t3, max(t4) AS t4
+        |  FROM d GROUP BY 1),
+        |n AS (
+        |  SELECT count(t1) AS u1, count(t2) AS u2,
+        |         count(t3) AS u3, count(t4) AS u4 FROM u),
+        |st AS (
+        |  SELECT 1 AS stage_no, 'signup' AS stage, u1 AS users FROM n
+        |  UNION ALL SELECT 2, 'view', u2 FROM n
+        |  UNION ALL SELECT 3, 'click', u3 FROM n
+        |  UNION ALL SELECT 4, 'purchase', u4 FROM n)
+        |SELECT stage_no, stage, users,
+        |  CAST(users AS DOUBLE) /
+        |    first_value(users) OVER (ORDER BY stage_no) AS conv_from_first
+        |FROM st ORDER BY stage_no""".stripMargin,
+    "ext_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, ts,
+        |    CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+        |         AS DATE) AS cohort_week,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |g AS (SELECT DISTINCT user_id, cohort_week, week FROM f)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS week_no,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "win_event_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |g AS (
+        |  SELECT prev_type, event_type AS curr_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, curr_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+        |FROM g ORDER BY 1, 2""".stripMargin)
+}

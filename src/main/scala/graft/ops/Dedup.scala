@@ -459,6 +459,44 @@ object Dedup {
       .filter(greatest(col("contain1"), col("contain2")) >= 0.8)
       .orderBy(col("d1"), col("d2"))
 
+  /** E24 — exact duplicated-substring detection (the character-level
+    * twin of [[extExactDedup]]; the fixed-length-window simplification of
+    * suffix-array substring dedup from the "Deduplicating Training Data
+    * Makes Language Models Better" recipe): every 32-char window at
+    * stride 8 that occurs VERBATIM in ≥ 2 distinct documents, rolled up
+    * per source as (docs carrying a cross-doc span, duplicated-window
+    * occurrences). Whole-doc dedup misses these — boilerplate headers,
+    * license blocks, quoted excerpts — which is why curation pipelines
+    * run both.
+    *
+    * Shape: the shingle array is built per row (one `transform` over a
+    * stride grid — array bytes ≈ 4× text bytes, never text × positions),
+    * exploded, and aggregated by the shingle string itself; the dup set
+    * comes back via an equi-join. Shuffling the literal 32-char window
+    * (32 B) costs the same as shuffling a digest; at production scale
+    * you'd map windows through xxhash64 first (8 B keys, collision-
+    * tolerant counting) and shard the self-join by bucket. The
+    * aggregate-then-join (not collect_list per shingle) keeps hot
+    * boilerplate windows — millions of docs sharing one header — as
+    * counts, never as materialized lists. */
+  val extSubstringDedup: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 31, 8)," +
+            " p -> substring(text, p, 32))")).as("shingle"))
+    val dup = sh.groupBy(col("shingle"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"))
+    sh.join(dup, Seq("shingle"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("docs_with_dup"),
+           count(lit(1)).as("dup_occurrences"))
+      .orderBy(col("source"))
+  }
+
   /** Generic 3-gram Jaccard between two text columns (library form used by
     * the spec; not oracle-bound). */
   def jaccard3(a: Column, b: Column): Column = {
@@ -474,9 +512,24 @@ object Dedup {
     "ext_ngram_jaccard" -> extNgramJaccard,
     "ext_trigram_jaccard" -> extTrigramJaccard,
     "ext_incremental_dedup" -> extIncrementalDedup,
-    "ext_containment" -> extContainment)
+    "ext_containment" -> extContainment,
+    "ext_substring_dedup" -> extSubstringDedup)
 
   val oracles: Map[String, String] = Map(
+    "ext_substring_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, substr(text, CAST(p AS INTEGER), 32) AS shingle
+        |  FROM (SELECT doc_id, source, text,
+        |          unnest(generate_series(1, length(text) - 31, 8)) AS p
+        |        FROM documents WHERE length(text) >= 32)),
+        |dup AS (
+        |  SELECT shingle FROM sh GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT source,
+        |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS docs_with_dup,
+        |  CAST(count(*) AS BIGINT) AS dup_occurrences
+        |FROM sh s JOIN dup USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full signature/banding/candidate replay — possible because hash60 is
     // md5-based (the perm constants are permConsts(16), hard-coded here)
     "ext_minhash_dedup" ->

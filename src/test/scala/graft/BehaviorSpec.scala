@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.{Aggregates, Behavior, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+class BehaviorSpec extends SparkSpec {
+
+  test("funnel stages are monotonically non-increasing and ordered") {
+    val rows = Behavior.extFunnel(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 4
+    val users = rows.sortBy(_.getInt(0)).map(_.getAs[Long]("users"))
+    users.sliding(2).foreach { case Array(a, b) => b should be <= a }
+    rows.head.getAs[Double]("conv_from_first") shouldBe 1.0
+    // strictness: stage counts must not exceed the independent-minima
+    // (unordered) funnel, and stage 1 equals users with a signup event
+    val signups = Tables.events(spark, sf("sf0.01"))
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    users(0) shouldBe signups
+  }
+
+  test("cohort retention: week-0 cell covers every user of the cohort") {
+    val d = sf("sf0.01")
+    val out = Behavior.extCohortRetention(spark, d).collect()
+    out.foreach(r => r.getAs[Int]("week_no") should be >= 0)
+    // sum of week-0 cells = total distinct users (every user is active
+    // in their own first week by construction)
+    val week0 = out.filter(_.getAs[Int]("week_no") == 0)
+      .map(_.getAs[Long]("active_users")).sum
+    val totalUsers = Tables.events(spark, d)
+      .select(col("user_id")).distinct().count()
+    week0 shouldBe totalUsers
+  }
+
+  test("transition matrix: per-prev probabilities sum to 1, counts to n-1 per user") {
+    val d = sf("sf0.01")
+    val out = Behavior.winEventTransitions(spark, d).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.map(_.getAs[Double]("p")).sum shouldBe 1.0 +- 1e-9
+    }
+    // total transitions = total events - number of users (one chain each)
+    val ev = Tables.events(spark, d)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    out.map(_.getAs[Long]("n")).sum shouldBe expected
+  }
+
+  test("regression recovers a planted linear relationship exactly") {
+    import spark.implicits._
+    val xs = (1 to 200).map(_.toDouble)
+    val df = xs.map(x => ("G", x, 3.25 * x + 10.0)).toDF("g", "x", "y")
+    df.createOrReplaceTempView("synth_reg")
+    // reuse the same moment formula inline on the synthetic frame
+    val xi = floor(col("x") * 100).cast("long")
+    val yi = floor(col("y") * 100).cast("long")
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(xi.cast("decimal(38,0)")).as("sx"), sum(yi.cast("decimal(38,0)")).as("sy"),
+      sum(xi.cast("decimal(38,0)") * yi).as("sxy"),
+      sum(xi.cast("decimal(38,0)") * xi).as("sxx")).first()
+    val (n, sx, sy, sxy, sxx) = (m.getLong(0).toDouble,
+      m.getDecimal(1).doubleValue, m.getDecimal(2).doubleValue,
+      m.getDecimal(3).doubleValue, m.getDecimal(4).doubleValue)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope shouldBe 3.25 +- 1e-9
+    // and the real entry runs and emits one row per return flag with r2 in [0,1]
+    val rows = Aggregates.aggRegression(spark, sf("sf0.001")).collect()
+    rows.length shouldBe 3
+    // NB: the driver's synthetic prices are independent of quantity
+    // (unlike real TPC-H), so the sign of the slope is not asserted —
+    // only that r² is a valid coefficient of determination
+    rows.foreach(r => r.getAs[Double]("r2") should (be >= 0.0 and be <= 1.0))
+  }
+
+  test("z-score outliers: counts bounded by Chebyshev and deterministic") {
+    val rows = Aggregates.aggOutlierZscore(spark, sf("sf0.01")).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val k = r.getAs[Long]("n_outliers")
+      // Chebyshev: at most 1/4 of mass beyond 2 sigma
+      k.toDouble should be <= n / 4.0
+      k should be >= 0L
+      r.getAs[Double]("stddev_price") should be > 0.0
+    }
+    rows.map(_.getAs[Long]("n_orders")).sum shouldBe 15000L
+  }
+
+  test("substring dedup finds planted cross-doc spans and no false positives on disjoint text") {
+    import spark.implicits._
+    val boiler = "COMMON-LICENSE-HEADER-1234567890-ABCDEFGHIJKLMNOPQR" // > 32 chars
+    val docs = Seq(
+      (1L, boiler + " unique tail one xxxxxxxxxxxxxx", "a"),
+      (2L, boiler + " different tail two yyyyyyyyyyyy", "a"),
+      (3L, "totally unrelated content with nothing shared at all zzzz", "b"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("synth_docs")
+    // run the same shape inline (entry is bound to Tables.documents)
+    val sh = docs.filter(org.apache.spark.sql.functions.length(col("text")) >= 32)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, length(text) - 31, 8)," +
+          " p -> substring(text, p, 32))")).as("shingle"))
+    val dup = sh.groupBy(col("shingle"))
+      .agg(count_distinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select(col("shingle"))
+    val out = sh.join(dup, Seq("shingle"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("docs_with_dup")).collect()
+    out.map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe Map("a" -> 2L)
+    // and the real entry is non-trivial on the fixture
+    val real = Dedup.extSubstringDedup(spark, sf("sf0.01"))
+    real.agg(sum(col("dup_occurrences"))).first().getLong(0) should be > 0L
+  }
+}
