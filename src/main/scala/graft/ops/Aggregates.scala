@@ -330,9 +330,31 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A17 — deterministic per-group mode (most frequent value): neither
+    * engine's native `mode()` pins tie-breaks, so it's expressed as
+    * count-per-(group, value) + row_number ordered by (count DESC,
+    * value ASC) — fully deterministic and the identical plan both
+    * engines run anyway. The rank window partitions by group over the
+    * (group × distinct-value) frame, which is cardinality-bounded, not
+    * row-bounded. */
+  val aggMode: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("mode_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("mode_count").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+              col("o_orderpriority").as("mode_priority"), col("mode_count"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_regression" -> aggRegression,
     "agg_outlier_zscore" -> aggOutlierZscore,
+    "agg_mode" -> aggMode,
     "agg_histogram" -> aggHistogram,
     "agg_skewness" -> aggSkewness,
     "agg_entropy" -> aggEntropy,
@@ -349,6 +371,15 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(count(*) AS BIGINT) AS mode_count,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, mode_count
+        |FROM c WHERE rn = 1 ORDER BY 1""".stripMargin,
     "agg_regression" ->
       """WITH a AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -240,11 +240,55 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E25 — frequency-ranked vocabulary encoding: the tokenize-to-IDs
+    * step every training pipeline runs before packing. Vocabulary =
+    * top-256 tokens by corpus frequency (ties broken by token — the
+    * determinism every reproducible-vocab build needs); each document's
+    * first 16 tokens map to their IDs (0 = OOV), emitted as a
+    * comma-joined sequence (the compare harness diffs flat values, so
+    * the sequence travels as one string).
+    *
+    * Scale shape: token counts are a partial-aggregated explode; the
+    * rank window is a SINGLE-PARTITION sort over the VOCABULARY (which
+    * is count-bounded — ~vocab-size rows, never corpus rows; a 100 TB
+    * run ranking millions of types would TakeOrdered the top-K
+    * instead); the encode join probes a 256-row broadcast. Documents
+    * whose filtered token list is empty encode to no rows (both
+    * engines). Order inside the sequence is restored from posexplode
+    * positions via sorted-struct collect — collect_list order after a
+    * shuffle is otherwise undefined. */
+  val extVocabEncode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val filtToks = "filter(split(lower(text), ' '), t -> t <> '')"
+    val tokens = docs.select(
+      explode(expr(filtToks)).as("tok"))
+    val vocab = tokens.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("int"))
+      .filter(col("id") <= 256)
+      .select(col("tok"), col("id"))
+    docs.select(col("doc_id"),
+        posexplode(expr(s"slice($filtToks, 1, 16)")))
+      .withColumnRenamed("col", "tok")
+      .join(vocab, Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+              coalesce(col("id"), lit(0)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           array_join(
+             transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+                       x => x.getField("id").cast("string")), ",")
+             .as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_repetition" -> extRepetition,
     "ext_pii_scrub" -> extPiiScrub,
     "ext_tfidf" -> extTfidf,
     "ext_contamination" -> extContamination,
+    "ext_vocab_encode" -> extVocabEncode,
     "ext_lm_score" -> extLmScore)
 
   // ---- oracle SQL --------------------------------------------------------
@@ -285,6 +329,30 @@ object Curation {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ext_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                            t -> t <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+        |         AS INTEGER) AS id
+        |  FROM tok GROUP BY tok
+        |  QUALIFY id <= 256),
+        |head AS (
+        |  SELECT doc_id,
+        |    unnest(h) AS tok,
+        |    unnest(generate_series(1, len(h))) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_slice(list_filter(string_split(lower(text), ' '),
+        |                                 t -> t <> ''), 1, 16) AS h
+        |        FROM documents))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ','
+        |             ORDER BY pos) AS ids_str
+        |FROM head LEFT JOIN vocab v USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks,

@@ -56,11 +56,38 @@ object Ingest {
       .dropDuplicates("s_suppkey")
       .orderBy(col("s_suppkey"))
 
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** S1b — JSON-lines ingest (the other ubiquitous staging format; the
+    * reference's Python tier moves dicts/JSON payloads the same way its
+    * SQL tier moves CSV). Round-trips `customer` through JSONL with an
+    * explicit schema on the read — like S1, never inference on a
+    * correctness path. JSONL is splittable line-wise, so the 100 TB read
+    * parallelizes exactly like CSV; doubles survive because Spark's JSON
+    * writer emits shortest-round-trip literals and the schema'd reader
+    * parses them back to the identical IEEE value. */
+  val jsonIngest: Q = (s, d) => {
+    val scratch = s"/root/repo/target/scratch/json_ingest"
+    Tables.customer(s, d)
+      .write.mode("overwrite").json(scratch)
+    s.read.schema(customerSchema).json(scratch)
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "csv_ingest" -> csvIngest,
+    "json_ingest" -> jsonIngest,
     "typed_load_dedup" -> typedLoadDedup)
 
   val oracles: Map[String, String] = Map(
+    "json_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "csv_ingest" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,

@@ -107,15 +107,48 @@ object Scalars {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
                col("sqrt_price"))
 
+  /** F6b — trigonometric surface (the reference's synthetic tier models
+    * seasonality with sinusoids — `/root/reference/
+    * generate_synthetic_data.py:148,151`; any cyclic-feature encoding
+    * needs these). Both JVM Math and C libm guarantee ≤1-ulp accuracy
+    * but not the SAME 1 ulp — so sin/cos/atan values are rounded to 10
+    * decimals (empirically bit-identical on this corpus; the round
+    * guards the tail). radians/degrees are NOT left to the builtins:
+    * `toDegrees` does v·180/π while DuckDB multiplies a precomputed
+    * 180/π, a guaranteed-different double — both sides instead spell
+    * out the identical op sequence v·π/180 and v·180/π, which makes
+    * them bit-exact with no rounding needed at all. */
+  val fnTrig: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        round(sin(col("value")), 10).as("sin_v"),
+        round(cos(col("value")), 10).as("cos_v"),
+        round(atan(col("value")), 10).as("atan_v"),
+        round(atan2(col("value"), lit(100.0)), 10).as("atan2_v"),
+        (col("value") * lit(math.Pi) / lit(180.0)).as("rad_v"),
+        (col("value") * lit(180.0) / lit(math.Pi)).as("deg_v"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
     "fn_datetime_extract" -> fnDatetimeExtract,
     "fn_date_format" -> fnDateFormat,
     "fn_date_series" -> fnDateSeries,
     "fn_date_arith" -> fnDateArith,
     "fn_string_split" -> fnStringSplit,
-    "fn_math" -> fnMath)
+    "fn_math" -> fnMath,
+    "fn_trig" -> fnTrig)
 
   val oracles: Map[String, String] = Map(
+    "fn_trig" ->
+      """SELECT event_id,
+        |  round(sin(value), 10) AS sin_v,
+        |  round(cos(value), 10) AS cos_v,
+        |  round(atan(value), 10) AS atan_v,
+        |  round(atan2(value, 100.0), 10) AS atan2_v,
+        |  value * pi() / 180.0 AS rad_v,
+        |  value * 180.0 / pi() AS deg_v
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_datetime_extract" ->
       """SELECT event_id,
         |  CAST(EXTRACT(YEAR FROM ts) AS INTEGER) AS y,
