@@ -130,6 +130,22 @@ object Scalars {
         (col("value") * lit(180.0) / lit(math.Pi)).as("deg_v"))
       .orderBy(col("event_id"))
 
+  /** F6c — exponential/logarithm surface (log-scaling features, decay
+    * weights, perplexity math — [[graft.ops.Curation.extLmScore]] builds
+    * on ln). Same ≤1-ulp libm caveat as [[fnTrig]], so round(10);
+    * arguments are shifted (+1, /100) to keep every input strictly in
+    * the functions' well-conditioned domain. */
+  val fnExpLog: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        round(exp(col("value") / 100.0), 10).as("exp_v"),
+        round(log(col("value") + lit(1.0)), 10).as("ln_v"),
+        round(log10(col("value") + lit(1.0)), 10).as("log10_v"),
+        round(log2(col("value") + lit(1.0)), 10).as("log2_v"),
+        round(pow(col("value"), lit(0.5)), 10).as("pow_half"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
     "fn_datetime_extract" -> fnDatetimeExtract,
     "fn_date_format" -> fnDateFormat,
@@ -137,9 +153,18 @@ object Scalars {
     "fn_date_arith" -> fnDateArith,
     "fn_string_split" -> fnStringSplit,
     "fn_math" -> fnMath,
-    "fn_trig" -> fnTrig)
+    "fn_trig" -> fnTrig,
+    "fn_exp_log" -> fnExpLog)
 
   val oracles: Map[String, String] = Map(
+    "fn_exp_log" ->
+      """SELECT event_id,
+        |  round(exp(value / 100.0), 10) AS exp_v,
+        |  round(ln(value + 1.0), 10) AS ln_v,
+        |  round(log10(value + 1.0), 10) AS log10_v,
+        |  round(log2(value + 1.0), 10) AS log2_v,
+        |  round(pow(value, 0.5), 10) AS pow_half
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_trig" ->
       """SELECT event_id,
         |  round(sin(value), 10) AS sin_v,

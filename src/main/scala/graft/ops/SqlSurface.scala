@@ -100,14 +100,59 @@ object SqlSurface {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
 
+  /** WITH RECURSIVE (supported since Spark 4.0) — iterative reachability
+    * over the event-type transition graph derived from the stream: all
+    * ≤6-hop walks from 'signup', reporting per reachable type the
+    * minimum hop count and walk multiplicity. The recursion operates on
+    * the |types|² edge list (cardinality-bounded), not on events — the
+    * pattern for hierarchy/graph expansion where each iteration is a
+    * join against a bounded frame; unbounded-frontier graph work at
+    * 100 TB belongs to the dedicated CC operator
+    * ([[graft.ops.Clustering]]), which checkpoints between rounds. */
+  val sqlRecursive: Q = q("events")(
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT prev_type AS src, event_type AS dst
+      |  FROM (SELECT event_type,
+      |          lag(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS prev_type
+      |        FROM events)
+      |  WHERE prev_type IS NOT NULL),
+      |hops(node, lvl) AS (
+      |  SELECT 'signup', 0
+      |  UNION ALL
+      |  SELECT e.dst, h.lvl + 1
+      |  FROM hops h JOIN edges e ON e.src = h.node
+      |  WHERE h.lvl < 6)
+      |SELECT node, CAST(min(lvl) AS INTEGER) AS min_hops,
+      |       CAST(count(*) AS BIGINT) AS n_walks
+      |FROM hops GROUP BY node ORDER BY node""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "sql_pricing_summary" -> sqlPricingSummary,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
     "sql_grouping_sets" -> sqlGroupingSets,
     "sql_exists_not_exists" -> sqlExists,
+    "sql_recursive_cte" -> sqlRecursive,
     "sql_lateral_topn" -> sqlLateral)
 
   val oracles: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT prev_type AS src, event_type AS dst
+        |  FROM (SELECT event_type,
+        |          lag(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS prev_type
+        |        FROM events)
+        |  WHERE prev_type IS NOT NULL),
+        |hops(node, lvl) AS (
+        |  SELECT 'signup', 0
+        |  UNION ALL
+        |  SELECT e.dst, h.lvl + 1
+        |  FROM hops h JOIN edges e ON e.src = h.node
+        |  WHERE h.lvl < 6)
+        |SELECT node, CAST(min(lvl) AS INTEGER) AS min_hops,
+        |       CAST(count(*) AS BIGINT) AS n_walks
+        |FROM hops GROUP BY node ORDER BY node""".stripMargin,
     "sql_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS n_rows,

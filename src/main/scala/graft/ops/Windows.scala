@@ -206,7 +206,45 @@ object Windows {
           |  AS n_last_hour""".stripMargin)
       .orderBy(col("event_id"))
 
+  /** W13 — rolling z-score anomaly screen over the per-(type, day)
+    * total series: 7-row trailing mean/stddev, then the day's deviation
+    * in σ units — the windowed twin of
+    * [[graft.ops.Aggregates.aggOutlierZscore]] and the standard
+    * distribution-drift monitor for a training-data feed. Exactness
+    * discipline: the daily totals AND their rolling sums/sum-of-squares
+    * accumulate as decimals (order-free; the frame walk is sequential
+    * anyway), the mean/std/z formula is one fixed double shape, and z
+    * is rounded to 6 so a boundary row can't flip the outlier flag
+    * cross-engine. The window partitions by type over the DAILY frame —
+    * day-cardinality rows, not events. */
+  val winRollingZscore: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .withColumn("sq", col("sv") * col("sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rn", count(lit(1)).over(w))
+      .withColumn("rs", sum(col("sv")).over(w))
+      .withColumn("rss", sum(col("sq")).over(w))
+      .select(col("event_type"), col("day"),
+              col("sv").cast("double").as("daily_total"),
+              col("rn").as("n_window"), {
+        val n = col("rn").cast("double")
+        val rs = col("rs").cast("double"); val rss = col("rss").cast("double")
+        val mean = rs / n
+        val std = sqrt((n * rss - rs * rs) / (n * (n - lit(1.0))))
+        when(col("rn") >= 2 && std > 0,
+             round((col("sv").cast("double") - mean) / std, 6))
+          .as("z6")
+      })
+      .withColumn("is_outlier", abs(col("z6")) > 2.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_rolling_zscore" -> winRollingZscore,
     "win_time_range" -> winTimeRange,
     "win_cume_dist" -> winCumeDist,
     "win_sessionize_gap" -> winSessionizeGap,
@@ -221,6 +259,45 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, sv,
+        |    count(*) OVER w AS rn,
+        |    SUM(sv) OVER w AS rs,
+        |    SUM(sv * sv) OVER w AS rss
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day,
+        |  CAST(sv AS DOUBLE) AS daily_total,
+        |  CAST(rn AS BIGINT) AS n_window,
+        |  CASE WHEN rn >= 2 AND
+        |    sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |         / (CAST(rn AS DOUBLE) * (CAST(rn AS DOUBLE) - 1.0))) > 0
+        |  THEN round((CAST(sv AS DOUBLE)
+        |              - CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE))
+        |             / sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |                     - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |                    / (CAST(rn AS DOUBLE)
+        |                       * (CAST(rn AS DOUBLE) - 1.0))), 6)
+        |  END AS z6,
+        |  abs(CASE WHEN rn >= 2 AND
+        |    sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |         / (CAST(rn AS DOUBLE) * (CAST(rn AS DOUBLE) - 1.0))) > 0
+        |  THEN round((CAST(sv AS DOUBLE)
+        |              - CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE))
+        |             / sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |                     - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |                    / (CAST(rn AS DOUBLE)
+        |                       * (CAST(rn AS DOUBLE) - 1.0))), 6)
+        |  END) > 2.0 AS is_outlier
+        |FROM r ORDER BY event_type, day""".stripMargin,
     "win_time_range" ->
       """SELECT event_id, event_type,
         |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts

@@ -45,6 +45,41 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("recursive CTE reaches every event type from signup in 1 hop on a dense graph") {
+    val d = sf("sf0.01")
+    graft.ops.SqlSurface.registerAll(spark, d)
+    val rows = graft.ops.SqlSurface.queries("sql_recursive_cte")(spark, d).collect()
+    // the transition graph at this SF is dense: every type follows signup
+    // somewhere, so min_hops is 0 for signup and 1 for everything else
+    val hops = rows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    hops("signup") shouldBe 0
+    (hops - "signup").values.foreach(_ shouldBe 1)
+    rows.foreach(_.getAs[Long]("n_walks") should be > 0L)
+  }
+
+  test("rolling z-score: window never exceeds 7 rows and flags match |z| > 2") {
+    val rows = graft.ops.Windows.winRollingZscore(spark, sf("sf0.01")).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("n_window") should be <= 7L
+      if (!r.isNullAt(r.fieldIndex("z6"))) {
+        val z = r.getAs[Double]("z6")
+        r.getAs[Boolean]("is_outlier") shouldBe (math.abs(z) > 2.0)
+      }
+    }
+    // first row of each series has a 1-row window -> null z
+    rows.filter(_.getAs[Long]("n_window") == 1L)
+      .foreach(r => r.isNullAt(r.fieldIndex("z6")) shouldBe true)
+  }
+
+  test("exp/log surface: ln and log2/log10 are consistent") {
+    val rows = graft.ops.Scalars.fnExpLog(spark, sf("sf0.001")).limit(500).collect()
+    rows.foreach { r =>
+      val ln = r.getAs[Double]("ln_v")
+      r.getAs[Double]("log10_v") shouldBe ln / math.log(10.0) +- 1e-6
+      r.getAs[Double]("log2_v") shouldBe ln / math.log(2.0) +- 1e-6
+    }
+  }
+
   test("vocab encode: id 1 is the most frequent token, sequence length matches") {
     val d = sf("sf0.01")
     val out = Curation.extVocabEncode(spark, d).collect()
