@@ -351,9 +351,26 @@ object Aggregates {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A18 — weighted aggregates: quantity-weighted mean unit price per
+    * flag — Σ(w·x)/Σw with BOTH sums exact decimals ([[dsumProd]]
+    * discipline) and ONE final IEEE division, the weighted twin of
+    * [[graft.ops.ravg]]. The weighted mean every mixture/importance
+    * computation reduces to. */
+  val aggWeighted: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("l_quantity")).as("sum_w"),
+           sum(col("l_quantity").cast("decimal(18,2)") *
+               col("l_extendedprice").cast("decimal(18,2)")).as("swx"))
+      .select(col("l_returnflag"), col("n"), col("sum_w"),
+              (col("swx").cast("double") / col("sum_w")).as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
     "agg_regression" -> aggRegression,
     "agg_outlier_zscore" -> aggOutlierZscore,
+    "agg_weighted" -> aggWeighted,
     "agg_mode" -> aggMode,
     "agg_histogram" -> aggHistogram,
     "agg_skewness" -> aggSkewness,
@@ -371,6 +388,14 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_weighted" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_w,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority,

@@ -132,7 +132,29 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** E26 — reproducible train/val/test split (80/10/10): assignment is
+    * the decision hash mod 10, so membership is a pure function of the
+    * row key — stable under re-partitioning, appends, and re-runs, which
+    * is what makes it auditable (the reference's 80/20 split views pin
+    * the same property via `trip_id % 5` —
+    * `/root/reference/sql/ml_feature_engineering.sql:468-519`). Emits
+    * the per-(source, split) audit counts; the full assignment is the
+    * same expression un-aggregated. Pure map + one count shuffle. */
+  val extHashSplit: Q = (s, d) => {
+    val bucket = pmod(decide("split|", col("doc_id")), lit(10L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("split",
+        when(bucket <= 7, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_hash_split" -> extHashSplit,
     "ext_stratified_sample" -> extStratifiedSample,
     "ext_domain_mix" -> extDomainMix,
     "ext_seq_pack" -> extSeqPack,
@@ -174,6 +196,15 @@ object Sampling {
         |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ext_hash_split" ->
+      s"""SELECT source,
+         |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT source,
+         |        ${h60("'split|' || doc_id")} % 10 AS b
+         |      FROM documents)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ext_stratified_sample" ->
       s"""SELECT doc_id, source, rn FROM (
          |  SELECT doc_id, source,

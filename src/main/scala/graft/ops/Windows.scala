@@ -243,7 +243,29 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W14 — period-over-period percentage change (the delta column on
+    * every trend dashboard, incl. the reference's weekly delay trends —
+    * `/root/reference/sql/analysis_queries.sql:158-191`): monthly value
+    * total per type, each month's relative change vs the previous one.
+    * Totals are exact decimals; the change is one fixed double division
+    * (unrounded — identical operands both engines); first month is NULL
+    * by lag semantics. Window runs over the month-cardinality frame. */
+  val winPctChange: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("month"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+               date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .withColumn("prev", lag(col("sv"), 1).over(w))
+      .select(col("event_type"), col("month"),
+              col("sv").cast("double").as("total"),
+              ((col("sv") - col("prev")).cast("double") /
+                col("prev").cast("double")).as("pct_change"))
+      .orderBy(col("event_type"), col("month"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_pct_change" -> winPctChange,
     "win_rolling_zscore" -> winRollingZscore,
     "win_time_range" -> winTimeRange,
     "win_cume_dist" -> winCumeDist,
@@ -259,6 +281,19 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    "win_pct_change" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('month', ts) AS DATE) AS month,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, month,
+        |  CAST(sv AS DOUBLE) AS total,
+        |  CAST(sv - lag(sv) OVER w AS DOUBLE)
+        |    / CAST(lag(sv) OVER w AS DOUBLE) AS pct_change
+        |FROM m
+        |WINDOW w AS (PARTITION BY event_type ORDER BY month)
+        |ORDER BY event_type, month""".stripMargin,
     "win_rolling_zscore" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

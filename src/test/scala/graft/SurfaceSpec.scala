@@ -80,6 +80,49 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("hash split: deterministic, complete, and near the 80/10/10 design") {
+    val d = sf("sf0.01")
+    val a = graft.ops.Sampling.extHashSplit(spark, d).collect()
+    val b = graft.ops.Sampling.extHashSplit(spark, d).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // replayable
+    val bySplit = a.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum
+    total shouldBe Tables.documents(spark, d).count()
+    bySplit("train").toDouble / total shouldBe 0.8 +- 0.06
+    bySplit("val").toDouble / total shouldBe 0.1 +- 0.05
+    bySplit("test").toDouble / total shouldBe 0.1 +- 0.05
+  }
+
+  test("weighted mean sits between min and max unit price and differs from plain mean") {
+    val d = sf("sf0.01")
+    val rows = graft.ops.Aggregates.aggWeighted(spark, d).collect()
+    val bounds = Tables.lineitem(spark, d).groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val w = r.getAs[Double]("wavg_price")
+      w should (be >= lo and be <= hi)
+    }
+  }
+
+  test("pct change: first month null, reconstruction matches totals") {
+    val rows = graft.ops.Windows.winPctChange(spark, sf("sf0.01")).collect()
+    val bySeries = rows.groupBy(_.getString(0))
+    bySeries.values.foreach { series =>
+      val s = series.sortBy(_.getDate(1).getTime)
+      s.head.isNullAt(s.head.fieldIndex("pct_change")) shouldBe true
+      s.sliding(2).foreach {
+        case Array(prev, cur) if !cur.isNullAt(cur.fieldIndex("pct_change")) =>
+          val rebuilt = prev.getAs[Double]("total") *
+            (1.0 + cur.getAs[Double]("pct_change"))
+          rebuilt shouldBe cur.getAs[Double]("total") +- 1e-6
+        case _ =>
+      }
+    }
+  }
+
   test("vocab encode: id 1 is the most frequent token, sequence length matches") {
     val d = sf("sf0.01")
     val out = Curation.extVocabEncode(spark, d).collect()
