@@ -497,6 +497,60 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** E27 — LSH quality evaluation: precision/recall of the MinHash band
+    * candidates against exact trigram-Jaccard ground truth (j ≥ 0.5) on
+    * a deterministic ~20% document sample — the "is my dedup actually
+    * catching near-dups?" audit every production pipeline should run
+    * before trusting its candidate generation. Both sides are machinery
+    * that already hash-matches independently ([[extMinhashDedup]],
+    * [[extTrigramJaccard]]), so their composition stays fully
+    * oracle-replayable.
+    *
+    * The sample bounds the exact side: ground truth is an all-pairs
+    * postings self-join, O(Σ posting²) — affordable on a keyed sample,
+    * ruinous on the corpus (which is the entire reason LSH exists; the
+    * evaluation needs exact truth only at measurement grain). Sampling
+    * by key hash keeps the audit replayable run-over-run, and candidate
+    * pairs restricted to the sample are exactly the global band pairs
+    * with both ends sampled — an unbiased recall estimate. */
+  val extNeardupEval: Q = (s, d) => {
+    val sample = Tables.documents(s, d)
+      .filter(pmod(hash60(concat(lit("eval|"), col("doc_id").cast("string"))),
+                   lit(5L)) === 0)
+    // exact ground truth: trigram jaccard >= 0.5 over the sample
+    val shd = sample.select(col("doc_id"),
+      explode(shingles3(col("text"))).as("t"))
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val common = shd.as("x").join(shd.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val truth = common
+      .join(sizes.select(col("doc_id").as("a"), col("nw").as("nw1")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nw").as("nw2")), Seq("b"))
+      .filter(col("c").cast("double") /
+              (col("nw1") + col("nw2") - col("c")) >= 0.5)
+      .select(col("a"), col("b"))
+    // LSH candidates over the same sample
+    val cand = minhashBandPairs(
+      sample.select(col("doc_id"), minhashSig(shingles3(col("text"))).as("sig")))
+    truth.withColumn("t", lit(1))
+      .join(cand.withColumn("cd", lit(1)), Seq("a", "b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0))).as("n_truth"),
+           sum(coalesce(col("cd"), lit(0))).as("n_cand"),
+           sum(coalesce(col("t"), lit(0)) * coalesce(col("cd"), lit(0)))
+             .as("tp"))
+      .select(col("n_truth"), col("n_cand"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_cand") > 0,
+             col("tp").cast("double") / col("n_cand").cast("double"))
+          .as("precision"),
+        when(col("n_truth") > 0,
+             col("tp").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   /** Generic 3-gram Jaccard between two text columns (library form used by
     * the spec; not oracle-bound). */
   def jaccard3(a: Column, b: Column): Column = {
@@ -513,9 +567,76 @@ object Dedup {
     "ext_trigram_jaccard" -> extTrigramJaccard,
     "ext_incremental_dedup" -> extIncrementalDedup,
     "ext_containment" -> extContainment,
-    "ext_substring_dedup" -> extSubstringDedup)
+    "ext_substring_dedup" -> extSubstringDedup,
+    "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    "ext_neardup_eval" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |                  substr(md5('eval|' || doc_id), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+        |        FROM base)),
+        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+        |          FROM shd GROUP BY 1),
+        |com AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT a, b FROM com
+        |  JOIN sizes sa ON sa.doc_id = com.a
+        |  JOIN sizes sb ON sb.doc_id = com.b
+        |  WHERE CAST(c AS DOUBLE) / (sa.nw + sb.nw - c) >= 0.5),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k,
+        |  min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bk x JOIN bk y ON x.band = y.band
+        |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |j AS (
+        |  SELECT coalesce(t.flag, 0) AS t, coalesce(c.flag, 0) AS cd
+        |  FROM (SELECT a, b, 1 AS flag FROM truth) t
+        |  FULL OUTER JOIN (SELECT a, b, 1 AS flag FROM cand) c
+        |    USING (a, b))
+        |SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+        |  CAST(sum(cd) AS BIGINT) AS n_cand,
+        |  CAST(sum(t * cd) AS BIGINT) AS tp,
+        |  CAST(sum(cd) - sum(t * cd) AS BIGINT) AS fp,
+        |  CAST(sum(t) - sum(t * cd) AS BIGINT) AS fn,
+        |  CASE WHEN sum(cd) > 0
+        |    THEN CAST(sum(t * cd) AS DOUBLE) / CAST(sum(cd) AS DOUBLE)
+        |  END AS precision,
+        |  CASE WHEN sum(t) > 0
+        |    THEN CAST(sum(t * cd) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
+        |  END AS recall
+        |FROM j""".stripMargin,
     "ext_substring_dedup" ->
       """WITH sh AS (
         |  SELECT doc_id, source, substr(text, CAST(p AS INTEGER), 32) AS shingle

@@ -123,6 +123,20 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("neardup eval: confusion counts are internally consistent") {
+    val r = graft.ops.Dedup.extNeardupEval(spark, sf("sf0.01")).first()
+    val (truth, cand, tp) = (r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("tp"))
+    tp should be <= math.min(truth, cand)
+    r.getAs[Long]("fp") shouldBe cand - tp
+    r.getAs[Long]("fn") shouldBe truth - tp
+    if (cand > 0) r.getAs[Double]("precision") should (be >= 0.0 and be <= 1.0)
+    if (truth > 0) r.getAs[Double]("recall") should (be >= 0.0 and be <= 1.0)
+    // the fixture contains crafted near-dups, so the sampled audit
+    // should find a non-empty ground truth
+    truth should be > 0L
+  }
+
   test("vocab encode: id 1 is the most frequent token, sequence length matches") {
     val d = sf("sf0.01")
     val out = Curation.extVocabEncode(spark, d).collect()
