@@ -116,12 +116,45 @@ object Quality {
       .orderBy(col("cluster_id"))
   }
 
+  /** E28 — join-key skew audit: the top-5 heaviest o_custkey values with
+    * their share of rows and skew ratio (count ÷ mean-per-key) — the
+    * diagnostic a planner reads BEFORE choosing the
+    * [[graft.ops.Advanced.joinSaltedSkew]] path or trusting AQE's skew
+    * split. One partial-aggregated count shuffle; the global stats ride
+    * a single-row cross join and top-5 is TakeOrdered. All ratios are
+    * single divisions of exact longs. */
+  val extKeySkew: Q = (s, d) => {
+    val c = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val g = c.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
+    c.crossJoin(broadcast(g))
+      .select(col("o_custkey"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        (col("n").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).as("skew_ratio"))
+      .orderBy(col("n").desc, col("o_custkey"))
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_key_skew" -> extKeySkew,
     "ext_keep_best" -> extKeepBest,
     "dq_report" -> dqReport,
     "ext_dedup_pipeline" -> extDedupPipeline)
 
   val oracles: Map[String, String] = Map(
+    "ext_key_skew" ->
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT o_custkey, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS skew_ratio
+        |FROM c CROSS JOIN g
+        |ORDER BY n DESC, o_custkey LIMIT 5""".stripMargin,
     // minhash banding + transitive closure replay (as ext_dedup_clusters)
     // joined with the shared quality expression; election replayed with
     // the same (quality DESC, doc_id) tie-break

@@ -123,6 +123,16 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("key skew audit: 5 rows, descending, hottest key at least mean load") {
+    val rows = graft.ops.Quality.extKeySkew(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 5
+    rows.map(_.getAs[Long]("n")).sliding(2).foreach {
+      case Array(a, b) => b should be <= a
+    }
+    rows.head.getAs[Double]("skew_ratio") should be >= 1.0 // max >= mean
+    rows.map(_.getAs[Double]("share")).sum should be <= 1.0
+  }
+
   test("neardup eval: confusion counts are internally consistent") {
     val r = graft.ops.Dedup.extNeardupEval(spark, sf("sf0.01")).first()
     val (truth, cand, tp) = (r.getAs[Long]("n_truth"),
