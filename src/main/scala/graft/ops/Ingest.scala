@@ -79,12 +79,61 @@ object Ingest {
       .orderBy(col("c_custkey"))
   }
 
+  /** S1c — ORC round-trip (the third columnar-ecosystem staging format;
+    * same reader discipline as S1/S1b). ORC is splittable with
+    * predicate-pushdown-capable stripes, so the scan shape at 100 TB
+    * matches parquet's. */
+  val orcIngest: Q = (s, d) => {
+    val scratch = s"/root/repo/target/scratch/orc_ingest"
+    Tables.supplier(s, d)
+      .write.mode("overwrite").orc(scratch)
+    s.read.orc(scratch)
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** S2b — schema-evolution read: two parquet batches written with
+    * different schemas (v2 adds a column), read back as ONE dataset via
+    * `mergeSchema` — the append-only table whose schema widened
+    * mid-stream, which every long-lived 100 TB table eventually is.
+    * v1 rows surface NULL for the added column; the aggregate proves
+    * both batches landed and the widened column reads correctly. */
+  val parquetMergeSchema: Q = (s, d) => {
+    val scratch = s"/root/repo/target/scratch/merge_schema"
+    val n = Tables.nation(s, d)
+    n.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$scratch/batch=v1")
+    n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$scratch/batch=v2")
+    s.read.option("mergeSchema", "true").parquet(scratch)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("n_regionkey")).as("n_with_region"),
+           sum(col("n_regionkey")).as("region_sum"))
+      .orderBy(col("batch"))
+  }
+
   val queries: Map[String, Q] = Map(
     "csv_ingest" -> csvIngest,
     "json_ingest" -> jsonIngest,
+    "orc_ingest" -> orcIngest,
+    "parquet_merge_schema" -> parquetMergeSchema,
     "typed_load_dedup" -> typedLoadDedup)
 
   val oracles: Map[String, String] = Map(
+    "orc_ingest" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "parquet_merge_schema" ->
+      """SELECT 'v1' AS batch, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_with_region,
+        |  CAST(NULL AS BIGINT) AS region_sum
+        |FROM nation
+        |UNION ALL
+        |SELECT 'v2', CAST(count(*) AS BIGINT),
+        |  CAST(count(n_regionkey) AS BIGINT),
+        |  CAST(sum(n_regionkey) AS BIGINT)
+        |FROM nation
+        |ORDER BY batch""".stripMargin,
     "json_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -20,6 +20,35 @@ class BehaviorSpec extends SparkSpec {
     users(0) shouldBe signups
   }
 
+  test("funnel is strict: a purchase before the view chain does not count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: signup -> view -> click -> purchase (full chain)
+    // user 2: purchase first, then signup -> view (purchase must NOT count)
+    val ev = Seq(
+      (1L, "signup", t(1)), (1L, "view", t(2)), (1L, "click", t(3)),
+      (1L, "purchase", t(4)),
+      (2L, "purchase", t(1)), (2L, "signup", t(2)), (2L, "view", t(3)))
+      .toDF("user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "view" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "click" && col("ts") > col("t2"), col("ts"))).over(w))
+      .withColumn("t4", min(when(col("event_type") === "purchase" && col("ts") > col("t3"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+           max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+           count(col("t3")).as("u3"), count(col("t4")).as("u4"))
+      .first()
+    staged.getLong(0) shouldBe 2 // both signed up
+    staged.getLong(1) shouldBe 2 // both viewed after signup
+    staged.getLong(2) shouldBe 1 // only user 1 clicked
+    staged.getLong(3) shouldBe 1 // user 2's early purchase is not counted
+  }
+
   test("cohort retention: week-0 cell covers every user of the cohort") {
     val d = sf("sf0.01")
     val out = Behavior.extCohortRetention(spark, d).collect()
