@@ -80,6 +80,29 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("malformed CSV rows: PERMISSIVE preserves count with nulls, DROPMALFORMED drops") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/repo/target/scratch/malformed_csv"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"),
+      "id,qty\n1,10\n2,not_a_number\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", IntegerType)))
+    val permissive = spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE").csv(dir)
+    permissive.count() shouldBe 3
+    permissive.filter(col("qty").isNull).count() shouldBe 1
+    val dropped = spark.read.schema(schema).option("header", "true")
+      .option("mode", "DROPMALFORMED").csv(dir)
+    // NB: count() alone would report 3 — CSV column pruning means the
+    // malformed qty field is never parsed, so nothing is detected as
+    // malformed. Materializing the columns triggers the drop. The same
+    // pruning applies at 100 TB: malformed-row filtering only happens
+    // for fields the query actually reads.
+    dropped.select(col("id"), col("qty")).collect().length shouldBe 2
+  }
+
   test("hash split: deterministic, complete, and near the 80/10/10 design") {
     val d = sf("sf0.01")
     val a = graft.ops.Sampling.extHashSplit(spark, d).collect()
