@@ -379,11 +379,53 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** E3e — ANN recall audit: recall@5 of the LSH-bucketed search
+    * ([[extAnnLsh]]'s shape) against the brute-force top-5 ground truth
+    * ([[extKnnCosine]]'s shape) per query — the similarity-stack twin of
+    * [[graft.ops.Dedup.extNeardupEval]], and the number an ANN deployment
+    * must publish before anyone trusts its buckets (the fixture's
+    * geometry makes single-table LSH lossy — see [[extEmbedNeardup]]'s
+    * scaladoc — which is exactly what this audit exposes, per query,
+    * with exact arithmetic on both engines). Ground truth is the k·|Q|
+    * window over the broadcast query batch; the audit grain is the
+    * query batch, so the exact side stays bounded at any corpus size. */
+  val extAnnRecall: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshSig(col("embedding")).as("sig"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                     col("sig").as("qsig")).filter(col("qid") < 10)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                     col("sig").as("csig"))
+    def top5(pairs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+    }
+    val bf = top5(broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")))
+    val ann = top5(broadcast(q)
+      .join(c, col("qsig") === col("csig") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")))
+    bf.withColumn("b", lit(1))
+      .join(ann.withColumn("a", lit(1)), Seq("qid", "cid"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("b"), lit(0))).as("n_bf"),
+           sum(coalesce(col("a"), lit(0))).as("n_ann"),
+           sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
+             .as("n_overlap"))
+      .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
+              (col("n_overlap").cast("double") / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
     "ext_ann_lsh" -> extAnnLsh,
     "ext_ann_ivf" -> extAnnIvf,
+    "ext_ann_recall" -> extAnnRecall,
     "ext_pq_encode" -> extPqEncode,
     "ext_pq_adc" -> extPqAdc)
 
@@ -409,6 +451,34 @@ object Similarity {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "ext_ann_recall" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, sig AS qsig
+         |      FROM base WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, sig AS csig FROM base),
+         |bf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS rn
+         |    FROM q JOIN c ON qid <> cid)
+         |  WHERE rn <= 5),
+         |ann AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS rn
+         |    FROM q JOIN c ON qsig = csig AND qid <> cid)
+         |  WHERE rn <= 5),
+         |j AS (
+         |  SELECT qid, coalesce(bf2.f, 0) AS b, coalesce(an2.f, 0) AS a
+         |  FROM (SELECT qid, cid, 1 AS f FROM bf) bf2
+         |  FULL OUTER JOIN (SELECT qid, cid, 1 AS f FROM ann) an2
+         |    USING (qid, cid))
+         |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
+         |  CAST(sum(a) AS BIGINT) AS n_ann,
+         |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
+         |  CAST(sum(b * a) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_pq_encode" ->
       s"""WITH sub AS (
          |  SELECT vec_id, CAST(r.m AS INTEGER) AS m,

@@ -156,6 +156,18 @@ class SurfaceSpec extends SparkSpec {
     rows.map(_.getAs[Double]("share")).sum should be <= 1.0
   }
 
+  test("ann recall audit: ground truth complete, overlap bounded, recall in range") {
+    val rows = graft.ops.Similarity.extAnnRecall(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Long]("n_bf") shouldBe 5L // brute force always fills k
+      r.getAs[Long]("n_ann") should be <= 5L
+      val ov = r.getAs[Long]("n_overlap")
+      ov should be <= math.min(r.getAs[Long]("n_bf"), r.getAs[Long]("n_ann"))
+      r.getAs[Double]("recall_at_5") shouldBe ov / 5.0
+    }
+  }
+
   test("neardup eval: confusion counts are internally consistent") {
     val r = graft.ops.Dedup.extNeardupEval(spark, sf("sf0.01")).first()
     val (truth, cand, tp) = (r.getAs[Long]("n_truth"),
