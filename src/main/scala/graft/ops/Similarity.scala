@@ -420,12 +420,55 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** E3f — Hamming-1 multiprobe LSH, measured the same way: each query
+    * probes its own bucket plus the 6 single-bit-flip neighbors (the
+    * classic recall dial — ~7× the candidates for a recall jump; probe
+    * keys are distinct, so the explode-join yields no duplicate
+    * candidates and stays a pure equi-join at any scale). Emitting the
+    * same per-query recall@5 as [[extAnnRecall]] makes the
+    * cost-vs-recall trade directly legible: compare the two entries
+    * row by row. */
+  val extAnnMultiprobe: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshSig(col("embedding")).as("sig"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                     col("sig").as("qsig")).filter(col("qid") < 10)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                     col("sig").as("csig"))
+    val probes = q.select(col("qid"), col("qe"),
+      explode(array((Seq(0) ++ (0 until 6).map(1 << _)).map(m =>
+        col("qsig").bitwiseXOR(lit(m))): _*)).as("probe"))
+    def top5(pairs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+    }
+    val bf = top5(broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")))
+    val ann = top5(broadcast(probes)
+      .join(c, col("probe") === col("csig") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")))
+    bf.withColumn("b", lit(1))
+      .join(ann.withColumn("a", lit(1)), Seq("qid", "cid"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("b"), lit(0))).as("n_bf"),
+           sum(coalesce(col("a"), lit(0))).as("n_ann"),
+           sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
+             .as("n_overlap"))
+      .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
+              (col("n_overlap").cast("double") / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
     "ext_ann_lsh" -> extAnnLsh,
     "ext_ann_ivf" -> extAnnIvf,
     "ext_ann_recall" -> extAnnRecall,
+    "ext_ann_multiprobe" -> extAnnMultiprobe,
     "ext_pq_encode" -> extPqEncode,
     "ext_pq_adc" -> extPqAdc)
 
@@ -468,6 +511,39 @@ object Similarity {
          |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
          |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS rn
          |    FROM q JOIN c ON qsig = csig AND qid <> cid)
+         |  WHERE rn <= 5),
+         |j AS (
+         |  SELECT qid, coalesce(bf2.f, 0) AS b, coalesce(an2.f, 0) AS a
+         |  FROM (SELECT qid, cid, 1 AS f FROM bf) bf2
+         |  FULL OUTER JOIN (SELECT qid, cid, 1 AS f FROM ann) an2
+         |    USING (qid, cid))
+         |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
+         |  CAST(sum(a) AS BIGINT) AS n_ann,
+         |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
+         |  CAST(sum(b * a) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ext_ann_multiprobe" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, sig AS qsig
+         |      FROM base WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, sig AS csig FROM base),
+         |pr AS (
+         |  SELECT qid, qe, unnest([qsig, xor(qsig, 1), xor(qsig, 2),
+         |    xor(qsig, 4), xor(qsig, 8), xor(qsig, 16), xor(qsig, 32)])
+         |    AS probe
+         |  FROM q),
+         |bf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS rn
+         |    FROM q JOIN c ON qid <> cid)
+         |  WHERE rn <= 5),
+         |ann AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS rn
+         |    FROM pr JOIN c ON probe = csig AND qid <> cid)
          |  WHERE rn <= 5),
          |j AS (
          |  SELECT qid, coalesce(bf2.f, 0) AS b, coalesce(an2.f, 0) AS a

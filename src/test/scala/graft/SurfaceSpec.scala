@@ -168,6 +168,19 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("multiprobe recall dominates single-probe recall per query") {
+    val d = sf("sf0.01")
+    val single = graft.ops.Similarity.extAnnRecall(spark, d).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("recall_at_5")).toMap
+    val multi = graft.ops.Similarity.extAnnMultiprobe(spark, d).collect()
+    multi.length shouldBe 10
+    // Hamming-1 probing is a strict superset of the single bucket, so
+    // per-query recall can only stay equal or improve
+    multi.foreach { r =>
+      r.getAs[Double]("recall_at_5") should be >= single(r.getAs[Long]("qid"))
+    }
+  }
+
   test("neardup eval: confusion counts are internally consistent") {
     val r = graft.ops.Dedup.extNeardupEval(spark, sf("sf0.01")).first()
     val (truth, cand, tp) = (r.getAs[Long]("n_truth"),
