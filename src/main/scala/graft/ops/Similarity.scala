@@ -462,6 +462,58 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** E3g — IVF nprobe=2 recall, measured identically: queries probe
+    * their TWO nearest inverted lists (the IVF recall dial, as
+    * Hamming-1 probing is the LSH one), data vectors stay in their one
+    * list. Candidate generation remains a pure equi-join on list id —
+    * a query's two probe lists are distinct, so no duplicate
+    * candidates. Completes the measured-recall set: every shipped ANN
+    * variant (LSH single/multi-probe, IVF) now publishes its recall@5
+    * against the same brute-force ground truth. */
+  val extIvfRecall: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
+    val ranked = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+              cosine(col("embedding"), col("se")).as("seed_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+    val c = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+              col("seed_id").as("list_id"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .filter(col("qid") < 10)
+    val qprobe = ranked.filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("seed_id").as("plist"))
+    def top5(pairs: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      pairs.withColumn("trn", row_number().over(w))
+        .filter(col("trn") <= 5).select(col("qid"), col("cid"))
+    }
+    val bf = top5(broadcast(q).join(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")))
+    val ann = top5(broadcast(qprobe)
+      .join(c, col("plist") === col("list_id") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")))
+    bf.withColumn("b", lit(1))
+      .join(ann.withColumn("a", lit(1)), Seq("qid", "cid"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("b"), lit(0))).as("n_bf"),
+           sum(coalesce(col("a"), lit(0))).as("n_ann"),
+           sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
+             .as("n_overlap"))
+      .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
+              (col("n_overlap").cast("double") / lit(5.0)).as("recall_at_5"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
@@ -469,6 +521,7 @@ object Similarity {
     "ext_ann_ivf" -> extAnnIvf,
     "ext_ann_recall" -> extAnnRecall,
     "ext_ann_multiprobe" -> extAnnMultiprobe,
+    "ext_ivf_recall" -> extIvfRecall,
     "ext_pq_encode" -> extPqEncode,
     "ext_pq_adc" -> extPqAdc)
 
@@ -629,6 +682,42 @@ object Similarity {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY a, b""".stripMargin,
+    "ext_ivf_recall" ->
+      s"""WITH ranked AS (
+         |  SELECT e.vec_id, e.embedding, s.vec_id AS seed_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("e.embedding", "s.embedding")} DESC, s.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, seed_id AS list_id
+         |      FROM ranked WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |qp AS (SELECT vec_id AS qid, embedding AS qe, seed_id AS plist
+         |       FROM ranked WHERE vec_id < 10 AND rn <= 2),
+         |bf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS trn
+         |    FROM q JOIN (SELECT vec_id AS cid, embedding AS ce
+         |                 FROM embeddings) ca ON qid <> cid)
+         |  WHERE trn <= 5),
+         |ann AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS trn
+         |    FROM qp JOIN c ON plist = list_id AND qid <> cid)
+         |  WHERE trn <= 5),
+         |j AS (
+         |  SELECT qid, coalesce(bf2.f, 0) AS b, coalesce(an2.f, 0) AS a
+         |  FROM (SELECT qid, cid, 1 AS f FROM bf) bf2
+         |  FULL OUTER JOIN (SELECT qid, cid, 1 AS f FROM ann) an2
+         |    USING (qid, cid))
+         |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
+         |  CAST(sum(a) AS BIGINT) AS n_ann,
+         |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
+         |  CAST(sum(b * a) AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_ann_ivf" ->
       s"""WITH assigned AS (
          |  SELECT vec_id, embedding, seed_id AS list_id FROM (

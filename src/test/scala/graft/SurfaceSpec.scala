@@ -181,6 +181,22 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("ivf recall audit: consistent counts, recall beats single-probe LSH here") {
+    val d = sf("sf0.01")
+    val rows = graft.ops.Similarity.extIvfRecall(spark, d).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      r.getAs[Long]("n_bf") shouldBe 5L
+      r.getAs[Long]("n_overlap") should be <=
+        math.min(r.getAs[Long]("n_bf"), r.getAs[Long]("n_ann"))
+    }
+    // data-adaptive buckets beat the fixed hyperplanes on this geometry
+    val ivfMean = rows.map(_.getAs[Double]("recall_at_5")).sum / 10
+    val lshMean = graft.ops.Similarity.extAnnRecall(spark, d).collect()
+      .map(_.getAs[Double]("recall_at_5")).sum / 10
+    ivfMean should be > lshMean
+  }
+
   test("neardup eval: confusion counts are internally consistent") {
     val r = graft.ops.Dedup.extNeardupEval(spark, sf("sf0.01")).first()
     val (truth, cand, tp) = (r.getAs[Long]("n_truth"),
