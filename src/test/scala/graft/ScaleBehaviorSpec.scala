@@ -170,6 +170,31 @@ class ScaleBehaviorSpec extends SparkSpec {
     (plan should include).regex("""NOT \(\(doc_id#\d+L % 5\) = 0\)""")
   }
 
+  test("funnel plan: one events shuffle feeds all four stage windows") {
+    val plan = finalPlan(
+      SparkEntry.queries("ext_funnel")(spark, sf("sf0.01")))
+    // exactly one hash exchange (user_id) — the 4 chained windows, the
+    // per-user reduce, and the global count all ride it; the only other
+    // exchange is the single-partition one for the 4-row stage frame
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
+    "Exchange SinglePartition".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("outlier-zscore plan: the 5-row moment frame broadcasts, orders never re-shuffle") {
+    val plan = finalPlan(
+      SparkEntry.queries("agg_outlier_zscore")(spark, sf("sf0.01")))
+    plan should include("BroadcastHashJoin")
+    // one exchange for the moment aggregate + the presentation sort's
+    // range exchange; a third would mean the probe side shuffled
+    shuffleCount(plan) should be <= 2
+  }
+
+  test("vocab-encode plan: the 256-row vocabulary broadcasts to the encode probe") {
+    val plan = finalPlan(
+      SparkEntry.queries("ext_vocab_encode")(spark, sf("sf0.01")))
+    plan should include("BroadcastHashJoin")
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
