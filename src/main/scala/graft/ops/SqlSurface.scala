@@ -102,7 +102,7 @@ object SqlSurface {
 
   /** WITH RECURSIVE (supported since Spark 4.0) — iterative reachability
     * over the event-type transition graph derived from the stream: all
-    * ≤6-hop walks from 'signup', reporting per reachable type the
+    * ≤4-hop walks from 'signup', reporting per reachable type the
     * minimum hop count and walk multiplicity. The recursion operates on
     * the |types|² edge list (cardinality-bounded), not on events — the
     * pattern for hierarchy/graph expansion where each iteration is a
@@ -122,7 +122,7 @@ object SqlSurface {
       |  UNION ALL
       |  SELECT e.dst, h.lvl + 1
       |  FROM hops h JOIN edges e ON e.src = h.node
-      |  WHERE h.lvl < 6)
+      |  WHERE h.lvl < 4)
       |SELECT node, CAST(min(lvl) AS INTEGER) AS min_hops,
       |       CAST(count(*) AS BIGINT) AS n_walks
       |FROM hops GROUP BY node ORDER BY node""".stripMargin)
@@ -149,7 +149,7 @@ object SqlSurface {
         |  UNION ALL
         |  SELECT e.dst, h.lvl + 1
         |  FROM hops h JOIN edges e ON e.src = h.node
-        |  WHERE h.lvl < 6)
+        |  WHERE h.lvl < 4)
         |SELECT node, CAST(min(lvl) AS INTEGER) AS min_hops,
         |       CAST(count(*) AS BIGINT) AS n_walks
         |FROM hops GROUP BY node ORDER BY node""".stripMargin,
