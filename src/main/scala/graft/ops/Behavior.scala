@@ -111,12 +111,101 @@ object Behavior {
       .orderBy(col("prev_type"), col("curr_type"))
   }
 
+  /** E29 — PageRank over the event-type transition graph (10 fixed
+    * power iterations, damping 0.85): the centrality score of each
+    * event type in user flows, completing the graph tier (components =
+    * [[graft.ops.Clustering]], reachability = sql_recursive_cte,
+    * centrality = here). Edge weights are the exact transition counts;
+    * the per-iteration contribution sum is made order-free by the
+    * [[graft.ops.Aggregates.aggEntropy]] trick — each r·p term is
+    * rounded to 12 decimals and accumulated as decimal(28,12), so ten
+    * chained iterations stay bit-identical across engines (a raw double
+    * sum would drift with shuffle merge order). No dangling-mass
+    * redistribution: both sides use the same simple update, and the
+    * transition graph has out-edges everywhere.
+    *
+    * Scale shape: the iteration state is one row per NODE (event type —
+    * cardinality-bounded); all ten iterations are narrow joins against
+    * the types² edge frame inside ONE lazy plan, evaluated as a single
+    * job. The general-graph (unbounded-node) variant would checkpoint
+    * per round exactly like connectedComponents. */
+  val extPagerank: Q = (s, d) => {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(wo))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("event_type").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val out = trans.groupBy(col("src")).agg(sum(col("n")).as("outn"))
+    val edges = trans.join(out, Seq("src"))
+      .select(col("src"), col("dst"),
+              (col("n").cast("double") / col("outn").cast("double")).as("p"))
+    val nodes = Tables.events(s, d).select(col("event_type").as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("nn")).as("r"))
+    for (_ <- 1 to 10) {
+      val contrib = r.join(edges, col("node") === col("src"))
+        .select(col("dst"),
+                round(col("r") * col("p"), 12).cast("decimal(28,12)").as("t"))
+        .groupBy(col("dst")).agg(sum(col("t")).as("st"))
+      r = nodes.crossJoin(broadcast(nn))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+                (lit(0.15) / col("nn") +
+                 lit(0.85) * coalesce(col("st").cast("double"), lit(0.0)))
+                  .as("r"))
+    }
+    r.select(col("node"), round(col("r"), 10).as("pagerank"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_funnel" -> extFunnel,
     "ext_cohort_retention" -> extCohortRetention,
+    "ext_pagerank" -> extPagerank,
     "win_event_transitions" -> winEventTransitions)
 
+  /** DuckDB replay of the ten PageRank iterations, generated as unrolled
+    * CTEs (recursive CTEs disallow aggregation in the recursive member,
+    * so the fixed iteration count is spelled out). */
+  private val pagerankSql: String = {
+    val header =
+      """WITH tr AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT event_type AS dst,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS src
+        |    FROM events)
+        |  WHERE src IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(n) AS BIGINT) AS outn FROM tr GROUP BY 1),
+        |edges AS (
+        |  SELECT tr.src, tr.dst,
+        |    CAST(n AS DOUBLE) / CAST(outn AS DOUBLE) AS p
+        |  FROM tr JOIN o USING (src)),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |r0 AS (SELECT node, 1.0 / nn.nn AS r FROM nodes CROSS JOIN nn)"""
+        .stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |    0.15 / nn.nn + 0.85 * coalesce(CAST(c.st AS DOUBLE), 0.0) AS r
+         |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst,
+         |      SUM(CAST(round(pr.r * e.p, 12) AS DECIMAL(28,12))) AS st
+         |    FROM r${k - 1} pr JOIN edges e ON pr.node = e.src
+         |    GROUP BY e.dst) c
+         |    ON c.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    header + ",\n" + iters +
+      "\nSELECT node, round(r, 10) AS pagerank FROM r10 ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "ext_pagerank" -> pagerankSql,
     "ext_funnel" ->
       """WITH a AS (
         |  SELECT user_id, event_type, ts,

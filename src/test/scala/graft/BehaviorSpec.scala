@@ -74,6 +74,15 @@ class BehaviorSpec extends SparkSpec {
     out.map(_.getAs[Long]("n")).sum shouldBe expected
   }
 
+  test("pagerank: probability mass conserved, all ranks positive") {
+    val rows = Behavior.extPagerank(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 5
+    rows.foreach(_.getAs[Double]("pagerank") should be > 0.0)
+    // the transition graph has out-edges everywhere, so no dangling
+    // leakage: total mass stays 1 up to the per-iteration 1e-12 rounding
+    rows.map(_.getAs[Double]("pagerank")).sum shouldBe 1.0 +- 1e-8
+  }
+
   test("regression recovers a planted linear relationship exactly") {
     import spark.implicits._
     val xs = (1 to 200).map(_.toDouble)
