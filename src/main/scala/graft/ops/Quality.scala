@@ -136,13 +136,79 @@ object Quality {
       .limit(5)
   }
 
+  /** E30 — the end-to-end training-data build in ONE call: exact dedup
+    * (keep min doc_id per text) → quality gate (the shared
+    * [[TextAnalysis.qualityExpr]] ≥ 0.6 — identical doubles both
+    * engines, so the gate cannot flip a boundary row) → reproducible
+    * 80/10/10 key-hash split (same `split|` namespace as
+    * [[graft.ops.Sampling.extHashSplit]], so assignments agree across
+    * entries) → per-(source, split) audit: docs, whitespace-token mass,
+    * mean quality (12-decimal-quantized decimal sum, then one
+    * division). The "data card of the build" a release pipeline signs
+    * off on — every stage is an already-hash-matched fragment,
+    * composed. */
+  val extDataBuild: Q = (s, d) => {
+    val exact = Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+           min_by(col("source"), col("doc_id")).as("source"))
+    val toks = split(lower(col("text")), " ")
+    val kept = exact
+      .withColumn("q", TextAnalysis.qualityExpr(col("text"), toks))
+      .filter(col("q") >= 0.6)
+    val bucket = pmod(
+      Dedup.hash60(concat(lit("split|"), col("doc_id").cast("string"))),
+      lit(10L))
+    kept
+      .withColumn("split",
+        when(bucket <= 7, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("ws", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws")).as("token_mass"),
+           (sum(round(col("q"), 12).cast("decimal(28,12)")).cast("double") /
+             count(lit(1))).as("mean_quality"))
+      .orderBy(col("source"), col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_data_build" -> extDataBuild,
     "ext_key_skew" -> extKeySkew,
     "ext_keep_best" -> extKeepBest,
     "dq_report" -> dqReport,
     "ext_dedup_pipeline" -> extDedupPipeline)
 
+  // hash60 replay (15 hex digits of md5 → bigint), as in Sampling's oracles
+  private def h60q(x: String): String =
+    s"""list_reduce(list_transform(range(1, 16), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ext_data_build" ->
+      s"""WITH ex AS (
+         |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+         |         text
+         |  FROM documents GROUP BY text),
+         |k AS (
+         |  SELECT doc_id, source, text,
+         |    ${TextAnalysis.qualityExprSql("text")} AS q
+         |  FROM ex
+         |  WHERE ${TextAnalysis.qualityExprSql("text")} >= 0.6),
+         |sp AS (
+         |  SELECT source,
+         |    CASE WHEN ${h60q("'split|' || doc_id")} % 10 <= 7 THEN 'train'
+         |         WHEN ${h60q("'split|' || doc_id")} % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws, q
+         |  FROM k)
+         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS token_mass,
+         |  CAST(SUM(CAST(round(q, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         |    / count(*) AS mean_quality
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ext_key_skew" ->
       """WITH c AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n

@@ -146,6 +146,21 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("data build: split assignments agree with ext_hash_split's namespace, quality gate holds") {
+    val d = sf("sf0.01")
+    val rows = graft.ops.Quality.extDataBuild(spark, d).collect()
+    rows.foreach { r =>
+      Set("train", "val", "test") should contain(r.getString(1))
+      r.getAs[Double]("mean_quality") should be >= 0.6
+      r.getAs[Long]("token_mass") should be >= r.getAs[Long]("n_docs") // >=1 token/doc
+    }
+    // the build keeps a substantial corpus (dedup+quality drop some)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, d).count()
+    total should be < corpus
+    total.toDouble should be > corpus * 0.3
+  }
+
   test("key skew audit: 5 rows, descending, hottest key at least mean load") {
     val rows = graft.ops.Quality.extKeySkew(spark, sf("sf0.01")).collect()
     rows.length shouldBe 5
