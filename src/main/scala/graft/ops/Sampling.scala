@@ -153,8 +153,47 @@ object Sampling {
       .orderBy(col("source"), col("split"))
   }
 
+  /** E31 — split-bias audit: total-variation distance between each
+    * split's language mix and the corpus mix — the check that the
+    * key-hash split ([[extHashSplit]], same `split|` namespace) did not
+    * correlate with a content attribute. TVD = ½·Σ|p_split − p_corpus|
+    * over exact counts: each |Δp| term is a fixed double expression of
+    * exact longs, quantized to 12 decimals and decimal-summed (the
+    * order-free reduction), then halved — bit-identical cross-engine.
+    * Two count aggregates and a broadcast-sized join of
+    * (splits × langs) frames; nothing scales with rows. */
+  val extSplitBias: Q = (s, d) => {
+    val bucket = pmod(decide("split|", col("doc_id")), lit(10L))
+    val tagged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("split",
+        when(bucket <= 7, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+    // full splits × langs grid: a lang MISSING from a split contributes
+    // |0 − p_corpus| — an inner join would silently drop exactly the
+    // cells where the bias is largest
+    val bySplit = tagged.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val splitTot = tagged.groupBy(col("split")).agg(count(lit(1)).as("n_split"))
+    val corpus = tagged.groupBy(col("lang")).agg(count(lit(1)).as("cn"))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("ct"))))
+    splitTot.crossJoin(corpus)
+      .join(bySplit, Seq("split", "lang"), "left")
+      .select(col("split"),
+        round(abs(coalesce(col("n"), lit(0L)).cast("double") /
+                    col("n_split").cast("double") -
+                  col("cn").cast("double") / col("ct").cast("double")), 12)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("split"))
+      .agg((sum(col("term")).cast("double") / 2.0).as("tvd_lang"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_hash_split" -> extHashSplit,
+    "ext_split_bias" -> extSplitBias,
     "ext_stratified_sample" -> extStratifiedSample,
     "ext_domain_mix" -> extDomainMix,
     "ext_seq_pack" -> extSeqPack,
@@ -196,6 +235,29 @@ object Sampling {
         |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ext_split_bias" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN ${h60("'split|' || doc_id")} % 10 <= 7 THEN 'train'
+         |         WHEN ${h60("'split|' || doc_id")} % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |bs AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+         |       FROM tagged GROUP BY 1, 2),
+         |st AS (SELECT split, CAST(count(*) AS BIGINT) AS n_split
+         |       FROM tagged GROUP BY 1),
+         |co AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS ct
+         |       FROM tagged GROUP BY 1),
+         |grid AS (SELECT st.split, st.n_split, co.lang, co.cn, co.ct
+         |         FROM st CROSS JOIN co)
+         |SELECT g.split,
+         |  CAST(SUM(CAST(round(abs(
+         |    CAST(coalesce(bs.n, 0) AS DOUBLE) / CAST(g.n_split AS DOUBLE)
+         |    - CAST(g.cn AS DOUBLE) / CAST(g.ct AS DOUBLE)), 12)
+         |    AS DECIMAL(28,12))) AS DOUBLE) / 2.0 AS tvd_lang
+         |FROM grid g LEFT JOIN bs ON bs.split = g.split AND bs.lang = g.lang
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_hash_split" ->
       s"""SELECT source,
          |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'

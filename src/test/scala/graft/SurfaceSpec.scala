@@ -161,6 +161,17 @@ class SurfaceSpec extends SparkSpec {
     total.toDouble should be > corpus * 0.3
   }
 
+  test("split bias: TVD in [0,1], large split drifts least") {
+    val rows = graft.ops.Sampling.extSplitBias(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 3
+    val tvd = rows.map(r => r.getString(0) -> r.getAs[Double]("tvd_lang")).toMap
+    tvd.values.foreach(v => v should (be >= 0.0 and be <= 1.0))
+    // the 80% split is a much larger sample of the corpus than the 10%
+    // splits, so its language mix drifts least
+    tvd("train") should be < tvd("val")
+    tvd("train") should be < tvd("test")
+  }
+
   test("key skew audit: 5 rows, descending, hottest key at least mean load") {
     val rows = graft.ops.Quality.extKeySkew(spark, sf("sf0.01")).collect()
     rows.length shouldBe 5
