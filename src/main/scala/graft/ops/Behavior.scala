@@ -162,10 +162,30 @@ object Behavior {
       .orderBy(col("node"))
   }
 
+  /** W15 — longest consecutive-day activity streak per user: the
+    * gaps-and-islands pattern (day − row_number() is constant within a
+    * consecutive run, so it IS the island key), the remaining classic
+    * SQL shape the sessionize/window entries don't cover. One user_id
+    * shuffle; islands are day-grain, so nothing scales with raw event
+    * volume past the distinct. */
+  val winStreak: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+           max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_funnel" -> extFunnel,
     "ext_cohort_retention" -> extCohortRetention,
     "ext_pagerank" -> extPagerank,
+    "win_streak" -> winStreak,
     "win_event_transitions" -> winEventTransitions)
 
   /** DuckDB replay of the ten PageRank iterations, generated as unrolled
@@ -206,6 +226,19 @@ object Behavior {
 
   val oracles: Map[String, String] = Map(
     "ext_pagerank" -> pagerankSql,
+    "win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS INTEGER) AS grp
+        |  FROM days),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_funnel" ->
       """WITH a AS (
         |  SELECT user_id, event_type, ts,

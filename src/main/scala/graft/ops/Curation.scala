@@ -283,12 +283,40 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E32 — out-of-vocabulary rate per source against the SAME top-256
+    * corpus vocabulary [[extVocabEncode]] builds: the per-slice drift
+    * number a tokenizer owner watches (a source whose OOV rate climbs is
+    * drifting away from the vocabulary the model was built on). Token
+    * counts partial-aggregate before the 256-row broadcast anti-probe;
+    * the rate is one division of exact longs. */
+  val extOovRate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val filtToks = "filter(split(lower(text), ' '), t -> t <> '')"
+    val tokens = docs.select(col("source"),
+      explode(expr(filtToks)).as("tok"))
+    val vocab = tokens.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("int"))
+      .filter(col("id") <= 256)
+      .select(col("tok"))
+    tokens.join(vocab.withColumn("inv", lit(1)), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+              (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+                .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_repetition" -> extRepetition,
     "ext_pii_scrub" -> extPiiScrub,
     "ext_tfidf" -> extTfidf,
     "ext_contamination" -> extContamination,
     "ext_vocab_encode" -> extVocabEncode,
+    "ext_oov_rate" -> extOovRate,
     "ext_lm_score" -> extLmScore)
 
   // ---- oracle SQL --------------------------------------------------------
@@ -329,6 +357,24 @@ object Curation {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ext_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    t -> t <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+        |         AS INTEGER) AS id
+        |  FROM tok GROUP BY tok
+        |  QUALIFY id <= 256)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM tok t LEFT JOIN vocab v USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_vocab_encode" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split(lower(text), ' '),

