@@ -367,10 +367,51 @@ object Aggregates {
               (col("swx").cast("double") / col("sum_w")).as("wavg_price"))
       .orderBy(col("l_returnflag"))
 
+  /** A19 — Gini coefficient of order value per priority (the
+    * concentration number behind every "top X% of keys hold Y% of
+    * mass" skew statement — [[graft.ops.Quality.extKeySkew]]'s summary
+    * scalar): the rank formula G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over
+    * cent-quantized values, with rank ties broken by o_orderkey so the
+    * weighted sum is identical cross-engine, and both Σ accumulating as
+    * decimal(38,0)/HUGEINT (i·x reaches ~1e16 — past double's exact
+    * integer range). One sort-window per group + one aggregate. */
+  val aggGini: Q = (s, d) => {
+    val zi = floor(col("o_totalprice") * 100).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("z"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), zi.as("z"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("z").cast("decimal(38,0)")).as("sx"),
+           sum(col("z").cast("decimal(38,0)") * col("i")).as("six"))
+      .select(col("o_orderpriority"), col("n"), {
+        val n = col("n").cast("double")
+        round(lit(2.0) * col("six").cast("double") /
+                (n * col("sx").cast("double")) -
+              (n + 1.0) / n, 6).as("gini")
+      })
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A20 — exact grouped median (interpolated, as [[aggPercentile]]
+    * already proves bit-portable at corpus grain): the per-group
+    * spelling every dashboard's "median by segment" needs. */
+  val aggMedianGrouped: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, Q] = Map(
     "agg_regression" -> aggRegression,
     "agg_outlier_zscore" -> aggOutlierZscore,
     "agg_weighted" -> aggWeighted,
+    "agg_gini" -> aggGini,
+    "agg_median_grouped" -> aggMedianGrouped,
     "agg_mode" -> aggMode,
     "agg_histogram" -> aggHistogram,
     "agg_skewness" -> aggSkewness,
@@ -388,6 +429,28 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS z,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+        |               o_orderkey) AS i
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(z AS HUGEINT)) AS sx,
+        |    SUM(CAST(z AS HUGEINT) * i) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round(2.0 * CAST(six AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY 1""".stripMargin,
+    "agg_median_grouped" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_weighted" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_w,

@@ -161,6 +161,28 @@ class SurfaceSpec extends SparkSpec {
     total.toDouble should be > corpus * 0.3
   }
 
+  test("gini: zero on constant values, in [0,1) on the fixture") {
+    import spark.implicits._
+    // constant values -> perfect equality -> G = 0
+    val const = (1 to 100).map(i => ("P", i.toLong, 50.0)).toDF("g", "k", "x")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("z"), col("k"))
+    val g0 = const.select(col("g"), col("k"),
+        floor(col("x") * 100).cast("long").as("z"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+           sum(col("z").cast("decimal(38,0)")).cast("double").as("sx"),
+           sum(col("z").cast("decimal(38,0)") * col("i")).cast("double").as("six"))
+      .select((lit(2.0) * col("six") / (col("n") * col("sx")) -
+               (col("n") + 1.0) / col("n")).as("gini"))
+      .first().getDouble(0)
+    g0 shouldBe 0.0 +- 1e-12
+    graft.ops.Aggregates.aggGini(spark, sf("sf0.01")).collect().foreach { r =>
+      r.getAs[Double]("gini") should (be >= 0.0 and be < 1.0)
+    }
+  }
+
   test("split bias: TVD in [0,1], large split drifts least") {
     val rows = graft.ops.Sampling.extSplitBias(spark, sf("sf0.01")).collect()
     rows.length shouldBe 3
