@@ -551,6 +551,64 @@ object Dedup {
           .as("recall"))
   }
 
+  /** E33 — cross-source overlap matrix: for every source pair, how many
+    * distinct 32-char windows they share — the "which crawls mirror each
+    * other" diagnostic that tells a curator to dedup ACROSS two feeds
+    * before mixing them (per-source dedup alone misses mirrored
+    * content). Same shingle frame as [[extSubstringDedup]], aggregated
+    * to (shingle, source) grain BEFORE the self-join so the pair join is
+    * over distinct source-postings, not raw occurrences. */
+  val extSourceOverlap: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .filter(length(col("text")) >= 32)
+      .select(col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 31, 8)," +
+            " p -> substring(text, p, 32))")).as("shingle"))
+      .distinct()
+    sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+        col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** E34 — novelty rate per source: the fraction of each document's
+    * windows whose FIRST occurrence (by doc_id order) is that document —
+    * the redundancy-growth curve of a corpus (novelty falling toward 0
+    * as a crawl re-collects what it already has is the signal to stop).
+    * First-seen is min(doc_id) per window — exact and order-free; the
+    * per-doc ratio is one division of exact longs, averaged per source
+    * via the 12-decimal quantized sum. */
+  val extNoveltyRate: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 31, 8)," +
+            " p -> substring(text, p, 32))")).as("shingle"))
+      .distinct()
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_win"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel"))
+    perDoc
+      .select(col("source"), col("n_win"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_win").cast("double"), 12)
+          .cast("decimal(28,12)").as("nv"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_win")).as("n_windows"),
+           sum(col("n_novel")).as("n_novel"),
+           (sum(col("nv")).cast("double") / count(lit(1)))
+             .as("mean_novelty"))
+      .orderBy(col("source"))
+  }
+
   /** Generic 3-gram Jaccard between two text columns (library form used by
     * the spec; not oracle-bound). */
   def jaccard3(a: Column, b: Column): Column = {
@@ -568,9 +626,43 @@ object Dedup {
     "ext_incremental_dedup" -> extIncrementalDedup,
     "ext_containment" -> extContainment,
     "ext_substring_dedup" -> extSubstringDedup,
+    "ext_source_overlap" -> extSourceOverlap,
+    "ext_novelty_rate" -> extNoveltyRate,
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    "ext_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, substr(text, CAST(p AS INTEGER), 32) AS shingle
+        |  FROM (SELECT source, text,
+        |          unnest(generate_series(1, length(text) - 31, 8)) AS p
+        |        FROM documents WHERE length(text) >= 32))
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_windows
+        |FROM sh x JOIN sh y
+        |  ON x.shingle = y.shingle AND x.source < y.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ext_novelty_rate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    substr(text, CAST(p AS INTEGER), 32) AS shingle
+        |  FROM (SELECT doc_id, source, text,
+        |          unnest(generate_series(1, length(text) - 31, 8)) AS p
+        |        FROM documents WHERE length(text) >= 32)),
+        |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_win,
+        |    CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel
+        |  FROM sh JOIN fs USING (shingle)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_win) AS BIGINT) AS n_windows,
+        |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CAST(round(CAST(n_novel AS DOUBLE) / CAST(n_win AS DOUBLE),
+        |                      12) AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+        |    AS mean_novelty
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_neardup_eval" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

@@ -156,6 +156,27 @@ class BehaviorSpec extends SparkSpec {
     rows.map(_.getAs[Long]("n_orders")).sum shouldBe 15000L
   }
 
+  test("novelty rate: first document of the corpus is fully novel, rates valid") {
+    val d = sf("sf0.01")
+    val rows = graft.ops.Dedup.extNoveltyRate(spark, d).collect()
+    rows.foreach { r =>
+      r.getAs[Double]("mean_novelty") should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("n_novel") should be <= r.getAs[Long]("n_windows")
+    }
+    // global sanity: most windows are unique, so corpus-wide novelty is high
+    val totNovel = rows.map(_.getAs[Long]("n_novel")).sum.toDouble
+    val totWin = rows.map(_.getAs[Long]("n_windows")).sum.toDouble
+    totNovel / totWin should be > 0.8
+  }
+
+  test("source overlap: symmetric-free pairs, each shares at least one window") {
+    val rows = graft.ops.Dedup.extSourceOverlap(spark, sf("sf0.01")).collect()
+    rows.foreach { r =>
+      r.getString(0) should be < r.getString(1) // a < b, no mirror rows
+      r.getAs[Long]("n_shared_windows") should be >= 1L
+    }
+  }
+
   test("substring dedup finds planted cross-doc spans and no false positives on disjoint text") {
     import spark.implicits._
     val boiler = "COMMON-LICENSE-HEADER-1234567890-ABCDEFGHIJKLMNOPQR" // > 32 chars
