@@ -406,7 +406,33 @@ object Aggregates {
            round(percentile(col("o_totalprice"), lit(0.5)), 4).as("median_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** A21 — day-of-week seasonality index per event type: mean daily
+    * volume on each weekday ÷ overall mean daily volume — the weekday/
+    * weekend factor the reference's synthetic tier bakes in explicitly
+    * (`/root/reference/generate_synthetic_data.py:148-151` models
+    * seasonality; its analysis tier eyeballs it back out). All counts
+    * exact; the index is one fixed double expression of four exact
+    * longs (day counts enter as counts, not averages, so no
+    * intermediate quotient accumulates). */
+  val aggSeasonality: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")))
+    daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("n_dow"), count(lit(1)).as("days_dow"))
+      .join(daily.groupBy(col("event_type"))
+              .agg(sum(col("n")).as("n_all"), count(lit(1)).as("days_all")),
+            Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_dow"), col("days_dow"),
+        round((col("n_dow").cast("double") / col("days_dow").cast("double")) /
+              (col("n_all").cast("double") / col("days_all").cast("double")),
+              6).as("seasonality_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_seasonality" -> aggSeasonality,
     "agg_regression" -> aggRegression,
     "agg_outlier_zscore" -> aggOutlierZscore,
     "agg_weighted" -> aggWeighted,
@@ -429,6 +455,28 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    // dow convention: Spark dayofweek() is 1=Sunday..7=Saturday;
+    // DuckDB dayofweek() is 0=Sunday..6 — hence the +1
+    "agg_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+        |    CAST(sum(n) AS BIGINT) AS n_dow,
+        |    CAST(count(*) AS BIGINT) AS days_dow
+        |  FROM daily GROUP BY 1, 2),
+        |al AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+        |    CAST(count(*) AS BIGINT) AS days_all
+        |  FROM daily GROUP BY 1)
+        |SELECT dw.event_type, dow, n_dow, days_dow,
+        |  round((CAST(n_dow AS DOUBLE) / CAST(days_dow AS DOUBLE))
+        |        / (CAST(n_all AS DOUBLE) / CAST(days_all AS DOUBLE)), 6)
+        |    AS seasonality_idx
+        |FROM dw JOIN al USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
     "agg_gini" ->
       """WITH r AS (
         |  SELECT o_orderpriority,

@@ -161,6 +161,21 @@ class SurfaceSpec extends SparkSpec {
     total.toDouble should be > corpus * 0.3
   }
 
+  test("seasonality: day-weighted mean of indices is 1 per type") {
+    val rows = graft.ops.Aggregates.aggSeasonality(spark, sf("sf0.01")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      // Σ(idx · days_dow · overall_mean) = Σ n_dow → day-weighted mean of
+      // the index is exactly 1; verify via the raw counts identity
+      val nAll = grp.map(_.getAs[Long]("n_dow")).sum.toDouble
+      val dAll = grp.map(_.getAs[Long]("days_dow")).sum.toDouble
+      val weighted = grp.map { r =>
+        r.getAs[Double]("seasonality_idx") * r.getAs[Long]("days_dow")
+      }.sum
+      weighted / dAll shouldBe 1.0 +- 1e-4 // rounding on idx only
+      nAll should be > 0.0
+    }
+  }
+
   test("gini: zero on constant values, in [0,1) on the fixture") {
     import spark.implicits._
     // constant values -> perfect equality -> G = 0
