@@ -103,7 +103,24 @@ object Filters {
           .otherwise("low").as("price_band"))
       .orderBy(col("o_orderkey"))
 
+  /** P7 — pattern-predicate surface (LIKE / prefix / suffix / regexp):
+    * the reference's SQL never reaches for LIKE, but no relational
+    * surface is complete without it. Wildcard LIKE, anchored prefix and
+    * suffix (which Catalyst compiles to StartsWith/EndsWith — cheaper
+    * than a regex), and an RLIKE alternation. Pure map stage; at scale
+    * anchored-prefix predicates can additionally prune min/max file
+    * stats where a regex cannot. */
+  val filterLikePatterns: Q = (s, d) =>
+    graft.Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_name").like("%bolt%").as("has_bolt"),
+        col("p_name").startsWith("small").as("is_small"),
+        col("p_name").endsWith("gear").as("is_gear"),
+        col("p_name").rlike("^(red|blue) ").as("primary_color"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, Q] = Map(
+    "filter_like_patterns" -> filterLikePatterns,
     "filter_nulls" -> filterNulls,
     "filter_range_in" -> filterRangeIn,
     "filter_time_window" -> filterTimeWindow,
@@ -113,6 +130,13 @@ object Filters {
     "fn_conditional" -> fnConditional)
 
   val oracles: Map[String, String] = Map(
+    "filter_like_patterns" ->
+      """SELECT p_partkey, p_name, p_brand,
+        |  p_name LIKE '%bolt%' AS has_bolt,
+        |  p_name LIKE 'small%' AS is_small,
+        |  p_name LIKE '%gear' AS is_gear,
+        |  regexp_matches(p_name, '^(red|blue) ') AS primary_color
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "filter_nulls" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE value IS NOT NULL AND props IS NOT NULL AND event_type IS NOT NULL
