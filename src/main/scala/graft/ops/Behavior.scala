@@ -181,11 +181,38 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** W16 — inter-arrival profile: exact p50/p95 of the gap (seconds)
+    * between a user's consecutive events, per event type of the later
+    * event — the cadence signal behind session-gap threshold choices
+    * (the 30-minute default in [[graft.ops.Windows]]' sessionizers is
+    * exactly a quantile judgement on this distribution). Gaps are exact
+    * integer seconds (epoch difference); the percentile is the same
+    * interpolated-exact aggregate [[graft.ops.Aggregates.aggPercentile]]
+    * already proves bit-portable. One user_id sort window, then a
+    * per-type aggregate. */
+  val winInterarrival: Q = (s, d) => {
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wo))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+          .as("gap_s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+           round(percentile(col("gap_s"), lit(0.5)), 4).as("p50_gap_s"),
+           round(percentile(col("gap_s"), lit(0.95)), 4).as("p95_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_funnel" -> extFunnel,
     "ext_cohort_retention" -> extCohortRetention,
     "ext_pagerank" -> extPagerank,
     "win_streak" -> winStreak,
+    "win_interarrival" -> winInterarrival,
     "win_event_transitions" -> winEventTransitions)
 
   /** DuckDB replay of the ten PageRank iterations, generated as unrolled
@@ -226,6 +253,20 @@ object Behavior {
 
   val oracles: Map[String, String] = Map(
     "ext_pagerank" -> pagerankSql,
+    // floor(EXTRACT(EPOCH ...)) matches Spark's flooring unix_timestamp
+    "win_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+        |      - CAST(floor(EXTRACT(EPOCH FROM
+        |          lag(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
