@@ -431,7 +431,34 @@ object Aggregates {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** A22 — winsorized mean per group: clamp order totals to the exact
+    * [p05, p95] percentiles, then average — the robust central estimate
+    * a heavy-tailed metric needs (the complement of
+    * [[aggOutlierZscore]]: instead of counting the tail, neutralize
+    * it). Cutoffs come from the proven interpolated-exact percentile;
+    * the clamp and the mean run over cent-quantized exact values with
+    * one final division, so no float ordering anywhere. Two passes
+    * (cutoff aggregate broadcast back), same shape as the z-score
+    * screen. */
+  val aggWinsorizedMean: Q = (s, d) => {
+    val zi = floor(col("o_totalprice") * 100).cast("long")
+    val o = Tables.orders(s, d).select(col("o_orderpriority"), zi.as("z"))
+    val cuts = o.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("z"), lit(0.05)).as("lo"),
+           percentile(col("z"), lit(0.95)).as("hi"))
+    o.join(cuts, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        greatest(least(col("z").cast("double"), col("hi")), col("lo"))
+          .as("zc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col("zc"), 6).cast("decimal(28,6)")).cast("double") /
+             count(lit(1)) / 100.0).as("winsorized_mean"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_winsorized_mean" -> aggWinsorizedMean,
     "agg_seasonality" -> aggSeasonality,
     "agg_regression" -> aggRegression,
     "agg_outlier_zscore" -> aggOutlierZscore,
@@ -455,6 +482,21 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorized_mean" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS z
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(z, 0.05) AS lo, quantile_cont(z, 0.95) AS hi
+        |  FROM o GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(greatest(least(CAST(z AS DOUBLE), hi), lo), 6)
+        |                AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*) / 100.0 AS winsorized_mean
+        |FROM o JOIN c USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // dow convention: Spark dayofweek() is 1=Sunday..7=Saturday;
     // DuckDB dayofweek() is 0=Sunday..6 — hence the +1
     "agg_seasonality" ->

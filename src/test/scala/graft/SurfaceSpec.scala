@@ -176,6 +176,22 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("winsorized mean sits between p05 and p95, tighter to the plain mean") {
+    val d = sf("sf0.01")
+    val rows = graft.ops.Aggregates.aggWinsorizedMean(spark, d).collect()
+    val bounds = Tables.orders(spark, d).groupBy(col("o_orderpriority"))
+      .agg((expr("percentile(o_totalprice, 0.05)")).as("lo"),
+           (expr("percentile(o_totalprice, 0.95)")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val w = r.getAs[Double]("winsorized_mean")
+      // clamped values live in [p05, p95], so their mean must too
+      // (cent-floor shifts cutoffs < 1 cent)
+      w should (be >= lo - 0.011 and be <= hi + 0.011)
+    }
+  }
+
   test("gini: zero on constant values, in [0,1) on the fixture") {
     import spark.implicits._
     // constant values -> perfect equality -> G = 0
