@@ -401,10 +401,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** E35 — perceptual image hash (aHash) + bucket dedup: decode each
+    * image payload, NN-resample to 8×8, threshold each cell's gray mass
+    * against the image mean, and emit the 64-bit signature — joining the
+    * dedup story to the multimodal tier (image near-dup is as real a
+    * training-data need as text near-dup; equal aHash = strong
+    * duplicate signal, robust to the rescaling NN-resize models). The
+    * signature travels as a 64-char bitstring: bit 63 of a BIGINT flips
+    * the sign and shift semantics differ across engines, a string never
+    * does. The threshold compares g·64 > Σg in exact integers — no
+    * division, no float. Decode/hash is one `mapPartitions` pass
+    * (payloads never leave the executor); the bucket count is one
+    * 8-byte-class shuffle. */
+  val extImagePhash: Q = (s, d) => {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val tb = if (text == null) Array.empty[Byte]
+                 else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val (w, h) = dims(id, nChars)
+        val payload = Bmp.encode(w, h,
+          i => if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF)
+        val (dw, dh, pix) = Bmp.decodePixels(payload).getOrElse(
+          sys.error(s"undecodable payload for doc $id"))
+        val small = Bmp.resizeNN(dw, dh, pix, 8, 8)
+        val grays = new Array[Long](64)
+        var tot = 0L
+        var i = 0
+        while (i < 64) {
+          grays(i) = (small(i * 3) & 0xFF) + (small(i * 3 + 1) & 0xFF) +
+            (small(i * 3 + 2) & 0xFF)
+          tot += grays(i); i += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        i = 0
+        while (i < 64) {
+          sb.append(if (grays(i) * 64L > tot) '1' else '0'); i += 1
+        }
+        (id, sb.toString)
+      }).toDF("doc_id", "phash")
+    val counts = hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_same_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_multimodal" -> extMultimodal,
     "ext_audio_features" -> extAudioFeatures,
     "ext_frame_sample" -> extFrameSample,
+    "ext_image_phash" -> extImagePhash,
     "ext_image_resize" -> extImageResize)
 
   /** The oracle recomputes the decoder's outputs from the generator's
@@ -520,6 +569,42 @@ object Multimodal {
     // byte (p*3+c) mod len of the text cycle; the NN kernel samples
     // src = (ty·h/h2, tx·w/w2), so the resized sum re-indexes the same
     // byte list at the sampled positions (tx and c flattened into k).
+    "ext_image_phash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(1 + n_chars % 12 AS INTEGER) AS w,
+        |    CAST(1 + doc_id % 7 AS INTEGER) AS hh,
+        |    coalesce(octet_length(encode(text)), 0) AS len,
+        |    coalesce(hex(encode(text)), '') AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, hh, len,
+        |    list_transform(range(1, len + 1),
+        |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+        |  FROM h),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len = 0
+        |    THEN list_transform(range(0, 64), k -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(range(0, 64), k ->
+        |      bytes[CAST((((k // 8) * hh // 8) * w + ((k % 8) * w // 8)) * 3
+        |                 % len AS INTEGER) + 1]
+        |    + bytes[CAST(((((k // 8) * hh // 8) * w + ((k % 8) * w // 8)) * 3 + 1)
+        |                 % len AS INTEGER) + 1]
+        |    + bytes[CAST(((((k // 8) * hh // 8) * w + ((k % 8) * w // 8)) * 3 + 2)
+        |                 % len AS INTEGER) + 1])
+        |    END AS grays
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(range(0, 64), k ->
+        |      CASE WHEN grays[k + 1] * 64 > list_aggregate(grays, 'sum')
+        |           THEN '1' ELSE '0' END), 'string_agg', '') AS phash
+        |  FROM g)
+        |SELECT doc_id, phash,
+        |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash
+        |FROM p ORDER BY doc_id""".stripMargin,
     "ext_image_resize" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -177,6 +177,21 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("image phash: 64-bit signature, exact-duplicate payloads share buckets") {
+    val d = sf("sf0.01")
+    val rows = graft.ops.Multimodal.extImagePhash(spark, d).collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      val h = r.getAs[String]("phash")
+      h.length shouldBe 64
+      h.forall(c => c == '0' || c == '1') shouldBe true
+    }
+    // exact text duplicates synthesize identical images when dimensions
+    // match (dims depend on n_chars and doc_id%7) -> at minimum, the
+    // fixture's duplicated docs produce shared buckets somewhere
+    rows.map(_.getAs[Long]("n_same_hash")).max should be >= 2L
+  }
+
   test("substring dedup finds planted cross-doc spans and no false positives on disjoint text") {
     import spark.implicits._
     val boiler = "COMMON-LICENSE-HEADER-1234567890-ABCDEFGHIJKLMNOPQR" // > 32 chars
