@@ -238,6 +238,30 @@ object Multimodal {
       }
       Some(Decoded(channels, rate, nTotal / channels, sumAbs, peak))
     }
+
+    /** Raw sample access (the layout feature extractors consume):
+      * validates via [[decode]], then re-walks to the data chunk and
+      * returns every 16-bit sample as Int, interleaved as stored.
+      * The audio twin of [[Bmp.decodePixels]]. */
+    def decodeSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decode(bytes).map { dec =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tagAt(off: Int): String =
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        var off = 12
+        var dataOff = -1; var dataSize = 0
+        while (dataOff < 0) { // guaranteed to exist: decode() succeeded
+          val size = bb.getInt(off + 4)
+          if (tagAt(off) == "data") { dataOff = off + 8; dataSize = size }
+          else off += 8 + size + (size & 1)
+        }
+        val n = dataSize / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort(dataOff + 2 * i).toInt; i += 1 }
+        (dec.channels, dec.rate, out)
+      }
   }
 
   /** Deterministic payload dimensions: width from the doc's length
@@ -449,9 +473,60 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** E36 — audio energy fingerprint: 64-bucket |sample| energy profile
+    * of each decoded clip, each bucket thresholded against the clip
+    * mean (b·64 > Σ — exact integers, as [[extImagePhash]]), emitted as
+    * a 64-char bitstring with its duplicate-bucket size. Every modality
+    * now carries a dedup fingerprint: text (sha/minhash/simhash), image
+    * (aHash), audio (energy profile). Uses [[Wav.decodeSamples]] inside
+    * one `mapPartitions` pass. */
+  val extAudioPhash: Q = (s, d) => {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tb = if (text == null) Array.empty[Byte]
+                 else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val ch = 1 + math.floorMod(id, 2L).toInt
+        val rate = 8000 * (1 + math.floorMod(id, 3L).toInt)
+        val n0 = 8 + tb.length + math.floorMod(id, 32L).toInt
+        val nTotal = n0 + n0 % ch
+        val junkLen = math.floorMod(id, 5L).toInt
+        val payload = Wav.encode(ch, rate, nTotal, junkLen,
+          j => if (tb.isEmpty) 0 else ((tb(j % tb.length) & 0xFF) - 128) * 256)
+        val (_, _, samples) = Wav.decodeSamples(payload).getOrElse(
+          sys.error(s"undecodable WAV for doc $id"))
+        val n = samples.length
+        val buckets = new Array[Long](64)
+        var tot = 0L
+        var k = 0
+        while (k < 64) {
+          var j = k * n / 64
+          val hi = (k + 1) * n / 64
+          while (j < hi) {
+            buckets(k) += math.abs(samples(j)); j += 1
+          }
+          tot += buckets(k); k += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        k = 0
+        while (k < 64) {
+          sb.append(if (buckets(k) * 64L > tot) '1' else '0'); k += 1
+        }
+        (id, sb.toString)
+      }).toDF("doc_id", "aphash")
+    val counts = hashed.groupBy(col("aphash"))
+      .agg(count(lit(1)).as("n_same_hash"))
+    hashed.join(counts, Seq("aphash"))
+      .select(col("doc_id"), col("aphash"), col("n_same_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_multimodal" -> extMultimodal,
     "ext_audio_features" -> extAudioFeatures,
+    "ext_audio_phash" -> extAudioPhash,
     "ext_frame_sample" -> extFrameSample,
     "ext_image_phash" -> extImagePhash,
     "ext_image_resize" -> extImageResize)
@@ -569,6 +644,45 @@ object Multimodal {
     // byte (p*3+c) mod len of the text cycle; the NN kernel samples
     // src = (ty·h/h2, tx·w/w2), so the resized sum re-indexes the same
     // byte list at the sampled positions (tx and c flattened into k).
+    "ext_audio_phash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    coalesce(octet_length(encode(text)), 0) AS len,
+        |    coalesce(hex(encode(text)), '') AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len,
+        |    (8 + len + doc_id % 32)
+        |      + (8 + len + doc_id % 32) % (1 + doc_id % 2) AS nt,
+        |    list_transform(range(1, len + 1),
+        |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN len = 0
+        |    THEN list_transform(range(0, nt), j -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(range(0, nt), j ->
+        |      abs((bytes[CAST(j % len AS INTEGER) + 1] - 128) * 256))
+        |    END AS sam
+        |  FROM b),
+        |bk AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      coalesce(list_aggregate(
+        |        sam[CAST(k * nt // 64 AS INTEGER) + 1
+        |            : CAST((k + 1) * nt // 64 AS INTEGER)], 'sum'),
+        |        CAST(0 AS BIGINT))) AS buckets
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(range(0, 64), k ->
+        |      CASE WHEN buckets[k + 1] * 64 > list_aggregate(buckets, 'sum')
+        |           THEN '1' ELSE '0' END), 'string_agg', '') AS aphash
+        |  FROM bk)
+        |SELECT doc_id, aphash,
+        |  CAST(count(*) OVER (PARTITION BY aphash) AS BIGINT) AS n_same_hash
+        |FROM f ORDER BY doc_id""".stripMargin,
     "ext_image_phash" ->
       """WITH h AS (
         |  SELECT doc_id,

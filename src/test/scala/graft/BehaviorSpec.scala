@@ -192,6 +192,25 @@ class BehaviorSpec extends SparkSpec {
     rows.map(_.getAs[Long]("n_same_hash")).max should be >= 2L
   }
 
+  test("audio phash: valid bitstring, decodeSamples round-trips the generator") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Multimodal.extAudioPhash(spark, d).collect()
+    rows.length shouldBe Tables.documents(spark, d).count()
+    rows.foreach { r =>
+      val h = r.getAs[String]("aphash")
+      h.length shouldBe 64
+      h.forall(c => c == '0' || c == '1') shouldBe true
+    }
+    // library check: decodeSamples inverts encode exactly
+    val payload = graft.ops.Multimodal.Wav.encode(2, 8000, 10, 3,
+      j => (j - 5) * 100)
+    val (ch, rate, samples) =
+      graft.ops.Multimodal.Wav.decodeSamples(payload).get
+    ch shouldBe 2
+    rate shouldBe 8000
+    samples.toSeq shouldBe (0 until 10).map(j => (j - 5) * 100)
+  }
+
   test("substring dedup finds planted cross-doc spans and no false positives on disjoint text") {
     import spark.implicits._
     val boiler = "COMMON-LICENSE-HEADER-1234567890-ABCDEFGHIJKLMNOPQR" // > 32 chars
