@@ -457,7 +457,33 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A23 — median absolute deviation per group: MAD =
+    * median(|x − median(x)|), the robust scale estimate that pairs with
+    * [[aggWinsorizedMean]] (robust location) the way stddev pairs with
+    * mean — outlier thresholds built on MAD don't move when the outliers
+    * themselves do. Two passes: the group median broadcasts back (exact
+    * interpolated percentile over cent-quantized longs), then the
+    * deviation median. Deviations |z − med| are exact: z is integer
+    * cents and med is a .5-at-worst interpolation, so ×2 keeps
+    * everything integral — both engines interpolate identically per the
+    * percentile precedent, and the final /200 returns dollars. */
+  val aggMad: Q = (s, d) => {
+    val zi = floor(col("o_totalprice") * 100).cast("long")
+    val o = Tables.orders(s, d).select(col("o_orderpriority"), zi.as("z"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("z"), lit(0.5)).as("med_c"))
+    o.join(med, Seq("o_orderpriority"))
+      // 2·|z − med| is exactly integral (med is k or k+0.5 cents)
+      .select(col("o_orderpriority"),
+              abs(col("z") * 2 - col("med_c") * 2).as("dev2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           (percentile(col("dev2"), lit(0.5)) / 200.0).as("mad"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_mad" -> aggMad,
     "agg_winsorized_mean" -> aggWinsorizedMean,
     "agg_seasonality" -> aggSeasonality,
     "agg_regression" -> aggRegression,
@@ -482,6 +508,18 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_mad" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS z
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderpriority, quantile_cont(z, 0.5) AS med_c
+        |  FROM o GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(abs(z * 2 - med_c * 2), 0.5) / 200.0 AS mad
+        |FROM o JOIN m USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_winsorized_mean" ->
       """WITH o AS (
         |  SELECT o_orderpriority,
