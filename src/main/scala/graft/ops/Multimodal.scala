@@ -437,6 +437,26 @@ object Multimodal {
     * division, no float. Decode/hash is one `mapPartitions` pass
     * (payloads never leave the executor); the bucket count is one
     * 8-byte-class shuffle. */
+  /** 8×8 mean-threshold aHash of a decoded RGB frame (shared by the
+    * image and video-frame fingerprint entries). */
+  private def aHash(dw: Int, dh: Int, pix: Array[Byte]): String = {
+    val small = Bmp.resizeNN(dw, dh, pix, 8, 8)
+    val grays = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < 64) {
+      grays(i) = (small(i * 3) & 0xFF) + (small(i * 3 + 1) & 0xFF) +
+        (small(i * 3 + 2) & 0xFF)
+      tot += grays(i); i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < 64) {
+      sb.append(if (grays(i) * 64L > tot) '1' else '0'); i += 1
+    }
+    sb.toString
+  }
+
   val extImagePhash: Q = (s, d) => {
     import s.implicits._
     val hashed = Tables.documents(s, d)
@@ -450,21 +470,7 @@ object Multimodal {
           i => if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF)
         val (dw, dh, pix) = Bmp.decodePixels(payload).getOrElse(
           sys.error(s"undecodable payload for doc $id"))
-        val small = Bmp.resizeNN(dw, dh, pix, 8, 8)
-        val grays = new Array[Long](64)
-        var tot = 0L
-        var i = 0
-        while (i < 64) {
-          grays(i) = (small(i * 3) & 0xFF) + (small(i * 3 + 1) & 0xFF) +
-            (small(i * 3 + 2) & 0xFF)
-          tot += grays(i); i += 1
-        }
-        val sb = new java.lang.StringBuilder(64)
-        i = 0
-        while (i < 64) {
-          sb.append(if (grays(i) * 64L > tot) '1' else '0'); i += 1
-        }
-        (id, sb.toString)
+        (id, aHash(dw, dh, pix))
       }).toDF("doc_id", "phash")
     val counts = hashed.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_same_hash"))
@@ -523,11 +529,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** E37 — per-frame fingerprints for the video container: aHash every
+    * frame, report frame count, distinct-hash count, and whether the
+    * clip is static (all frames hash equal) — the "is this video just a
+    * still image" screen a multimodal curation pass runs before paying
+    * for full decode. Unlike [[extFrameSample]] (decode every 2nd),
+    * fingerprinting decodes all frames — the point is per-frame
+    * identity, and each frame's hash is the SAME aHash the image entry
+    * uses, so image-vs-frame matches compose. */
+  val extFramePhash: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val tb = if (text == null) Array.empty[Byte]
+                 else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = 1 + math.floorMod(id, 7L).toInt
+        val pix = (i: Int) => if (tb.isEmpty) 0 else tb(i % tb.length) & 0xFF
+        val hashes = frameWidths(id, nChars).map { w =>
+          val (dw, dh, p) = Bmp.decodePixels(Bmp.encode(w, h, pix))
+            .getOrElse(sys.error(s"undecodable frame for doc $id"))
+          aHash(dw, dh, p)
+        }
+        (id, hashes.length, hashes.distinct.length)
+      }).toDF("doc_id", "n_frames", "n_unique_frames")
+      .select(col("doc_id"), col("n_frames"), col("n_unique_frames"),
+              (col("n_unique_frames") === 1).as("is_static"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_multimodal" -> extMultimodal,
     "ext_audio_features" -> extAudioFeatures,
     "ext_audio_phash" -> extAudioPhash,
     "ext_frame_sample" -> extFrameSample,
+    "ext_frame_phash" -> extFramePhash,
     "ext_image_phash" -> extImagePhash,
     "ext_image_resize" -> extImageResize)
 
@@ -644,6 +681,44 @@ object Multimodal {
     // byte (p*3+c) mod len of the text cycle; the NN kernel samples
     // src = (ty·h/h2, tx·w/w2), so the resized sum re-indexes the same
     // byte list at the sampled positions (tx and c flattened into k).
+    "ext_frame_phash" -> {
+      // gray mass of aHash cell `qv` in frame `kv` (frame width depends
+      // on the frame index; each frame restarts the byte cycle)
+      def fg(qv: String, kv: String): String = {
+        val w = s"(1 + (n_chars + $kv) % 12)"
+        val base = s"((($qv // 8) * hh // 8) * $w + (($qv % 8) * $w // 8)) * 3"
+        (0 to 2).map(c =>
+          s"bytes[CAST(($base + $c) % len AS INTEGER) + 1]").mkString(" + ")
+      }
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(1 + doc_id % 7 AS INTEGER) AS hh,
+         |    CAST(1 + doc_id % 4 AS INTEGER) AS f,
+         |    coalesce(octet_length(encode(text)), 0) AS len,
+         |    coalesce(hex(encode(text)), '') AS hx
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_chars, hh, f, len,
+         |    list_transform(range(1, len + 1),
+         |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+         |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+         |  FROM h),
+         |ph AS (
+         |  SELECT doc_id, f,
+         |    list_transform(range(0, f), k ->
+         |      CASE WHEN len = 0 THEN repeat('0', 64)
+         |      ELSE list_aggregate(list_transform(range(0, 64), q ->
+         |        CASE WHEN (${fg("q", "k")}) * 64 >
+         |          list_aggregate(list_transform(range(0, 64),
+         |                                        q2 -> ${fg("q2", "k")}), 'sum')
+         |        THEN '1' ELSE '0' END), 'string_agg', '')
+         |      END) AS hashes
+         |  FROM b)
+         |SELECT doc_id, CAST(f AS INTEGER) AS n_frames,
+         |  CAST(len(list_distinct(hashes)) AS INTEGER) AS n_unique_frames,
+         |  len(list_distinct(hashes)) = 1 AS is_static
+         |FROM ph ORDER BY doc_id""".stripMargin
+    },
     "ext_audio_phash" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -211,6 +211,18 @@ class BehaviorSpec extends SparkSpec {
     samples.toSeq shouldBe (0 until 10).map(j => (j - 5) * 100)
   }
 
+  test("frame phash: single-frame clips are static, unique counts bounded") {
+    val rows = graft.ops.Multimodal.extFramePhash(spark, sf("sf0.01")).collect()
+    rows.foreach { r =>
+      val f = r.getAs[Int]("n_frames")
+      val u = r.getAs[Int]("n_unique_frames")
+      u should (be >= 1 and be <= f)
+      if (f == 1) r.getAs[Boolean]("is_static") shouldBe true
+      r.getAs[Boolean]("is_static") shouldBe (u == 1)
+    }
+    rows.map(_.getAs[Int]("n_frames")).toSet shouldBe Set(1, 2, 3, 4)
+  }
+
   test("substring dedup finds planted cross-doc spans and no false positives on disjoint text") {
     import spark.implicits._
     val boiler = "COMMON-LICENSE-HEADER-1234567890-ABCDEFGHIJKLMNOPQR" // > 32 chars
