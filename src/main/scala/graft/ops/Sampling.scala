@@ -191,7 +191,38 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** E38 — chunk-grain exact dedup: the SAME 128/96 sliding chunks
+    * [[extChunkOverlap]] emits, hashed and counted — duplicated chunks
+    * (overlap regions shared across near-identical docs, boilerplate
+    * spans) inflate training data even after doc-level dedup, so
+    * packing pipelines dedup at chunk grain too. Per source: chunks,
+    * distinct chunk texts, and the duplicate fraction. The group key is
+    * the chunk text here; at 100 TB shuffle sha2(chunk) — identical
+    * grouping, 32-byte keys. */
+  val extChunkDedup: Q = (s, d) => {
+    val stride = 96
+    val win = 128
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .select(col("doc_id"), col("source"),
+              explode(sequence(lit(0), col("n_tok") - 1, lit(stride)))
+                .as("start_tok"),
+              col("tk"))
+      .select(col("source"),
+              concat_ws(" ", slice(col("tk"), col("start_tok") + 1, lit(win)))
+                .as("chunk_text"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+           count_distinct(col("chunk_text")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        ((col("n_chunks") - col("n_distinct")).cast("double") /
+          col("n_chunks").cast("double")).as("dup_fraction"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_chunk_dedup" -> extChunkDedup,
     "ext_hash_split" -> extHashSplit,
     "ext_split_bias" -> extSplitBias,
     "ext_stratified_sample" -> extStratifiedSample,
@@ -235,6 +266,25 @@ object Sampling {
         |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ext_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tk,
+        |    CAST(unnest(range(0, n_tok, 96)) AS INTEGER) AS start_tok
+        |  FROM t),
+        |ch AS (
+        |  SELECT source,
+        |    array_to_string(tk[start_tok + 1 : start_tok + 128], ' ')
+        |      AS chunk_text
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT chunk_text) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT chunk_text) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_fraction
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_split_bias" ->
       s"""WITH tagged AS (
          |  SELECT doc_id, lang,
