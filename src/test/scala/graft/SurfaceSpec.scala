@@ -146,6 +146,16 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: distinct bounded by total, fraction consistent") {
+    val rows = graft.ops.Sampling.extChunkDedup(spark, sf("sf0.01")).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks"); val u = r.getAs[Long]("n_distinct")
+      u should be <= n
+      r.getAs[Double]("dup_fraction") shouldBe (n - u).toDouble / n
+    }
+  }
+
   test("data build: split assignments agree with ext_hash_split's namespace, quality gate holds") {
     val d = sf("sf0.01")
     val rows = graft.ops.Quality.extDataBuild(spark, d).collect()
