@@ -482,7 +482,31 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A24 — top-N concentration: the share of total order value held by
+    * the 10 biggest customers — the headline concentration number
+    * ([[aggGini]] is the whole-distribution version; this is the
+    * one-liner a dashboard quotes). Per-customer totals are exact
+    * decimals; top-10 is a (value DESC, key) rank — deterministic under
+    * ties; the share is one division of two exact-decimal-derived
+    * doubles. Plan: partial-aggregated customer rollup, rank window
+    * over the customer frame, one global reduce. */
+  val aggTopnShare: Q = (s, d) => {
+    val byCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("o_custkey"))
+    byCust.withColumn("rn", row_number().over(w))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("rev")).cast("double").as("total_rev"),
+           sum(when(col("rn") <= 10, col("rev"))).cast("double")
+             .as("top10_rev"))
+      .select(col("n_customers"), col("total_rev"), col("top10_rev"),
+              (col("top10_rev") / col("total_rev")).as("top10_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_topn_share" -> aggTopnShare,
     "agg_mad" -> aggMad,
     "agg_winsorized_mean" -> aggWinsorizedMean,
     "agg_seasonality" -> aggSeasonality,
@@ -508,6 +532,21 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_topn_share" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
+        |  FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN rn <= 10 THEN rev END) AS DOUBLE) AS top10_rev,
+        |  CAST(SUM(CASE WHEN rn <= 10 THEN rev END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE) AS top10_share
+        |FROM r""".stripMargin,
     "agg_mad" ->
       """WITH o AS (
         |  SELECT o_orderpriority,
