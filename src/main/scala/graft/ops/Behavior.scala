@@ -207,12 +207,35 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  /** W17 — month-over-month rank movement: each event type's volume
+    * rank within the month, and its movement vs the previous month —
+    * the "movers" column on every leaderboard dashboard (the
+    * reference's weekly route rankings are this at route grain).
+    * Two stacked windows over the (month × type) frame: rank within
+    * month (count DESC, type tie-break), then lag of rank per type
+    * across months. Everything integral. */
+  val winRankChange: Q = (s, d) => {
+    val monthly = Tables.events(s, d)
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy(col("month"))
+      .orderBy(col("n").desc, col("event_type"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("month"))
+    monthly
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("rank_change",
+        lag(col("rank"), 1).over(wLag) - col("rank"))
+      .orderBy(col("month"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_funnel" -> extFunnel,
     "ext_cohort_retention" -> extCohortRetention,
     "ext_pagerank" -> extPagerank,
     "win_streak" -> winStreak,
     "win_interarrival" -> winInterarrival,
+    "win_rank_change" -> winRankChange,
     "win_event_transitions" -> winEventTransitions)
 
   /** DuckDB replay of the ten PageRank iterations, generated as unrolled
@@ -253,6 +276,20 @@ object Behavior {
 
   val oracles: Map[String, String] = Map(
     "ext_pagerank" -> pagerankSql,
+    "win_rank_change" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT month, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY month
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        |  FROM m)
+        |SELECT month, event_type, n, rank,
+        |  lag(rank) OVER (PARTITION BY event_type ORDER BY month) - rank
+        |    AS rank_change
+        |FROM r ORDER BY month, rank""".stripMargin,
     // floor(EXTRACT(EPOCH ...)) matches Spark's flooring unix_timestamp
     "win_interarrival" ->
       """WITH g AS (
