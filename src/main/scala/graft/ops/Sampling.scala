@@ -221,7 +221,30 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** E39 — packing-efficiency audit: for the concat-then-chunk packer
+    * ([[extSeqPack]], 512-token sequences per source), the padding
+    * waste each source pays — total tokens, full sequences, and the
+    * padded-slot fraction (only the last sequence per source carries
+    * padding under concat-then-chunk; per-document packing would waste
+    * a tail PER DOCUMENT, which is exactly why packers concat first —
+    * this entry puts the number on that design choice). Exact integer
+    * arithmetic end to end. */
+  val extPackEfficiency: Q = (s, d) => {
+    val seqLen = ChunkTokens // 512, shared with extSeqPack
+    Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens"))
+      .select(col("source"), col("tokens"),
+        expr(s"(tokens + ${seqLen - 1}) div $seqLen").as("n_seqs"))
+      .select(col("source"), col("tokens"), col("n_seqs"),
+        ((col("n_seqs") * seqLen - col("tokens")).cast("double") /
+          (col("n_seqs") * seqLen).cast("double")).as("pad_fraction"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_pack_efficiency" -> extPackEfficiency,
     "ext_chunk_dedup" -> extChunkDedup,
     "ext_hash_split" -> extHashSplit,
     "ext_split_bias" -> extSplitBias,
@@ -266,6 +289,16 @@ object Sampling {
         |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "ext_pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, tokens, (tokens + 511) // 512 AS n_seqs FROM t)
+        |SELECT source, tokens, CAST(n_seqs AS BIGINT) AS n_seqs,
+        |  CAST(n_seqs * 512 - tokens AS DOUBLE)
+        |    / CAST(n_seqs * 512 AS DOUBLE) AS pad_fraction
+        |FROM s ORDER BY 1""".stripMargin,
     "ext_chunk_dedup" ->
       """WITH t AS (
         |  SELECT source, string_split(text, ' ') AS tk,
