@@ -283,10 +283,16 @@ object Aggregates {
         val cov = n * sxy - sx * sy
         val vx  = n * sxx - sx * sx
         val vy  = n * syy - sy * sy
+        // degenerate-variance guard: Spark (non-ANSI) yields NULL for
+        // x/0 while DuckDB's IEEE default yields inf/NaN — a constant-x
+        // or constant-y group must be NULL on BOTH engines, so the zero
+        // test (on identical exact-integer-derived doubles) is explicit
         struct(
-          round(cov / vx, 6).as("slope"),
-          round((sy - (cov / vx) * sx) / n / 100.0, 6).as("intercept"),
-          round(cov * cov / (vx * vy), 6).as("r2"))
+          when(vx =!= 0.0, round(cov / vx, 6)).as("slope"),
+          when(vx =!= 0.0,
+               round((sy - (cov / vx) * sx) / n / 100.0, 6)).as("intercept"),
+          when(vx =!= 0.0 && vy =!= 0.0,
+               round(cov * cov / (vx * vy), 6)).as("r2"))
       }.as("r"))
       .select(col("l_returnflag"), col("n"),
               col("r.slope").as("slope"), col("r.intercept").as("intercept"),
@@ -302,30 +308,43 @@ object Aggregates {
     * broadcasts it, so the probe pass is scan + map; the window
     * alternative (moments OVER (PARTITION BY priority)) would shuffle
     * every order into 5 skew-prone partitions, the wrong trade at scale.
-    * The classification margin |x−μ|−2σ is rounded to 6 decimals so a
-    * ≤1-ulp cross-engine drift in μ/σ cannot flip a boundary row. */
+    * The classification is fully integer-exact: |x−μ| > 2σ with
+    * μ = s1/n and σ² = (n·s2 − s1²)/(n(n−1)) is equivalent (squaring,
+    * then multiplying through by n²(n−1) > 0) to
+    *   (n·x − s1)² · (n−1)  >  4·n·(n·s2 − s1²)
+    * — every term an integer, computed in decimal(38,0) on Spark and
+    * HUGEINT (int128) in the oracle, so no double ever enters the
+    * boundary test and no engine-specific rounding can flip a row (a
+    * round(6) margin on doubles provably could: the r04 driver gate
+    * caught a boundary order within ~1e-9 of the rounding grid).
+    * round(6) survives only on the *reported* mean/stddev columns.
+    * Envelope: the largest product is (n·z)²·n ≈ n³·z²; with z ≤ ~6e7
+    * cents this stays under 10³⁸ (decimal38 / int128) through ~3e7 rows
+    * per group (≈ TPC-H SF100 per priority). Beyond that, pre-aggregate
+    * per (priority, z) first — the test stays exact at any corpus size
+    * because distinct z is price-bounded. */
   val aggOutlierZscore: Q = (s, d) => {
     val zi = floor(col("o_totalprice") * 100).cast("long")
     val zd = zi.cast("decimal(38,0)")
     val o = Tables.orders(s, d)
     val m = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sum(zd).as("s1"), sum(zd * zi).as("s2"))
-      .select(col("o_orderpriority"), col("n"), {
+      .select(col("o_orderpriority"), col("n"), col("s1"), col("s2"), {
         val n = col("n").cast("double")
         val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
         struct((s1 / n).as("mean_c"),
                sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))).as("std_c"))
       }.as("ms"))
-      .select(col("o_orderpriority"), col("n"),
-              col("ms.mean_c").as("mean_c"), col("ms.std_c").as("std_c"))
-    o.select(col("o_orderpriority"), zi.cast("double").as("z"))
+    val nD   = col("n").cast("decimal(38,0)")
+    val diff = nD * col("z") - col("s1")
+    o.select(col("o_orderpriority"), zd.as("z"))
       .join(m, Seq("o_orderpriority"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n_orders"),
-           round(max(col("mean_c")) / 100.0, 6).as("mean_price"),
-           round(max(col("std_c")) / 100.0, 6).as("stddev_price"),
-           sum(when(round(abs(col("z") - col("mean_c")) -
-                          lit(2.0) * col("std_c"), 6) > 0, 1L)
+           round(max(col("ms.mean_c")) / 100.0, 6).as("mean_price"),
+           round(max(col("ms.std_c")) / 100.0, 6).as("stddev_price"),
+           sum(when(diff * diff * (nD - lit(1)) >
+                    lit(4) * nD * (nD * col("s2") - col("s1") * col("s1")), 1L)
                  .otherwise(0L)).as("n_outliers"))
       .orderBy(col("o_orderpriority"))
   }
@@ -646,28 +665,26 @@ object Aggregates {
         |        * CAST(floor(l_quantity * 100) AS BIGINT)) AS sxx,
         |    SUM(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
         |        * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS syy
-        |  FROM lineitem GROUP BY 1)
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM a)
         |SELECT l_returnflag, n,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-        |  round((CAST(sy AS DOUBLE)
-        |         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-        |           * CAST(sx AS DOUBLE))
-        |        / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
-        |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-        |FROM a ORDER BY 1""".stripMargin,
+        |  CASE WHEN vx <> 0 THEN round(cov / vx, 6) END AS slope,
+        |  CASE WHEN vx <> 0 THEN
+        |    round((syd - (cov / vx) * sxd) / CAST(n AS DOUBLE) / 100.0, 6)
+        |  END AS intercept,
+        |  CASE WHEN vx <> 0 AND vy <> 0 THEN
+        |    round(cov * cov / (vx * vy), 6)
+        |  END AS r2
+        |FROM b ORDER BY 1""".stripMargin,
     "agg_outlier_zscore" ->
       """WITH m AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -676,7 +693,7 @@ object Aggregates {
         |        * CAST(floor(o_totalprice * 100) AS BIGINT)) AS s2
         |  FROM orders GROUP BY 1),
         |ms AS (
-        |  SELECT o_orderpriority, n,
+        |  SELECT o_orderpriority, n, s1, s2,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
         |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
         |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
@@ -686,9 +703,14 @@ object Aggregates {
         |  max(ms.n) AS n_orders,
         |  round(max(ms.mean_c) / 100.0, 6) AS mean_price,
         |  round(max(ms.std_c) / 100.0, 6) AS stddev_price,
-        |  SUM(CASE WHEN round(abs(CAST(CAST(floor(o.o_totalprice * 100)
-        |                                AS BIGINT) AS DOUBLE) - ms.mean_c)
-        |                     - 2.0 * ms.std_c, 6) > 0
+        |  SUM(CASE WHEN
+        |        (CAST(ms.n AS HUGEINT)
+        |           * CAST(floor(o.o_totalprice * 100) AS BIGINT) - ms.s1)
+        |        * (CAST(ms.n AS HUGEINT)
+        |           * CAST(floor(o.o_totalprice * 100) AS BIGINT) - ms.s1)
+        |        * (CAST(ms.n AS HUGEINT) - 1)
+        |        > 4 * CAST(ms.n AS HUGEINT)
+        |            * (CAST(ms.n AS HUGEINT) * ms.s2 - ms.s1 * ms.s1)
         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
         |    AS n_outliers
         |FROM orders o JOIN ms USING (o_orderpriority)

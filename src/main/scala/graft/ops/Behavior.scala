@@ -63,9 +63,12 @@ object Behavior {
           |  4, 'purchase', u4) AS (stage_no, stage, users)""".stripMargin)
       // unpartitioned window over the 4-row stage frame only (the
       // single-partition WARN it logs is about THIS frame, not events)
-      .withColumn("conv_from_first",
-        col("users").cast("double") /
-          first(col("users")).over(Window.orderBy(col("stage_no"))))
+      .withColumn("conv_from_first", {
+        // zero-denominator guard: an empty first stage (u1 = 0) must be
+        // NULL on both engines (Spark x/0 → NULL, DuckDB IEEE → NaN)
+        val u1 = first(col("users")).over(Window.orderBy(col("stage_no")))
+        when(u1 =!= 0, col("users").cast("double") / u1)
+      })
       .orderBy(col("stage_no"))
   }
 
@@ -345,8 +348,10 @@ object Behavior {
         |  UNION ALL SELECT 3, 'click', u3 FROM n
         |  UNION ALL SELECT 4, 'purchase', u4 FROM n)
         |SELECT stage_no, stage, users,
-        |  CAST(users AS DOUBLE) /
-        |    first_value(users) OVER (ORDER BY stage_no) AS conv_from_first
+        |  CASE WHEN first_value(users) OVER (ORDER BY stage_no) <> 0 THEN
+        |    CAST(users AS DOUBLE) /
+        |      first_value(users) OVER (ORDER BY stage_no)
+        |  END AS conv_from_first
         |FROM st ORDER BY stage_no""".stripMargin,
     "ext_cohort_retention" ->
       """WITH f AS (

@@ -18,12 +18,24 @@ import org.apache.spark.sql.types._
   * `ON CONFLICT DO NOTHING`.
   *
   * Scale notes: CSV read/write is splittable and streams partition-wise —
-  * the round-trip here writes to a scratch dir under target/ but the
+  * the round-trip here writes to a per-invocation tmpdir scratch but the
   * operator shape (schema'd reader, nullValue option) is exactly what a
   * 100 TB CSV staging load uses. `dropDuplicates(pk)` is a hash shuffle on
   * the PK — the same cost any engine pays for global dedup.
   */
 object Ingest {
+
+  /** Per-invocation scratch directory for round-trip entries: rooted at
+    * the JVM tmpdir (checkout-location independent) with a unique
+    * suffix, so two concurrent invocations of the same entry never race
+    * on `mode(overwrite)` of one shared path. The directory must
+    * outlive the returned (lazy) DataFrame, so no inline cleanup — the
+    * OS tmp reaper owns it. */
+  private def scratchDir(tag: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      .stripSuffix("/")
+    s"$base/graft-scratch/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
 
   private val partSchema = StructType(Seq(
     StructField("p_partkey", LongType),
@@ -35,7 +47,7 @@ object Ingest {
 
   /** S1 — CSV ingest with header, explicit schema, empty-string-as-NULL. */
   val csvIngest: Q = (s, d) => {
-    val scratch = s"/root/repo/target/scratch/csv_ingest"
+    val scratch = scratchDir("csv_ingest")
     Tables.part(s, d)
       .write.mode("overwrite").option("header", "true").csv(scratch)
     s.read.schema(partSchema)
@@ -72,7 +84,7 @@ object Ingest {
     * writer emits shortest-round-trip literals and the schema'd reader
     * parses them back to the identical IEEE value. */
   val jsonIngest: Q = (s, d) => {
-    val scratch = s"/root/repo/target/scratch/json_ingest"
+    val scratch = scratchDir("json_ingest")
     Tables.customer(s, d)
       .write.mode("overwrite").json(scratch)
     s.read.schema(customerSchema).json(scratch)
@@ -84,7 +96,7 @@ object Ingest {
     * predicate-pushdown-capable stripes, so the scan shape at 100 TB
     * matches parquet's. */
   val orcIngest: Q = (s, d) => {
-    val scratch = s"/root/repo/target/scratch/orc_ingest"
+    val scratch = scratchDir("orc_ingest")
     Tables.supplier(s, d)
       .write.mode("overwrite").orc(scratch)
     s.read.orc(scratch)
@@ -98,7 +110,7 @@ object Ingest {
     * v1 rows surface NULL for the added column; the aggregate proves
     * both batches landed and the widened column reads correctly. */
   val parquetMergeSchema: Q = (s, d) => {
-    val scratch = s"/root/repo/target/scratch/merge_schema"
+    val scratch = scratchDir("merge_schema")
     val n = Tables.nation(s, d)
     n.select(col("n_nationkey"), col("n_name"))
       .write.mode("overwrite").parquet(s"$scratch/batch=v1")

@@ -416,7 +416,13 @@ object Similarity {
            sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
              .as("n_overlap"))
       .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
-              (col("n_overlap").cast("double") / lit(5.0)).as("recall_at_5"))
+              // recall = overlap / |ground truth|: dividing by the
+              // literal k understates recall whenever the corpus (or a
+              // candidate set) yields fewer than k true neighbors —
+              // n_bf is the real denominator, zero-guarded
+              when(col("n_bf") > 0,
+                   col("n_overlap").cast("double") /
+                     col("n_bf").cast("double")).as("recall_at_5"))
       .orderBy(col("qid"))
   }
 
@@ -458,7 +464,13 @@ object Similarity {
            sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
              .as("n_overlap"))
       .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
-              (col("n_overlap").cast("double") / lit(5.0)).as("recall_at_5"))
+              // recall = overlap / |ground truth|: dividing by the
+              // literal k understates recall whenever the corpus (or a
+              // candidate set) yields fewer than k true neighbors —
+              // n_bf is the real denominator, zero-guarded
+              when(col("n_bf") > 0,
+                   col("n_overlap").cast("double") /
+                     col("n_bf").cast("double")).as("recall_at_5"))
       .orderBy(col("qid"))
   }
 
@@ -510,7 +522,13 @@ object Similarity {
            sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
              .as("n_overlap"))
       .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
-              (col("n_overlap").cast("double") / lit(5.0)).as("recall_at_5"))
+              // recall = overlap / |ground truth|: dividing by the
+              // literal k understates recall whenever the corpus (or a
+              // candidate set) yields fewer than k true neighbors —
+              // n_bf is the real denominator, zero-guarded
+              when(col("n_bf") > 0,
+                   col("n_overlap").cast("double") /
+                     col("n_bf").cast("double")).as("recall_at_5"))
       .orderBy(col("qid"))
   }
 
@@ -573,7 +591,9 @@ object Similarity {
          |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
          |  CAST(sum(a) AS BIGINT) AS n_ann,
          |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
-         |  CAST(sum(b * a) AS DOUBLE) / 5.0 AS recall_at_5
+         |  CASE WHEN sum(b) > 0 THEN
+         |    CAST(sum(b * a) AS DOUBLE) / CAST(sum(b) AS DOUBLE)
+         |  END AS recall_at_5
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_ann_multiprobe" ->
       s"""WITH base AS (
@@ -606,7 +626,9 @@ object Similarity {
          |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
          |  CAST(sum(a) AS BIGINT) AS n_ann,
          |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
-         |  CAST(sum(b * a) AS DOUBLE) / 5.0 AS recall_at_5
+         |  CASE WHEN sum(b) > 0 THEN
+         |    CAST(sum(b * a) AS DOUBLE) / CAST(sum(b) AS DOUBLE)
+         |  END AS recall_at_5
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_pq_encode" ->
       s"""WITH sub AS (
@@ -716,7 +738,9 @@ object Similarity {
          |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
          |  CAST(sum(a) AS BIGINT) AS n_ann,
          |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
-         |  CAST(sum(b * a) AS DOUBLE) / 5.0 AS recall_at_5
+         |  CASE WHEN sum(b) > 0 THEN
+         |    CAST(sum(b * a) AS DOUBLE) / CAST(sum(b) AS DOUBLE)
+         |  END AS recall_at_5
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_ann_ivf" ->
       s"""WITH assigned AS (

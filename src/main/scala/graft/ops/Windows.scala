@@ -259,8 +259,12 @@ object Windows {
       .withColumn("prev", lag(col("sv"), 1).over(w))
       .select(col("event_type"), col("month"),
               col("sv").cast("double").as("total"),
-              ((col("sv") - col("prev")).cast("double") /
-                col("prev").cast("double")).as("pct_change"))
+              // zero-denominator guard: Spark (non-ANSI) yields NULL for
+              // x/0 but DuckDB's IEEE default yields inf/NaN — a month
+              // with an exactly-zero total must be NULL on both engines
+              when(col("prev") =!= 0,
+                   (col("sv") - col("prev")).cast("double") /
+                     col("prev").cast("double")).as("pct_change"))
       .orderBy(col("event_type"), col("month"))
   }
 
@@ -289,8 +293,10 @@ object Windows {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, month,
         |  CAST(sv AS DOUBLE) AS total,
-        |  CAST(sv - lag(sv) OVER w AS DOUBLE)
-        |    / CAST(lag(sv) OVER w AS DOUBLE) AS pct_change
+        |  CASE WHEN lag(sv) OVER w <> 0 THEN
+        |    CAST(sv - lag(sv) OVER w AS DOUBLE)
+        |      / CAST(lag(sv) OVER w AS DOUBLE)
+        |  END AS pct_change
         |FROM m
         |WINDOW w AS (PARTITION BY event_type ORDER BY month)
         |ORDER BY event_type, month""".stripMargin,
