@@ -162,7 +162,59 @@ object Clustering {
       .orderBy(col("vec_id"))
   }
 
+  /** E13 — triangle counting on the part co-purchase graph (the local
+    * clustering signal behind community detection and recommender
+    * neighborhoods; on a document-similarity graph, the same operator
+    * scores how clique-like near-dup families are). Nodes are parts,
+    * an edge joins two parts appearing in the same order.
+    *
+    * Algorithm: distinct edges, then DEGREE ORIENTATION (the
+    * Suri–Vassilvitskii "curse of the last reducer" fix, public
+    * MapReduce-triangles literature): orient every edge toward the
+    * higher-(degree, id) endpoint, so each node's out-degree is
+    * O(√|E|) regardless of how skewed the raw degrees are; wedges pair
+    * a node's out-neighbors (ordered by the same key, so each wedge
+    * appears once), and a wedge closes iff its (b, c) is itself an
+    * oriented edge — each triangle counted exactly once at its
+    * lowest-key vertex. Pure equi-joins on node ids end to end; the
+    * wedge volume drops from Σ deg² (quadratic in the hottest key —
+    * the thing that dies at 100 TB on power-law graphs) to
+    * Σ outdeg² ≤ |E|^1.5. Measured here: 5.4 s → ~2 s at sf0.1 vs the
+    * unoriented spelling. */
+  val extTriangleCount: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+                                col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val fwd = col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b"))
+    val or = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+              when(fwd, col("b")).otherwise(col("a")).as("v"),
+              when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = or.as("e1").join(or.as("e2"),
+        col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+         (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.as("w").join(or.as("e3"),
+        col("w.b") === col("e3.u") && col("w.c") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = edges.select(explode(array(col("a"), col("b"))).as("n"))
+      .agg(countDistinct(col("n")).as("n_nodes"))
+    val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(ecnt).crossJoin(tri)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_triangle_count" -> extTriangleCount,
     "ext_dedup_clusters" -> extDedupClusters,
     "ext_embed_clusters" -> extEmbedClusters)
 
@@ -171,6 +223,40 @@ object Clustering {
   // with a recursive transitive closure and takes min reachable id —
   // tractable at test scale because near-dup clusters are tiny.
   val oracles: Map[String, String] = Map(
+    // same degree orientation: edge → higher-(deg, id) endpoint; the
+    // triangle total is orientation-invariant but the replay mirrors
+    // the oriented joins so intermediate cardinalities match too
+    "ext_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.a ELSE e.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN e.b ELSE e.a END AS v,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |         THEN db.deg ELSE da.deg END AS dv
+        |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+        |w AS (
+        |  SELECT e1.v AS b, e2.v AS c
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN o e3 ON w.b = e3.u AND w.c = e3.v),
+        |n AS (
+        |  SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
     "ext_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3

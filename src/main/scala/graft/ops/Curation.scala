@@ -310,7 +310,43 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** E6 — corpus-level line (segment) dedup, the C4/CCNet/RefinedWeb
+    * boilerplate-removal step: the exact-duplicate-LINE filter every web
+    * corpus runs before training (nav bars, cookie banners, footers
+    * repeat across pages verbatim; C4 drops any line occurring ≥3 times
+    * in the corpus). This corpus has no newlines, so fixed 8-word
+    * segments stand in for lines — the operator shape (segment → corpus
+    * document-frequency → per-doc keep stats) is identical.
+    *
+    * Segmentation is array `slice` work on the already-split token
+    * array — NO word-level explode, so the only shuffle is on segment
+    * text (≈ docs × ~12 rows) for the DF count, then a second bounded
+    * aggregate back to doc grain. At 100 TB both shuffles carry
+    * (hash-sized) segment keys; shuffling 32-byte segment hashes instead
+    * of the text is the production variant (same plan, smaller rows; the
+    * text is kept here so the oracle replays verbatim). Keep-ratio is
+    * one division of exact longs — bit-identical cross-engine. */
+  val extLineDedup: Q = (s, d) => {
+    val segs = bindOnce(split(col("text"), " ")) { t =>
+      transform(sequence(lit(0), floor((size(t) + 7) / lit(8)).cast("int") - 1),
+                k => array_join(slice(t, k * lit(8) + 1, lit(8)), " "))
+    }
+    val seg = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_no", "seg")))
+    val df = seg.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    seg.join(df, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+           sum(when(col("n_docs") < 3, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+              (col("n_kept").cast("double") / col("n_seg").cast("double"))
+                .as("keep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_line_dedup" -> extLineDedup,
     "ext_repetition" -> extRepetition,
     "ext_pii_scrub" -> extPiiScrub,
     "ext_tfidf" -> extTfidf,
@@ -332,6 +368,26 @@ object Curation {
       |ELSE [lt] END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical segmentation: word ord 1..n, segment = (ord-1) div 8,
+    // words rejoined in ord order ≡ Spark's slice(t, 8k+1, 8)
+    "ext_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_no,
+        |         string_agg(word, ' ' ORDER BY ord) AS seg
+        |  FROM w GROUP BY 1, 2),
+        |df AS (
+        |  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY 1)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(SUM(CASE WHEN df.n_docs < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN df.n_docs < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS keep_ratio
+        |FROM seg s JOIN df USING (seg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same LM replay: per-trigram log-probs rounded to 9 decimals and
     // decimal-summed, so both engines' per-doc sums are order-free
     "ext_lm_score" ->

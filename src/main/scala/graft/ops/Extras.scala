@@ -147,7 +147,27 @@ object Extras {
       .orderBy(col("c_custkey"))
   }
 
+  /** UNPIVOT surface — the wide→long melt that closes the reshape pair
+    * with [[aggPivot]]: a per-flag wide aggregate row (sum_qty,
+    * sum_price, n) melted into (metric, value) rows via `stack`, the
+    * Catalyst generator behind SQL UNPIVOT. All three measures are
+    * exact (decimal sums / counts) cast to one double column — the melt
+    * itself moves no data and runs after the aggregate, so the wide
+    * frame is group-cardinality-bounded at any scale. */
+  val fnUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+           dsum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).cast("double").as("n"))
+      .select(col("l_returnflag"),
+              expr("""stack(3, 'sum_qty', sum_qty,
+                     |         'sum_price', sum_price,
+                     |         'n', n) AS (metric, value)""".stripMargin))
+      .orderBy(col("l_returnflag"), col("metric"))
+
   val queries: Map[String, Q] = Map(
+    "fn_unpivot" -> fnUnpivot,
     "fn_edit_distance" -> fnEditDistance,
     "fn_hash_funcs" -> fnHashFuncs,
     "fn_bitwise" -> fnBitwise,
@@ -158,6 +178,19 @@ object Extras {
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "fn_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT l_returnflag,
+         |    ${dsumSql("l_quantity")} AS sum_qty,
+         |    ${dsumSql("l_extendedprice")} AS sum_price,
+         |    CAST(count(*) AS DOUBLE) AS n
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price', sum_price FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'n', n FROM w
+         |ORDER BY l_returnflag, metric""".stripMargin,
     "fn_edit_distance" ->
       """WITH p AS (
         |  SELECT c_custkey, c_mktsegment, c_name,

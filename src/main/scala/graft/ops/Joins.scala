@@ -240,7 +240,33 @@ object Joins {
       .unionByName(shaped(updates, 2, lit(true)))
   }
 
+  /** J11 — range (band) join: events classified into uneven value bands
+    * via `lo <= value < hi` — the non-equi join class behind bucketing
+    * by thresholds, SLA tiers, and histogram-with-irregular-bins (the
+    * regular-bin variant is [[Aggregates.aggHistogram]]'s floor-divide;
+    * a genuine range table can't be floor-divided). The band table is
+    * definitionally bounded, so the explicit `broadcast` is safe at any
+    * SF (5 rows — unlike the customer-cardinality hints removed in
+    * round 3) and the plan is BroadcastNestedLoopJoin: a map-side scan
+    * of events against 5 in-memory rows, no shuffle of the fact side at
+    * all. At 1000 bands+, the production variant interval-indexes the
+    * broadcast side; the operator contract stays identical. */
+  val joinRangeBucket: Q = (s, d) => {
+    import s.implicits._
+    val dim = Seq(
+      ("tiny", 0.0, 1.0), ("small", 1.0, 5.0), ("mid", 5.0, 20.0),
+      ("large", 20.0, 100.0), ("huge", 100.0, 1000.0))
+      .toDF("bucket", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(dim),
+            col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_range_bucket" -> joinRangeBucket,
     "join_scd2_merge" -> joinScd2Merge,
     "join_inner_equi" -> joinInnerEqui,
     "join_star_5way" -> joinStar5way,
@@ -254,6 +280,17 @@ object Joins {
     "join_update_from" -> joinUpdateFrom)
 
   val oracles: Map[String, String] = Map(
+    "join_range_bucket" ->
+      """WITH dim(bucket, lo, hi) AS (VALUES
+        |  ('tiny', CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+        |  ('small', CAST(1.0 AS DOUBLE), CAST(5.0 AS DOUBLE)),
+        |  ('mid', CAST(5.0 AS DOUBLE), CAST(20.0 AS DOUBLE)),
+        |  ('large', CAST(20.0 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+        |  ('huge', CAST(100.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)))
+        |SELECT bucket, lo, hi, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim ON e.value >= dim.lo AND e.value < dim.hi
+        |GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
     "join_scd2_merge" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),

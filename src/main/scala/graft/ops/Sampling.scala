@@ -243,7 +243,40 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** E40 — token-budget selection: the "we can only afford N tokens
+    * from this source" cut every mixture recipe ends in (quality-ranked
+    * greedy fill, the deterministic cousin of proportional sampling —
+    * rank docs per source by a quality key, keep docs while the running
+    * token total fits the budget). Rank key is (n_chars DESC, doc_id)
+    * — fully deterministic; the running total is a cumulative-sum
+    * window per source partition (source-bounded, no skew: each
+    * partition is one source's docs); budget utilisation is one
+    * division of exact longs. At 100 TB this is exactly the plan you
+    * want — the window shuffles each source's (doc_id, n_tok) pairs,
+    * never text. */
+  val extTokenBudget: Q = (s, d) => {
+    val budget = 800L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("cum_tok") <= budget, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("cum_tok") <= budget, col("n_tok"))
+                 .otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("tokens_kept"),
+              (col("tokens_kept").cast("double") / budget.toDouble)
+                .as("budget_util"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_token_budget" -> extTokenBudget,
     "ext_pack_efficiency" -> extPackEfficiency,
     "ext_chunk_dedup" -> extChunkDedup,
     "ext_hash_split" -> extHashSplit,
@@ -262,6 +295,25 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |                     ORDER BY n_chars DESC, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN cum_tok <= 800 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN cum_tok <= 800 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(SUM(CASE WHEN cum_tok <= 800 THEN n_tok ELSE 0 END) AS DOUBLE)
+        |    / 800.0 AS budget_util
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,

@@ -268,7 +268,67 @@ object Windows {
       .orderBy(col("event_type"), col("month"))
   }
 
+  /** W15 — exponential moving average (α = 1/2) of the daily value
+    * total per event type over the trailing 7 observations — the
+    * smoothed-trend line on every ops dashboard, and the one smoothing
+    * spelling that is bit-exact cross-engine: the recursive EWMA
+    * accumulates float error engine-dependently, but a 7-term window
+    * EWMA with α = 1/2 is Σ xₖ·2⁻ᵏ / Σ 2⁻ᵏ where daily totals are
+    * exact cent integers and 2⁻ᵏ is exactly representable — every
+    * product has ≤ 6 fractional bits, every sum stays far below 2⁵³,
+    * so numerator and denominator are EXACT doubles and the single
+    * final division is IEEE-identical on both engines. No round()
+    * needed anywhere. The window partitions by event type (bounded
+    * state per key); the 7-lag expression is fixed-size codegen. */
+  val winEwma: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("svc"))
+    val lags = (0 to 6).map(k =>
+      (lag(col("svc"), k).over(w).cast("double"), lit(math.pow(0.5, k))))
+    val num = lags.map { case (x, wt) => coalesce(x * wt, lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.map { case (x, wt) =>
+      when(x.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    daily
+      .select(col("event_type"), col("day"),
+              (col("svc").cast("double") / 100.0).as("daily_total"),
+              (num / den / 100.0).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** W16 — cumulative distinct users per event type by day: windows
+    * cannot COUNT(DISTINCT), so the scalable spelling is the first-seen
+    * trick — one row per (type, user) at their first day, count new
+    * users per day, running-sum over the day axis. Two bounded
+    * aggregates + a day-cardinality window instead of holding a
+    * distinct-set per window frame (which no engine can do without
+    * materializing the set). The left join backfills days with no new
+    * users with 0. This is the "cumulative unique visitors" line on
+    * every growth dashboard, and its shape survives any scale: state is
+    * user-cardinality only at the first aggregate, day-cardinality
+    * after. */
+  val winCumeDistinct: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val days = ev.select(col("event_type"), col("day")).distinct()
+    val firsts = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    days.join(firsts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+              coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_ewma" -> winEwma,
+    "win_cume_distinct" -> winCumeDistinct,
     "win_pct_change" -> winPctChange,
     "win_rolling_zscore" -> winRollingZscore,
     "win_time_range" -> winTimeRange,
@@ -285,6 +345,55 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // exact dyadic EWMA replay: identical 7-lag expression, exact cent
+    // integers × exactly-representable 2^-k weights, one IEEE division
+    "win_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS svc
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, svc,
+        |    CAST(lag(svc, 0) OVER w AS DOUBLE) AS x0,
+        |    CAST(lag(svc, 1) OVER w AS DOUBLE) AS x1,
+        |    CAST(lag(svc, 2) OVER w AS DOUBLE) AS x2,
+        |    CAST(lag(svc, 3) OVER w AS DOUBLE) AS x3,
+        |    CAST(lag(svc, 4) OVER w AS DOUBLE) AS x4,
+        |    CAST(lag(svc, 5) OVER w AS DOUBLE) AS x5,
+        |    CAST(lag(svc, 6) OVER w AS DOUBLE) AS x6
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day,
+        |  CAST(svc AS DOUBLE) / 100.0 AS daily_total,
+        |  ((coalesce(x0 * 1.0, 0.0) + coalesce(x1 * 0.5, 0.0)
+        |    + coalesce(x2 * 0.25, 0.0) + coalesce(x3 * 0.125, 0.0)
+        |    + coalesce(x4 * 0.0625, 0.0) + coalesce(x5 * 0.03125, 0.0)
+        |    + coalesce(x6 * 0.015625, 0.0))
+        |   / (CASE WHEN x0 IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |      + CASE WHEN x1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |      + CASE WHEN x2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |      + CASE WHEN x3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |      + CASE WHEN x4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |      + CASE WHEN x5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |      + CASE WHEN x6 IS NOT NULL THEN 0.015625 ELSE 0.0 END))
+        |  / 100.0 AS ewma
+        |FROM l ORDER BY event_type, day""".stripMargin,
+    "win_cume_distinct" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT event_type, day FROM ev),
+        |firsts AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM (SELECT event_type, user_id, min(day) AS day
+        |        FROM ev GROUP BY 1, 2)
+        |  GROUP BY 1, 2)
+        |SELECT d.event_type, d.day,
+        |  CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(coalesce(f.n_new, 0)) OVER (
+        |    PARTITION BY d.event_type ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM days d LEFT JOIN firsts f USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
     "win_pct_change" ->
       """WITH m AS (
         |  SELECT event_type,

@@ -87,4 +87,30 @@ class ClusteringSpec extends SparkSpec {
     out(7L) shouldBe ((1L, 3L, false))
     out(9L) shouldBe ((9L, 1L, true))
   }
+
+  test("triangle count matches an in-memory brute force at sf0.001") {
+    val d = sf("sf0.001")
+    val row = Clustering.extTriangleCount(spark, d).collect().head
+    // independent reconstruction: collect the co-purchase edge set and
+    // count triangles with a nested scan over each node's neighbors
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val nbrs = edges.groupBy(_._1).map { case (a, es) =>
+      a -> es.map(_._2).toArray.sorted }
+    val nTri = nbrs.values.map { out =>
+      (for (i <- out.indices; j <- (i + 1) until out.length
+            if edges.contains((out(i), out(j)))) yield 1).size.toLong
+    }.sum
+    row.getAs[Long]("n_nodes") shouldBe nodes.size.toLong
+    row.getAs[Long]("n_edges") shouldBe edges.size.toLong
+    row.getAs[Long]("n_triangles") shouldBe nTri
+    nTri should be > 0L
+  }
 }

@@ -312,4 +312,94 @@ class SurfaceSpec extends SparkSpec {
     // least one document head (it is frequent, after all)
     out.exists(_.getAs[String]("ids_str").split(",").contains("1")) shouldBe true
   }
+
+  test("line dedup: segment totals reconcile with doc lengths, ratios consistent") {
+    val d = sf("sf0.001")
+    val out = Curation.extLineDedup(spark, d).collect()
+    out.foreach { r =>
+      val nSeg = r.getAs[Long]("n_seg"); val nKept = r.getAs[Long]("n_kept")
+      nKept should be <= nSeg
+      r.getAs[Double]("keep_ratio") shouldBe nKept.toDouble / nSeg
+    }
+    // Σ n_seg over docs = Σ ceil(words/8) computed directly
+    val want = Tables.documents(spark, d)
+      .select(((expr("size(split(text, ' '))") + 7) / 8).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(out.map(_.getAs[Long]("n_seg")).sum == want)
+    // the corpus has exact-duplicate families ≥3, so some segment must
+    // be flagged as boilerplate somewhere
+    out.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_seg")) shouldBe true
+  }
+
+  test("token budget: greedy fill never exceeds budget and is maximal") {
+    val out = graft.ops.Sampling.extTokenBudget(spark, sf("sf0.001")).collect()
+    out.length shouldBe 20
+    out.foreach { r =>
+      r.getAs[Long]("tokens_kept") should be <= 800L
+      r.getAs[Long]("n_kept") should be <= r.getAs[Long]("n_docs")
+      r.getAs[Long]("n_kept") should be >= 1L
+      r.getAs[Double]("budget_util") shouldBe
+        r.getAs[Long]("tokens_kept").toDouble / 800.0
+    }
+  }
+
+  test("ewma: first row equals its daily total, later rows stay in the trailing envelope") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Windows.winEwma(spark, d).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.values.foreach { series =>
+      val s = series.sortBy(_.getAs[java.sql.Date]("day").toString)
+      s.head.getAs[Double]("ewma") shouldBe s.head.getAs[Double]("daily_total")
+      s.zipWithIndex.foreach { case (r, i) =>
+        val window = s.slice(math.max(0, i - 6), i + 1)
+          .map(_.getAs[Double]("daily_total"))
+        val e = r.getAs[Double]("ewma")
+        e should be >= window.min - 1e-9
+        e should be <= window.max + 1e-9
+      }
+    }
+  }
+
+  test("cumulative distinct users: monotone, ends at the exact distinct count") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Windows.winCumeDistinct(spark, d).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val want = Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (tpe, series) =>
+      val s = series.sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(_.getAs[Long]("cum_users"))
+      s.zip(s.tail).foreach { case (a, b) => b should be >= a }
+      s.last shouldBe want(tpe)
+    }
+  }
+
+  test("unpivot: melt inverts to the wide aggregate") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Extras.fnUnpivot(spark, d).collect()
+    out.groupBy(_.getString(0)).values.foreach(_.length shouldBe 3)
+    val byKey = out.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("value")).toMap
+    val direct = Tables.lineitem(spark, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (flag, n) =>
+      byKey((flag, "n")) shouldBe n.toDouble
+    }
+  }
+
+  test("range bucket join: buckets partition the events exactly") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
+    out.map(_.getAs[Long]("n_events")).sum shouldBe
+      Tables.events(spark, d).count()
+    // bands are disjoint and ordered: [lo, hi) with no overlap
+    val bands = out.map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .sortBy(_._1)
+    bands.zip(bands.tail).foreach { case ((_, hi), (lo2, _)) =>
+      lo2 shouldBe hi
+    }
+  }
 }
