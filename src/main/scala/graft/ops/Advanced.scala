@@ -149,7 +149,41 @@ object Advanced {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_median"))
       .orderBy(col("o_orderpriority"))
 
+  /** Exact distinct counting via mergeable RoaringBitmap-style partials
+    * (`bitmap_construct_agg` over `bitmap_bucket_number`/
+    * `bitmap_bit_position`): the 100 TB answer to "exact COUNT(DISTINCT)
+    * without the two-shuffle expand" that [[Aggregates.aggCountDistinct]]'s
+    * scaladoc flags. Each (group, bucket) partial is a ≤4 KB bitmap built
+    * map-side; distinct users per event type = Σ bitmap_count over
+    * buckets, and — the point — the SAME partials re-aggregate to the
+    * all-types total via `bitmap_or_agg` without rescanning the base
+    * table. That is the mergeable-sketch contract (think HLL) but exact:
+    * partials are unionable, so a daily materialization rolls up to
+    * weekly/monthly exactly, the pattern the reference's layered
+    * aggregate facts (`/root/reference/sql/performance_optimization.sql`)
+    * rebuild from scratch instead. Shuffle volume is groups × buckets ×
+    * 4 KB, independent of row count. Oracle: plain COUNT(DISTINCT) —
+    * bitmaps are an execution strategy, not a semantics change. */
+  val aggBitmapDistinct: Q = (s, d) => {
+    val partials = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"),
+               expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+    val perType = partials
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+    val total = partials
+      .groupBy(col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .select(lit("__all__").as("event_type"), col("n_users"))
+    perType.unionByName(total).orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ext_vec_centroid" -> extVecCentroid,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -159,6 +193,13 @@ object Advanced {
     "sample_seeded" -> sampleSeeded)
 
   val oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |FROM events
+        |ORDER BY event_type""".stripMargin,
     "ext_vec_centroid" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v,

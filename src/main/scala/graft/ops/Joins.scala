@@ -265,7 +265,64 @@ object Joins {
       .orderBy(col("bucket"))
   }
 
+  /** J12 — grid-bucketed spatial self-join: all point pairs within radius
+    * R, found via cell bucketing instead of all-pairs. The reference keeps
+    * `DECIMAL(10,8)` stop coordinates (`/root/reference/sql/create_schema
+    * .sql:12-13`) but only avg-compares them; a transit network at scale
+    * needs the real thing — "which stops are within 500 m of each other"
+    * — without an O(N²) cross join. Coordinates here are deterministic
+    * integer micro-units derived from [[Dedup.hash60]] (the testdata has
+    * no coordinate columns), so both engines derive identical points and
+    * the whole query is integer-exact: squared distance in BIGINT, no
+    * trig, no doubles anywhere.
+    *
+    * Scale shape: each point lands in a `cellW`-wide grid cell
+    * (`cellW >= R`, so a pair within R spans at most adjacent cells);
+    * the probe side explodes to its 3×3 cell neighborhood (×9 rows) and
+    * equi-joins the build side's HOME cell — a plain shuffle-hash/SMJ on
+    * the cell key, with work proportional to Σ per-cell density², the
+    * spatial analogue of the LSH band join in [[Dedup]]. Each unordered
+    * pair is emitted exactly once: the probe row visits the build point's
+    * single home cell, and `a.key < b.key` kills the mirrored visit. At
+    * 100 TB the cell key shuffles uniformly (hash-derived coordinates
+    * here; real city data skews → AQE skew split or a finer grid +
+    * multi-cell union, same contract). DuckDB's oracle brute-forces the
+    * O(N²) predicate join — identical pair set at test scale. */
+  val joinGeoGrid: Q = (s, d) => {
+    val cellW = 10000L // micro-units; = R, so 3×3 neighborhood is complete
+    val r2 = 100000000L // R = 10 000 → R² = 1e8, all in BIGINT
+    def coord(ns: String) =
+      pmod(Dedup.hash60(concat(lit(ns), col("c_custkey").cast("string"))),
+           lit(1000000L))
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"),
+              coord("gx|").as("x"), coord("gy|").as("y"))
+      .withColumn("cx", expr(s"x div $cellW"))
+      .withColumn("cy", expr(s"y div $cellW"))
+    val build = pts.select(col("key").as("b_key"), col("x").as("bx"),
+                           col("y").as("by"), col("cx").as("bcx"),
+                           col("cy").as("bcy"))
+    val offsets = array((for (i <- -1 to 1; j <- -1 to 1)
+      yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"))): _*)
+    val probe = pts
+      .select(col("key"), col("x"), col("y"), col("cx"), col("cy"),
+              explode(offsets).as("o"))
+      .select(col("key"), col("x"), col("y"),
+              (col("cx") + col("o.di")).as("pcx"),
+              (col("cy") + col("o.dj")).as("pcy"))
+    probe.join(build,
+        col("pcx") === col("bcx") && col("pcy") === col("bcy") &&
+        col("key") < col("b_key"))
+      .withColumn("dist2",
+        (col("x") - col("bx")) * (col("x") - col("bx")) +
+        (col("y") - col("by")) * (col("y") - col("by")))
+      .where(col("dist2") <= r2)
+      .select(col("key").as("key_a"), col("b_key").as("key_b"), col("dist2"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_geo_grid" -> joinGeoGrid,
     "join_range_bucket" -> joinRangeBucket,
     "join_scd2_merge" -> joinScd2Merge,
     "join_inner_equi" -> joinInnerEqui,
@@ -279,7 +336,25 @@ object Joins {
     "join_cross_series" -> joinCrossSeries,
     "join_update_from" -> joinUpdateFrom)
 
+  // DuckDB replay of hash60 (15 hex digits of md5 → bigint)
+  private def h60(x: String): String =
+    s"""list_reduce(list_transform(range(1, 16), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "join_geo_grid" ->
+      s"""WITH pts AS (
+         |  SELECT c_custkey AS key,
+         |    ${h60("'gx|' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS x,
+         |    ${h60("'gy|' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS y
+         |  FROM customer)
+         |SELECT a.key AS key_a, b.key AS key_b,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |FROM pts a JOIN pts b ON a.key < b.key
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |        <= 100000000
+         |ORDER BY key_a, key_b""".stripMargin,
     "join_range_bucket" ->
       """WITH dim(bucket, lo, hi) AS (VALUES
         |  ('tiny', CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),

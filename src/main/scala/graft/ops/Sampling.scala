@@ -275,7 +275,94 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** E44 — deterministic shard assignment + balance audit: every doc maps
+    * to `shard = hash60("shard|" + doc_id) mod 64`, and the query emits the
+    * per-shard doc count, token mass, and source spread — the numbers a
+    * training launcher checks before declaring a corpus "shardable" (a
+    * token-imbalanced shard set straggles every epoch). Hash sharding is
+    * THE writer-side pattern at 100 TB: it needs no global sort, no
+    * coordination, and is stable under reruns and late-arriving docs
+    * (unlike round-robin, which renumbers everything). The audit is one
+    * map stage + one 64-group aggregate; production then writes with
+    * `repartition(64, shard)` + `partitionBy(shard)` and this query IS
+    * the balance check on the result. */
+  val extShardAssign: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"),
+              pmod(decide("shard|", col("doc_id")), lit(64L)).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("shard_id"))
+
+  /** E45 — temperature-balanced source sampling (α = 0.5): per-source
+    * quota `max(1, floor(sqrt(n_s)))` docs, chosen by decision-hash rank —
+    * the standard mixture-flattening move (UNIMAX / multilingual-sampling
+    * style) that stops a 100×-larger web crawl from drowning the curated
+    * tail while still letting bigger sources contribute more. All
+    * arithmetic is cross-engine exact: `sqrt` is IEEE correctly-rounded on
+    * both engines and `floor(sqrt(n))` sits ≥1/(2·sqrt(n)) from the grid
+    * except at perfect squares where it is exact. One per-source window
+    * (rank) + one aggregate; Spark 4's WindowGroupLimit turns the
+    * rank-≤-quota filter into per-partition top-k heaps, so no stratum
+    * ever materializes sorted. */
+  val extTemperatureSample: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(decide("temp|", col("doc_id")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1))
+        .over(Window.partitionBy(col("source"))))
+      .withColumn("quota",
+        greatest(lit(1L), floor(sqrt(col("n_docs").cast("double")))))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+           max(col("quota")).as("quota"),
+           sum(when(col("rn") <= col("quota"), 1L).otherwise(0L))
+             .as("n_kept"),
+           sum(when(col("rn") <= col("quota"), col("n_chars"))
+             .otherwise(0L)).as("chars_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** E46 — deterministic mixture interleave: the ORDER in which a trainer
+    * reads a multi-source corpus, with per-source weights, computed as a
+    * dataflow instead of a stateful reader. Each source gets an integer
+    * weight `w ∈ 1..8` (hash-derived here, configured in production); doc
+    * rank `rk` within its source (decision-hash order) schedules at
+    * virtual time `pos = (rk * 840) div w` (840 = lcm(1..8), so all
+    * arithmetic stays integer) — a source with weight 2w appears twice as
+    * densely in the merged stream, which is exactly weighted round-robin
+    * (WFQ virtual finish times). The global merge is a TakeOrdered of the
+    * first 60 slots at test scale; a full-corpus emit is a single
+    * ORDER BY pos — one sort, already near-sorted per source — or, at
+    * 100 TB, a range-partitioned write on `pos` so no single node ever
+    * holds the stream. Integer-exact end to end. */
+  val extMixtureInterleave: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(decide("ilv|", col("doc_id")), col("doc_id"))
+    val scheduled = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .withColumn("wt", pmod(decide("w|", col("source")), lit(8L)) + 1L)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pos", expr("(rk * 840) div wt"))
+    scheduled
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+      .limit(60)
+      .withColumn("slot", row_number().over(
+        Window.orderBy(col("pos"), col("source"), col("doc_id"))))
+      .select(col("slot"), col("pos"), col("source"), col("doc_id"),
+              col("wt"), col("rk"))
+      .orderBy(col("slot"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_shard_assign" -> extShardAssign,
+    "ext_temperature_sample" -> extTemperatureSample,
+    "ext_mixture_interleave" -> extMixtureInterleave,
     "ext_token_budget" -> extTokenBudget,
     "ext_pack_efficiency" -> extPackEfficiency,
     "ext_chunk_dedup" -> extChunkDedup,
@@ -295,6 +382,44 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_shard_assign" ->
+      s"""SELECT ${h60("'shard|' || doc_id")} % 64 AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "ext_temperature_sample" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h60("'temp|' || doc_id")}, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+         |  FROM documents),
+         |q AS (
+         |  SELECT *, greatest(CAST(1 AS BIGINT),
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)) AS quota
+         |  FROM r)
+         |SELECT source, max(n_docs) AS n_docs, max(quota) AS quota,
+         |  CAST(SUM(CASE WHEN rn <= quota THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN rn <= quota THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS chars_kept
+         |FROM q GROUP BY 1 ORDER BY source""".stripMargin,
+    "ext_mixture_interleave" ->
+      s"""WITH sch AS (
+         |  SELECT source, doc_id,
+         |    ${h60("'w|' || source")} % 8 + 1 AS wt,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h60("'ilv|' || doc_id")}, doc_id) AS BIGINT) AS rk
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id, wt, rk, (rk * 840) // wt AS pos
+         |  FROM sch ORDER BY pos, source, doc_id LIMIT 60)
+         |SELECT CAST(row_number() OVER (ORDER BY pos, source, doc_id)
+         |    AS INTEGER) AS slot,
+         |  pos, source, doc_id, wt, rk
+         |FROM p ORDER BY slot""".stripMargin,
     "ext_token_budget" ->
       """WITH t AS (
         |  SELECT source, doc_id, n_chars,

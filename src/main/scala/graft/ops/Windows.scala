@@ -298,6 +298,35 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W17 — trailing-7-row moving MEDIAN of daily totals per event type:
+    * the robust-statistics twin of [[winMovingAvg]] — a single spiked day
+    * drags a moving mean for a week but leaves the moving median almost
+    * untouched, which is why ops dashboards trend medians. Spark has no
+    * dedicated windowed-median; the exact `percentile(x, 0.5)` aggregate
+    * runs as a window function over the ROWS frame, which at ≤7-element
+    * frames is a per-frame sort of 7 values — constant work per row, and
+    * the window partitions by event type so the frame state never crosses
+    * executors. Exactness: daily totals are exact cent integers
+    * ([[winEwma]]'s discipline), and the 0.5-quantile of ≤7 integers is
+    * either an integer or the midpoint of two (both engines interpolate
+    * `lo + 0.5*(hi-lo)`), so every result is an exact dyadic double —
+    * bit-identical cross-engine with no rounding. At 100 TB the shape is
+    * unchanged: day × type cardinality in, day × type out; for frames of
+    * thousands of rows the per-frame re-sort would motivate a sliding
+    * order-statistic tree, but the operator contract stays this. */
+  val winMovingMedian: Q = (s, d) => {
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("svc"))
+      .select(col("event_type"), col("day"),
+              (col("svc").cast("double") / 100.0).as("daily_total"),
+              (percentile(col("svc"), lit(0.5)).over(w7) / 100.0)
+                .as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** W16 — cumulative distinct users per event type by day: windows
     * cannot COUNT(DISTINCT), so the scalable spelling is the first-seen
     * trick — one row per (type, user) at their first day, count new
@@ -327,6 +356,7 @@ object Windows {
   }
 
   val queries: Map[String, Q] = Map(
+    "win_moving_median" -> winMovingMedian,
     "win_ewma" -> winEwma,
     "win_cume_distinct" -> winCumeDistinct,
     "win_pct_change" -> winPctChange,
@@ -345,6 +375,18 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // exact windowed median: cent integers, both engines interpolate
+    // lo + 0.5*(hi-lo) → dyadic doubles, no rounding needed
+    "win_moving_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS svc
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  CAST(svc AS DOUBLE) / 100.0 AS daily_total,
+        |  median(svc) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS med7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     // exact dyadic EWMA replay: identical 7-lag expression, exact cent
     // integers × exactly-representable 2^-k weights, one IEEE division
     "win_ewma" ->

@@ -390,6 +390,105 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct: per-type and or-merged totals equal exact COUNT(DISTINCT)") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Advanced.aggBitmapDistinct(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val want = Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    want.foreach { case (tpe, n) => out(tpe) shouldBe n }
+    out("__all__") shouldBe
+      Tables.events(spark, d).select(col("user_id")).distinct().count()
+    // the or-merge can only deduplicate across types, never inflate
+    out("__all__") should be <= want.values.sum
+  }
+
+  test("moving median: equals a direct trailing-7 median of the daily totals") {
+    val d = sf("sf0.001")
+    val series = graft.ops.Windows.winMovingMedian(spark, d).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    series.values.foreach { rows =>
+      val s = rows.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // replay in the exact cent domain the operator computes in — a
+      // double replay of (a+b)/2 on the /100 values is the lossy path
+      val cents = s.map(r => math.round(r.getAs[Double]("daily_total") * 100))
+      s.zipWithIndex.foreach { case (r, i) =>
+        val frame = cents.slice(math.max(0, i - 6), i + 1).sorted
+        val n = frame.length
+        val want = (if (n % 2 == 1) frame(n / 2).toDouble
+                    else (frame(n / 2 - 1) + frame(n / 2)) / 2.0) / 100.0
+        r.getAs[Double]("med7") shouldBe want
+      }
+    }
+  }
+
+  test("geo grid join: identical pair set to an all-pairs cross join") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Joins.joinGeoGrid(spark, d).collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+                 r.getAs[Long]("dist2"))).toSet
+    out.foreach { case (a, b, d2) =>
+      a should be < b
+      d2 should be <= 100000000L
+    }
+    // brute force on the same derived points (fine at 150 customers)
+    val pts = Tables.customer(spark, d)
+      .select(col("c_custkey").as("key"),
+        pmod(graft.ops.Dedup.hash60(
+          concat(lit("gx|"), col("c_custkey").cast("string"))), lit(1000000L)).as("x"),
+        pmod(graft.ops.Dedup.hash60(
+          concat(lit("gy|"), col("c_custkey").cast("string"))), lit(1000000L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (k1, x1, y1) <- pts; (k2, x2, y2) <- pts if k1 < k2
+      d2 = (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) if d2 <= 100000000L
+    } yield (k1, k2, d2)).toSet
+    out shouldBe brute
+  }
+
+  test("shard assign: partition of the corpus, 64-bounded ids, deterministic") {
+    val d = sf("sf0.001")
+    val a = graft.ops.Sampling.extShardAssign(spark, d).collect()
+    val b = graft.ops.Sampling.extShardAssign(spark, d).collect()
+    a.map(_.toString) shouldBe b.map(_.toString)
+    a.foreach { r =>
+      r.getAs[Long]("shard_id") should be >= 0L
+      r.getAs[Long]("shard_id") should be < 64L
+    }
+    a.map(_.getAs[Long]("n_docs")).sum shouldBe
+      Tables.documents(spark, d).count()
+  }
+
+  test("temperature sample: per-source quota is max(1, floor(sqrt(n))) and is met") {
+    val out = graft.ops.Sampling.extTemperatureSample(spark, sf("sf0.001")).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val quota = r.getAs[Long]("quota")
+      quota shouldBe math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      r.getAs[Long]("n_kept") shouldBe math.min(quota, n)
+      // flattening: quota grows sublinearly
+      quota should be <= n
+    }
+  }
+
+  test("mixture interleave: dense slots, WFQ virtual times, per-source order preserved") {
+    val out = graft.ops.Sampling.extMixtureInterleave(spark, sf("sf0.001")).collect()
+    out.map(_.getAs[Int]("slot")).toSeq shouldBe (1 to out.length)
+    val pos = out.map(_.getAs[Long]("pos"))
+    pos.zip(pos.tail).foreach { case (a, b) => b should be >= a }
+    out.foreach { r =>
+      r.getAs[Long]("pos") shouldBe
+        (r.getAs[Long]("rk") * 840L) / r.getAs[Long]("wt")
+    }
+    // within a source, docs appear in rank order
+    out.groupBy(_.getAs[String]("source")).values.foreach { rows =>
+      val rks = rows.sortBy(_.getAs[Int]("slot")).map(_.getAs[Long]("rk"))
+      rks.toSeq shouldBe rks.sorted.toSeq
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
