@@ -232,7 +232,44 @@ object Behavior {
       .orderBy(col("month"), col("rank"))
   }
 
+  /** W18 — overlapping-interval union (merge-then-measure): each event
+    * opens a 300 s activity interval `[t, t+300)`; per user, overlapping
+    * intervals merge into islands and the query reports islands, covered
+    * seconds, and event count — "how long was the user actually active",
+    * the billable-time / uptime-union primitive (naive per-event ×300 s
+    * double-counts overlap badly). Classic gaps-and-islands: a running
+    * `max(end)` over everything STRICTLY BEFORE the row flags
+    * island-openers (`start > run_end`), a running sum of flags numbers
+    * the islands, two bounded aggregates measure them. All integer
+    * epoch-seconds ([[winInterarrival]]'s discipline) — bit-exact
+    * cross-engine. One user-partitioned sort window + two hash
+    * aggregates; at 100 TB the window partitions by user (no global
+    * sort) and state per partition is one running long. Ties on
+    * (start, end) are order-insensitive: equal rows produce identical
+    * flag outcomes whichever engine orders them first. */
+  val winIntervalMerge: Q = (s, d) => {
+    val span = 300L
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+      .withColumn("run_end", max(col("en"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("st") > col("run_end"), 1L).otherwise(0L))
+          .over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+           count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("ien") - col("ist")).as("covered_sec"),
+           sum(col("n_ev")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_interval_merge" -> winIntervalMerge,
     "ext_funnel" -> extFunnel,
     "ext_cohort_retention" -> extCohortRetention,
     "ext_pagerank" -> extPagerank,
@@ -278,6 +315,33 @@ object Behavior {
   }
 
   val oracles: Map[String, String] = Map(
+    // first row's run_end is NULL → CASE yields 0 on both engines, so
+    // island ids start at 0 identically
+    "win_interval_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS st,
+        |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) + 300 AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM ev),
+        |f AS (
+        |  SELECT user_id, st, en,
+        |    SUM(CASE WHEN st > run_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY st, en
+        |        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |i AS (
+        |  SELECT user_id, island, min(st) AS ist, max(en) AS ien,
+        |    count(*) AS n_ev
+        |  FROM f GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(ien - ist) AS BIGINT) AS covered_sec,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     "ext_pagerank" -> pagerankSql,
     "win_rank_change" ->
       """WITH m AS (

@@ -345,7 +345,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E48 — dataset release diff: per-source added / removed / changed /
+    * unchanged counts between two corpus snapshots — the audit every
+    * dataset release ships ("v2 removed 5% of web, edited 10% of
+    * books") and the gate for incremental retraining decisions. The
+    * snapshots here are hash-derived views of the one documents table
+    * (each release drops a different pseudo-random 5%; v2 additionally
+    * edits a 10% slice), so both engines derive identical releases; the
+    * operator itself is the real thing: a full-outer join on doc_id
+    * comparing CONTENT FINGERPRINTS (sha-256), never the text — at
+    * 100 TB the diff shuffles 32-byte digests + keys, not documents,
+    * and classifies each key into the 4-way status in one pass. Only
+    * fingerprint EQUALITY crosses the engines (hex strings compare
+    * consistently within each engine), so no float/format hazard. */
+  val extDatasetDiff: Q = (s, d) => {
+    def inRelease(ns: String) =
+      pmod(Dedup.hash60(concat(lit(ns), col("doc_id").cast("string"))),
+           lit(20L)) =!= 0L
+    val edited =
+      pmod(Dedup.hash60(concat(lit("edit|"), col("doc_id").cast("string"))),
+           lit(10L)) === 0L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v1 = docs.where(inRelease("rel1|"))
+      .select(col("doc_id").as("id1"), col("source").as("src1"),
+              sha2(col("text"), 256).as("fp1"))
+    val v2 = docs.where(inRelease("rel2|"))
+      .select(col("doc_id").as("id2"), col("source").as("src2"),
+              sha2(when(edited, concat(col("text"), lit(" [v2]")))
+                .otherwise(col("text")), 256).as("fp2"))
+    v1.join(v2, col("id1") === col("id2"), "full_outer")
+      .select(coalesce(col("src1"), col("src2")).as("source"),
+        when(col("id1").isNull, lit("added"))
+          .when(col("id2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_dataset_diff" -> extDatasetDiff,
     "ext_line_dedup" -> extLineDedup,
     "ext_repetition" -> extRepetition,
     "ext_pii_scrub" -> extPiiScrub,
@@ -367,7 +408,33 @@ object Curation {
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
       |ELSE [lt] END""".stripMargin
 
+  // hash60 replay (15 hex digits of md5 → bigint), as in Sampling's oracles
+  private def h60c(x: String): String =
+    s"""list_reduce(list_transform(range(1, 16), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ext_dataset_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id AS id1, source AS src1, sha256(text) AS fp1
+         |  FROM documents
+         |  WHERE ${h60c("'rel1|' || doc_id")} % 20 <> 0),
+         |v2 AS (
+         |  SELECT doc_id AS id2, source AS src2,
+         |    sha256(CASE WHEN ${h60c("'edit|' || doc_id")} % 10 = 0
+         |           THEN text || ' [v2]' ELSE text END) AS fp2
+         |  FROM documents
+         |  WHERE ${h60c("'rel2|' || doc_id")} % 20 <> 0),
+         |j AS (
+         |  SELECT coalesce(src1, src2) AS source,
+         |    CASE WHEN id1 IS NULL THEN 'added'
+         |         WHEN id2 IS NULL THEN 'removed'
+         |         WHEN fp1 <> fp2 THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM v1 FULL OUTER JOIN v2 ON id1 = id2)
+         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
     // identical segmentation: word ord 1..n, segment = (ord-1) div 8,
     // words rejoined in ord order ≡ Spark's slice(t, 8k+1, 8)
     "ext_line_dedup" ->

@@ -321,7 +321,40 @@ object Joins {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** J13 — blocked fuzzy (edit-distance) self-join at dictionary grain:
+    * the entity-resolution primitive — "which names are within k edits of
+    * each other" — made scale-safe twice over. First, match at the
+    * DISTINCT-value grain: part names are a bounded vocabulary (64
+    * adjective×noun combos at any SF), so the quadratic runs on the
+    * dictionary while per-row counts join back — exactly how name/address
+    * resolution handles a 100 TB fact table (distinct-shuffle the values,
+    * match once, broadcast the match map back). Second, block before
+    * comparing: candidates must share a blocking key (the noun token
+    * here), bounding pair generation to Σ block² instead of N² — the same
+    * candidate-bounding contract as the LSH band join and [[joinGeoGrid]]'s
+    * cells; production stacks a second blocking pass (e.g. same-length or
+    * phonetic key) and unions, trading compute for recall. Levenshtein is
+    * integer unit-cost on both engines ([[graft.ops.Extras]]'
+    * `fn_edit_distance` proves bit-portability). */
+  val joinFuzzyBlocked: Q = (s, d) => {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+    val a = names.select(col("noun"), col("p_name").as("name_a"),
+                         col("n_parts").as("n_parts_a"))
+    val b = names.select(col("noun"), col("p_name").as("name_b"),
+                         col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("noun"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 4)
+      .select(col("name_a"), col("name_b"), col("dist"),
+              col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_fuzzy_blocked" -> joinFuzzyBlocked,
     "join_geo_grid" -> joinGeoGrid,
     "join_range_bucket" -> joinRangeBucket,
     "join_scd2_merge" -> joinScd2Merge,
@@ -343,6 +376,18 @@ object Joins {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_blocked" ->
+      """WITH names AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |    string_split(p_name, ' ')[2] AS noun
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
     "join_geo_grid" ->
       s"""WITH pts AS (
          |  SELECT c_custkey AS key,

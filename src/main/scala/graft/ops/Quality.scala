@@ -173,7 +173,52 @@ object Quality {
       .orderBy(col("source"), col("split"))
   }
 
+  /** E47 — quality-filter ablation: per-filter marginal attribution over
+    * a 4-filter curation stack (length band, alpha ratio, token
+    * diversity, mean word length). For each filter: how many docs it
+    * fails, and how many it UNIQUELY fails (all other filters pass) —
+    * the number that tells a curator which filter is actually doing work
+    * and which is redundant before they spend a 100 TB pass re-running
+    * the stack with one knob changed. All four predicates are
+    * integer-exact cross-engine (ratio thresholds as cross-multiplied
+    * integer inequalities — `letters*10 >= chars*6`, never a double
+    * division), so the ablation is bit-portable. One scan, one 4-row
+    * explode per doc, one 4-group aggregate; no shuffle of text. */
+  val extQualityAblation: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+              split(col("text"), " ").as("tk"),
+              length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+                .cast("long").as("letters"))
+      .select(col("doc_id"), col("n_chars"), col("letters"),
+              size(col("tk")).cast("long").as("n_tok"),
+              size(array_distinct(col("tk"))).cast("long").as("n_dtok"))
+    val p1 = col("n_chars") >= 150L && col("n_chars") <= 450L
+    val p2 = col("letters") * 10L >= col("n_chars") * 6L
+    val p3 = col("n_dtok") * 10L >= col("n_tok") * 3L
+    val p4 = col("n_chars") - col("n_tok") + 1L <= col("n_tok") * 12L
+    base
+      .select(explode(array(
+          struct(lit("alpha").as("f"), p2.as("pass"),
+                 (p1 && p3 && p4).as("others")),
+          struct(lit("diversity").as("f"), p3.as("pass"),
+                 (p1 && p2 && p4).as("others")),
+          struct(lit("len").as("f"), p1.as("pass"),
+                 (p2 && p3 && p4).as("others")),
+          struct(lit("wordlen").as("f"), p4.as("pass"),
+                 (p1 && p2 && p3).as("others")))).as("x"),
+        (p1 && p2 && p3 && p4).as("all_pass"))
+      .groupBy(col("x.f").as("filter"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(!col("x.pass"), 1L).otherwise(0L)).as("n_fail"),
+           sum(when(!col("x.pass") && col("x.others"), 1L).otherwise(0L))
+             .as("n_unique_fail"),
+           sum(when(col("all_pass"), 1L).otherwise(0L)).as("n_pass_all"))
+      .orderBy(col("filter"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_quality_ablation" -> extQualityAblation,
     "ext_data_build" -> extDataBuild,
     "ext_key_skew" -> extKeySkew,
     "ext_keep_best" -> extKeepBest,
@@ -187,6 +232,39 @@ object Quality {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_quality_ablation" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_dtok,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS letters
+        |  FROM documents),
+        |f AS (
+        |  SELECT
+        |    n_chars >= 150 AND n_chars <= 450 AS p1,
+        |    letters * 10 >= n_chars * 6 AS p2,
+        |    n_dtok * 10 >= n_tok * 3 AS p3,
+        |    n_chars - n_tok + 1 <= n_tok * 12 AS p4
+        |  FROM b),
+        |u AS (
+        |  SELECT 'alpha' AS filter, p2 AS pass, p1 AND p3 AND p4 AS others,
+        |    p1 AND p2 AND p3 AND p4 AS all_pass FROM f
+        |  UNION ALL SELECT 'diversity', p3, p1 AND p2 AND p4,
+        |    p1 AND p2 AND p3 AND p4 FROM f
+        |  UNION ALL SELECT 'len', p1, p2 AND p3 AND p4,
+        |    p1 AND p2 AND p3 AND p4 FROM f
+        |  UNION ALL SELECT 'wordlen', p4, p1 AND p2 AND p3,
+        |    p1 AND p2 AND p3 AND p4 FROM f)
+        |SELECT filter, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail,
+        |  CAST(SUM(CASE WHEN NOT pass AND others THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unique_fail,
+        |  CAST(SUM(CASE WHEN all_pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass_all
+        |FROM u GROUP BY 1 ORDER BY filter""".stripMargin,
     "ext_data_build" ->
       s"""WITH ex AS (
          |  SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,

@@ -489,6 +489,83 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("interval merge: event totals reconcile and coverage is bounded by island structure") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Behavior.winIntervalMerge(spark, d).collect()
+    out.map(_.getAs[Long]("n_events")).sum shouldBe
+      Tables.events(spark, d).count()
+    out.foreach { r =>
+      val (nIsl, cov, nEv) = (r.getAs[Long]("n_islands"),
+        r.getAs[Long]("covered_sec"), r.getAs[Long]("n_events"))
+      nIsl should be >= 1L
+      nIsl should be <= nEv
+      cov should be >= nIsl * 300L        // each island spans >= one interval
+      cov should be <= nEv * 300L         // merging can only shrink coverage
+    }
+    // replay one user's islands directly
+    val uid = out.head.getAs[Long]("user_id")
+    val starts = Tables.events(spark, d)
+      .where(col("user_id") === uid)
+      .select(unix_timestamp(col("ts"))).collect().map(_.getLong(0)).sorted
+    var islands = 0L; var covered = 0L
+    var curSt = Long.MinValue; var curEn = Long.MinValue
+    starts.foreach { st =>
+      if (st > curEn) {
+        if (islands > 0) covered += curEn - curSt
+        islands += 1; curSt = st; curEn = st + 300
+      } else curEn = math.max(curEn, st + 300)
+    }
+    if (islands > 0) covered += curEn - curSt
+    out.head.getAs[Long]("n_islands") shouldBe islands
+    out.head.getAs[Long]("covered_sec") shouldBe covered
+  }
+
+  test("fuzzy blocked join: pairs share the blocking noun and respect the distance cap") {
+    val out = graft.ops.Joins.joinFuzzyBlocked(spark, sf("sf0.001")).collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      a should be < b
+      a.split(" ")(1) shouldBe b.split(" ")(1) // same blocking key
+      val dist = r.getAs[Int]("dist")
+      dist should be > 0
+      dist should be <= 4
+    }
+    // no duplicate unordered pairs
+    val pairs = out.map(r => (r.getString(0), r.getString(1)))
+    pairs.distinct.length shouldBe pairs.length
+  }
+
+  test("quality ablation: unique-fail bounded by fail, constant corpus counters") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Quality.extQualityAblation(spark, d).collect()
+    out.length shouldBe 4
+    val nDocs = Tables.documents(spark, d).count()
+    out.foreach { r =>
+      r.getAs[Long]("n_docs") shouldBe nDocs
+      r.getAs[Long]("n_unique_fail") should be <= r.getAs[Long]("n_fail")
+    }
+    out.map(_.getAs[Long]("n_pass_all")).distinct.length shouldBe 1
+    // replay the length filter directly
+    val lenFail = Tables.documents(spark, d)
+      .where(!(col("n_chars") >= 150 && col("n_chars") <= 450)).count()
+    out.find(_.getString(0) == "len").get.getAs[Long]("n_fail") shouldBe lenFail
+  }
+
+  test("dataset diff: status counts reconcile with both release sizes") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Curation.extDatasetDiff(spark, d).collect()
+    val byStatus = out.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    def relSize(ns: String) = Tables.documents(spark, d)
+      .where(pmod(graft.ops.Dedup.hash60(
+        concat(lit(ns), col("doc_id").cast("string"))), lit(20L)) =!= 0L)
+      .count()
+    val (v1, v2) = (relSize("rel1|"), relSize("rel2|"))
+    byStatus("removed") + byStatus("changed") + byStatus("unchanged") shouldBe v1
+    byStatus("added") + byStatus("changed") + byStatus("unchanged") shouldBe v2
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
