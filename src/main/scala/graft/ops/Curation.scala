@@ -385,7 +385,42 @@ object Curation {
       .orderBy(col("source"), col("status"))
   }
 
+  /** E49 — span-corruption mask generation (T5/UL2-style denoising
+    * objective plumbing) as a pure dataflow: tokens are grouped in
+    * 3-token spans and a span is masked iff its decision hash clears a
+    * 15% gate (3/20), so the mask is a pure function of (doc_id,
+    * span index) — reproducible across epochs, workers, and engines,
+    * with no PRNG state to ship. Emits the per-doc mask accounting a
+    * data loader needs (masked tokens, contiguous span count after
+    * adjacent-span merge, achieved permille) — the sentinel-token
+    * rewrite consumes exactly these group decisions executor-side. All
+    * array ops are per-row (`sequence`/`filter`/`aggregate` inside one
+    * projection), so the operator is a pure map stage: no shuffle, no
+    * state, embarrassingly parallel at any SF. Integer-exact end to end
+    * (the permille is an integer floor-divide). */
+  val extSpanCorruption: Q = (s, d) => {
+    def grpHash(g: Column) =
+      pmod(Dedup.hash60(concat(lit("m|"), col("doc_id").cast("string"),
+                               lit("|"), g.cast("string"))), lit(20L))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("n_grp", expr("(n_tok + 2) div 3"))
+      .withColumn("mg",
+        filter(sequence(lit(0L), col("n_grp") - 1L), g => grpHash(g) < 3L))
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(aggregate(col("mg"), lit(0L),
+            (acc, g) => acc + least(lit(3L), col("n_tok") - g * 3L)),
+          lit(0L)).as("n_masked"),
+        size(filter(col("mg"),
+            g => !array_contains(col("mg"), g - 1L)))
+          .cast("long").as("n_spans"))
+      .withColumn("mask_pm", expr("n_masked * 1000 div n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_span_corruption" -> extSpanCorruption,
     "ext_dataset_diff" -> extDatasetDiff,
     "ext_line_dedup" -> extLineDedup,
     "ext_repetition" -> extRepetition,
@@ -415,6 +450,26 @@ object Curation {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_span_corruption" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_tok,
+         |    list_filter(range(0, (n_tok + 2) // 3),
+         |      g -> ${h60c("'m|' || doc_id || '|' || g")} % 20 < 3) AS mg
+         |  FROM b),
+         |m AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(coalesce(list_sum(list_transform(mg,
+         |      g -> least(3, n_tok - g * 3))), 0) AS BIGINT) AS n_masked,
+         |    CAST(coalesce(len(list_filter(mg,
+         |      g -> NOT list_contains(mg, g - 1))), 0) AS BIGINT) AS n_spans
+         |  FROM g)
+         |SELECT doc_id, n_tok, n_masked, n_spans,
+         |  n_masked * 1000 // n_tok AS mask_pm
+         |FROM m ORDER BY doc_id""".stripMargin,
     "ext_dataset_diff" ->
       s"""WITH v1 AS (
          |  SELECT doc_id AS id1, source AS src1, sha256(text) AS fp1

@@ -219,7 +219,46 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** E50 — co-occurrence lift (collocation mining): which token pairs
+    * appear together in documents far more often than independence
+    * predicts — the corpus-analytics primitive behind phrase detection,
+    * topic seeding, and contamination forensics (a suspicious pair like
+    * two benchmark-specific terms co-occurring at high lift flags
+    * leaked eval data). Document-frequency based: per-doc DISTINCT
+    * tokens self-join on doc_id (pairs within a doc, `a < b` once),
+    * count pair df, join token dfs back, lift = df_xy·N / (df_x·df_y)
+    * kept integer-exact as parts-per-million floor-divide. The self-join
+    * shuffles (doc_id, token) pairs — work Σ per-doc distinct², bounded
+    * by doc length not corpus size; the df joins are vocabulary-grain.
+    * The ppm product df_xy·N·10⁶ stays in BIGINT through ~10⁹ docs —
+    * past that, lift in DECIMAL(38,0), same query. Min-support 5 prunes
+    * the pair tail before any join. Top-50 by (lift, pair) is a
+    * TakeOrdered, fully tie-broken. */
+  val extCooccurLift: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.as("a")
+      .join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("df_xy"))
+      .where(col("df_xy") >= 5L)
+      .join(dfs.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(dfs.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("df_xy * n_docs * 1000000 div (df_a * df_b)"))
+      .select(col("tok_a"), col("tok_b"), col("df_xy"), col("df_a"),
+              col("df_b"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("tok_a"), col("tok_b"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_cooccur_lift" -> extCooccurLift,
     "ext_ngram_profile" -> extNgramProfile,
     "ext_bm25" -> extBm25,
     "ext_text_stats" -> extTextStats,
@@ -234,6 +273,23 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(
+    "ext_cooccur_lift" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |p AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    CAST(count(*) AS BIGINT) AS df_xy
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT tok_a, tok_b, df_xy, da.df AS df_a, db.df AS df_b,
+        |  df_xy * (SELECT count(*) FROM documents) * 1000000
+        |    // (da.df * db.df) AS lift_ppm
+        |FROM p JOIN dfs da ON p.tok_a = da.tok
+        |       JOIN dfs db ON p.tok_b = db.tok
+        |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 50""".stripMargin,
     "ext_ngram_profile" ->
       """WITH lt AS (SELECT lang, lower(text) AS x FROM documents),
         |tri AS (

@@ -327,6 +327,33 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W19 — running-max drawdown: per event type, how far each day's
+    * total sits below the best day seen so far, plus the worst such gap
+    * to date — the standard "how bad did it get" series for revenue,
+    * throughput, or SLO monitoring (finance calls it max drawdown).
+    * Two stacked running windows over the day axis (running max of the
+    * total, then running max of the gap) — both O(1) state per row, both
+    * partitioned by type, so the shape is day-cardinality at any SF.
+    * Exact cent integers throughout ([[winEwma]]'s discipline); the /100
+    * presentation divide is the only float op and is IEEE-identical on
+    * both engines. */
+  val winDrawdown: Q = (s, d) => {
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("svc"))
+      .withColumn("run_max", max(col("svc")).over(wRun))
+      .withColumn("dd", col("run_max") - col("svc"))
+      .withColumn("max_dd", max(col("dd")).over(wRun))
+      .select(col("event_type"), col("day"),
+              (col("svc").cast("double") / 100.0).as("daily_total"),
+              (col("run_max").cast("double") / 100.0).as("peak"),
+              (col("dd").cast("double") / 100.0).as("drawdown"),
+              (col("max_dd").cast("double") / 100.0).as("max_drawdown"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** W16 — cumulative distinct users per event type by day: windows
     * cannot COUNT(DISTINCT), so the scalable spelling is the first-seen
     * trick — one row per (type, user) at their first day, count new
@@ -356,6 +383,7 @@ object Windows {
   }
 
   val queries: Map[String, Q] = Map(
+    "win_drawdown" -> winDrawdown,
     "win_moving_median" -> winMovingMedian,
     "win_ewma" -> winEwma,
     "win_cume_distinct" -> winCumeDistinct,
@@ -375,6 +403,26 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // integer-exact: both running maxima in the cent domain, /100 last
+    "win_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS svc
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, svc,
+        |    max(svc) OVER w AS run_max,
+        |    max(svc) OVER w - svc AS dd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day,
+        |  CAST(svc AS DOUBLE) / 100.0 AS daily_total,
+        |  CAST(run_max AS DOUBLE) / 100.0 AS peak,
+        |  CAST(dd AS DOUBLE) / 100.0 AS drawdown,
+        |  CAST(max(dd) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS max_drawdown
+        |FROM r ORDER BY event_type, day""".stripMargin,
     // exact windowed median: cent integers, both engines interpolate
     // lo + 0.5*(hi-lo) → dyadic doubles, no rounding needed
     "win_moving_median" ->

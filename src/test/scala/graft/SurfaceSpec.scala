@@ -566,6 +566,62 @@ class SurfaceSpec extends SparkSpec {
     byStatus("added") + byStatus("changed") + byStatus("unchanged") shouldBe v2
   }
 
+  test("drawdown: non-negative, bounded by peak, running max is monotone") {
+    val out = graft.ops.Windows.winDrawdown(spark, sf("sf0.001")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.values.foreach { rows =>
+      val s = rows.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // replay in exact cents — the operator subtracts BEFORE the /100
+      var peak = Long.MinValue; var maxDd = 0L
+      s.foreach { r =>
+        val c = math.round(r.getAs[Double]("daily_total") * 100)
+        peak = math.max(peak, c)
+        r.getAs[Double]("peak") shouldBe peak / 100.0
+        val dd = peak - c
+        r.getAs[Double]("drawdown") shouldBe dd / 100.0
+        maxDd = math.max(maxDd, dd)
+        r.getAs[Double]("max_drawdown") shouldBe maxDd / 100.0
+      }
+    }
+  }
+
+  test("span corruption: mask accounting consistent and near the 15% gate") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Curation.extSpanCorruption(spark, d).collect()
+    out.length shouldBe Tables.documents(spark, d).count()
+    out.foreach { r =>
+      val (nTok, nMasked, nSpans) = (r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"))
+      nMasked should be <= nTok
+      nSpans should be <= (nMasked + 2) / 3    // each span covers <= 3 tokens
+      if (nMasked > 0) nSpans should be >= 1L
+      r.getAs[Long]("mask_pm") shouldBe nMasked * 1000 / nTok
+    }
+    // corpus-level rate converges near 150 permille (hash gate 3/20)
+    val pm = out.map(_.getAs[Long]("n_masked")).sum * 1000 /
+      out.map(_.getAs[Long]("n_tok")).sum
+    pm should be >= 120L
+    pm should be <= 180L
+  }
+
+  test("cooccur lift: ppm matches the df arithmetic and respects min support") {
+    val out = graft.ops.TextAnalysis.extCooccurLift(spark, sf("sf0.001")).collect()
+    out.length should be > 0
+    out.length should be <= 50
+    val n = Tables.documents(spark, sf("sf0.001")).count()
+    out.foreach { r =>
+      val (dfxy, dfa, dfb) = (r.getAs[Long]("df_xy"),
+        r.getAs[Long]("df_a"), r.getAs[Long]("df_b"))
+      dfxy should be >= 5L
+      dfxy should be <= math.min(dfa, dfb)
+      r.getAs[Long]("lift_ppm") shouldBe dfxy * n * 1000000L / (dfa * dfb)
+      r.getAs[String]("tok_a") should be < r.getAs[String]("tok_b")
+    }
+    // descending by lift
+    val lifts = out.map(_.getAs[Long]("lift_ppm"))
+    lifts.zip(lifts.tail).foreach { case (a, b) => a should be >= b }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
