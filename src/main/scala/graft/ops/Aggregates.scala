@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY.md §2.4, A1–A8).
@@ -88,6 +89,36 @@ object Aggregates {
         round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
         round(percentile(col("l_quantity"), lit(0.95)), 4).as("p95"))
       .orderBy(col("l_returnflag"))
+
+  /** A5b — DISCRETE percentile (the `percentile_disc` half of the SQL
+    * percentile pair; [[aggPercentile]] is the continuous half): the
+    * p-quantile is an actual observed value — the element at rank
+    * ⌈p·n⌉ — never an interpolation, which is what you want for "a real
+    * order at the median price" and for value domains where midpoints
+    * are meaningless (ids, codes, enum-like prices). Spark has no
+    * percentile_disc; the scalable spelling is rank-selection: one sort
+    * window per group + a conditional max at the target rank. The
+    * target index is computed in INTEGER arithmetic — `(p·n)⌉` as
+    * `(k·n + (d−1)) div d` — because the double spelling `ceil(0.9*n)`
+    * misfires exactly when 9n/10 is integral (0.9·10 = 9.000…002 in
+    * IEEE). Cents domain end to end; /100 presentation divide last. */
+  val aggPercentileDisc: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_orders"),
+           (max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+             .cast("double") / 100.0).as("p50_price"),
+           (max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+             .cast("double") / 100.0).as("p90_price"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** A6 — HAVING post-aggregation filter (`analysis_queries.sql:208`). */
   val aggHaving: Q = (s, d) =>
@@ -525,6 +556,7 @@ object Aggregates {
   }
 
   val queries: Map[String, Q] = Map(
+    "agg_percentile_disc" -> aggPercentileDisc,
     "agg_topn_share" -> aggTopnShare,
     "agg_mad" -> aggMad,
     "agg_winsorized_mean" -> aggWinsorizedMean,
@@ -551,6 +583,23 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_percentile_disc" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM b)
+        |SELECT o_orderpriority, max(n) AS n_orders,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE)
+        |    / 100.0 AS p50_price,
+        |  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+        |    AS DOUBLE) / 100.0 AS p90_price
+        |FROM r GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "agg_topn_share" ->
       """WITH c AS (
         |  SELECT o_custkey,

@@ -359,7 +359,40 @@ object Sampling {
       .orderBy(col("slot"))
   }
 
+  /** E51 — epoch-plan capstone: the full shard → order → pack dataflow a
+    * training launcher materializes before an epoch, composed from the
+    * tier's primitives ([[extShardAssign]]'s hash sharding,
+    * [[extStratifiedSample]]-style hash ordering, [[extSeqPack]]'s
+    * prefix-sum packing) in ONE query. Every doc gets a shard (hash mod
+    * 8), a deterministic within-shard position (decision-hash order), and
+    * a sequence id (512-token prefix-sum cut); the output is the
+    * per-shard plan audit — docs, tokens, sequences, boundary-straddling
+    * docs, and fill permille — the numbers that decide whether the epoch
+    * plan ships or the packer needs retuning. Scale: one map stage + one
+    * per-shard sort window + one 8-group aggregate; parallelism = shard
+    * count by construction, and every number is an integer. */
+  val extEpochPlan: Q = (s, d) => {
+    val wShard = Window.partitionBy(col("shard_id"))
+      .orderBy(decide("ord|", col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"),
+              pmod(decide("eshard|", col("doc_id")), lit(8L)).as("shard_id"))
+      .withColumn("cum", sum(col("n_tok")).over(wShard))
+      .withColumn("straddles",
+        expr("(cum - n_tok) div 512") =!= expr("(cum - 1) div 512"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+      .withColumn("n_seqs", expr("(n_tokens - 1) div 512 + 1"))
+      .withColumn("util_pm", expr("n_tokens * 1000 div (n_seqs * 512)"))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_epoch_plan" -> extEpochPlan,
     "ext_shard_assign" -> extShardAssign,
     "ext_temperature_sample" -> extTemperatureSample,
     "ext_mixture_interleave" -> extMixtureInterleave,
@@ -382,6 +415,28 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ext_epoch_plan" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ${h60("'eshard|' || doc_id")} % 8 AS shard_id,
+         |    ${h60("'ord|' || doc_id")} AS ordh
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard_id ORDER BY ordh, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b),
+         |g AS (
+         |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN (cum - n_tok) // 512 <> (cum - 1) // 512
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+         |  FROM c GROUP BY 1)
+         |SELECT shard_id, n_docs, n_tokens, n_straddlers,
+         |  (n_tokens - 1) // 512 + 1 AS n_seqs,
+         |  n_tokens * 1000 // (((n_tokens - 1) // 512 + 1) * 512) AS util_pm
+         |FROM g ORDER BY shard_id""".stripMargin,
     "ext_shard_assign" ->
       s"""SELECT ${h60("'shard|' || doc_id")} % 64 AS shard_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,

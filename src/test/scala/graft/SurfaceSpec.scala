@@ -622,6 +622,58 @@ class SurfaceSpec extends SparkSpec {
     lifts.zip(lifts.tail).foreach { case (a, b) => a should be >= b }
   }
 
+  test("percentile disc: results are observed values at the exact integer ranks") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Aggregates.aggPercentileDisc(spark, d).collect()
+    val cents = Tables.orders(spark, d)
+      .select(col("o_orderpriority"),
+              floor(col("o_totalprice") * 100).cast("long")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    out.foreach { r =>
+      val vs = cents(r.getString(0))
+      r.getAs[Long]("n_orders") shouldBe vs.length
+      val i50 = (vs.length + 1) / 2
+      val i90 = (9 * vs.length + 9) / 10
+      r.getAs[Double]("p50_price") shouldBe vs(i50 - 1) / 100.0
+      r.getAs[Double]("p90_price") shouldBe vs(i90 - 1) / 100.0
+    }
+  }
+
+  test("epoch plan: shard partition of corpus, packing identities hold") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Sampling.extEpochPlan(spark, d).collect()
+    out.map(_.getAs[Long]("n_docs")).sum shouldBe
+      Tables.documents(spark, d).count()
+    out.foreach { r =>
+      val (nTok, nSeqs) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_seqs"))
+      nSeqs shouldBe (nTok - 1) / 512 + 1
+      r.getAs[Long]("util_pm") shouldBe nTok * 1000 / (nSeqs * 512)
+      // at most one doc straddles each sequence boundary
+      r.getAs[Long]("n_straddlers") should be <= nSeqs
+    }
+  }
+
+  test("triangle count: intersection spelling matches a brute-force replay") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Clustering.extTriangleCount(spark, d).collect().head
+    // brute force on the same edge derivation
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val edges = li.values.flatMap { pks =>
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        yield (pks(i), pks(j))
+    }.toSet
+    val undirected = edges ++ edges.map { case (a, b) => (b, a) }
+    val nbrs = undirected.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    val tri = edges.toSeq.map { case (a, b) =>
+      (nbrs(a) intersect nbrs(b)).count(c => c > b) // a < b < c once each
+    }.sum
+    out.getAs[Long]("n_edges") shouldBe edges.size
+    out.getAs[Long]("n_triangles") shouldBe tri
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
