@@ -617,7 +617,49 @@ object Dedup {
     size(ia).cast("double") / size(ua)
   }
 
+  /** E52 — near-dup threshold sweep: the calibration run before anyone
+    * commits a Jaccard threshold to a 100 TB dedup pass. From the ONE
+    * MinHash-LSH candidate generation ([[minhashBandPairs]] — the
+    * expensive part), score every candidate pair with its EXACT
+    * trigram-shingle Jaccard (sorted-array merge kernel, codegen'd) and
+    * report, per candidate threshold 50..90%, how many pairs would
+    * merge — the dial-response curve that shows where the corpus's
+    * duplicate mass actually sits. Threshold tests are integer
+    * cross-multiplications (`100·∩ ≥ t·∪`), so the sweep is bit-exact;
+    * work is candidates × (|A|+|B|) merge steps, and candidates are
+    * band-bounded, never all-pairs. At scale this is the same query at
+    * every SF — the candidate set is what grows, and it grows with true
+    * duplicate density, not corpus². */
+  val extDedupSweep: Q = (s, d) => {
+    graft.expressions.SortedIntersectCount.register(s)
+    val base = Tables.documents(s, d)
+    val sigs = base.select(col("doc_id"),
+      minhashSig(shingles3(col("text"))).as("sig"))
+    val pairs = minhashBandPairs(sigs)
+    val sets = base.select(col("doc_id"),
+        sort_array(filter(array_distinct(shingles3(col("text"))),
+          x => x.isNotNull)).as("ssh"))
+      .withColumn("nsh", size(col("ssh")).cast("long"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), col("ssh").as("sa"),
+                        col("nsh").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("ssh").as("sb"),
+                        col("nsh").as("nb")), Seq("b"))
+      .select(expr("sorted_intersect_count(sa, sb)").as("inter"),
+              col("na"), col("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .select(explode(array((5 to 9).map(t => lit(t * 10L)): _*))
+                .as("threshold_pct"),
+              col("inter"), col("uni"))
+      .groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_candidates"),
+           sum(when(col("inter") * 100L >= col("threshold_pct") * col("uni"),
+             1L).otherwise(0L)).as("n_pairs_ge"))
+      .orderBy(col("threshold_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_dedup_sweep" -> extDedupSweep,
     "ext_exact_dedup" -> extExactDedup,
     "ext_minhash_dedup" -> extMinhashDedup,
     "ext_simhash_dedup" -> extSimhashDedup,
@@ -631,6 +673,52 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // same banding replay as the minhash/cluster oracles, then exact
+    // shingle-set Jaccard per candidate and integer threshold tests
+    "ext_dedup_sweep" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k, min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |dsh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS ssh
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |sc AS (
+        |  SELECT CAST(len(list_intersect(x.ssh, y.ssh)) AS BIGINT) AS inter,
+        |    CAST(len(x.ssh) + len(y.ssh) - len(list_intersect(x.ssh, y.ssh))
+        |      AS BIGINT) AS uni
+        |  FROM pairs p JOIN dsh x ON p.da = x.doc_id
+        |               JOIN dsh y ON p.db = y.doc_id),
+        |t AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT)
+        |        AS threshold_pct)
+        |SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN inter * 100 >= threshold_pct * uni
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_ge
+        |FROM sc CROSS JOIN t GROUP BY 1 ORDER BY threshold_pct""".stripMargin,
     "ext_source_overlap" ->
       """WITH sh AS (
         |  SELECT DISTINCT source, substr(text, CAST(p AS INTEGER), 32) AS shingle

@@ -354,6 +354,53 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W20 — linear interpolation over daily gaps: build the full day
+    * spine per event type (min..max date), left-join the observed daily
+    * totals, and fill each missing day on the straight line between its
+    * nearest observed neighbors — the principled gap fill for rates and
+    * totals where [[graft.ops.Scalars]]' forward fill (`fn_resample_
+    * ffill`) would flat-line a trend. Four frame-bounded windows (last/
+    * first with ignoreNulls, both directions) find the bracketing
+    * observations; the interpolation arithmetic is exact-integer cents
+    * and day offsets with ONE double division, written with identical
+    * associativity on both engines (`prev + (next−prev)·pos/len`), so
+    * results are IEEE-identical with no rounding. Day×type cardinality
+    * end to end; the spine explode is per-group and bounded by the date
+    * range, not the data volume. */
+  val winLinearInterp: Q = (s, d) => {
+    // deterministic dropout (every 3rd day-of-month) so the gap-fill
+    // branch is exercised at every SF — the testdata's daily series is
+    // dense, and an interpolator no gap ever reaches is untested code
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("svc"))
+      .where(dayofmonth(col("day")) % 3 =!= 0)
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+              explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val j = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("pv", last(col("svc"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("svc").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("svc"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("svc").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+    j.select(col("event_type"), col("day"),
+        col("svc").isNotNull.as("observed"),
+        (when(col("svc").isNotNull, col("svc").cast("double"))
+          .otherwise(col("pv").cast("double") +
+            (col("nv").cast("double") - col("pv").cast("double")) *
+            datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd")).cast("double"))
+          / 100.0).as("value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** W16 — cumulative distinct users per event type by day: windows
     * cannot COUNT(DISTINCT), so the scalable spelling is the first-seen
     * trick — one row per (type, user) at their first day, count new
@@ -383,6 +430,7 @@ object Windows {
   }
 
   val queries: Map[String, Q] = Map(
+    "win_linear_interp" -> winLinearInterp,
     "win_drawdown" -> winDrawdown,
     "win_moving_median" -> winMovingMedian,
     "win_ewma" -> winEwma,
@@ -403,6 +451,45 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // identical associativity both engines: prev + (next-prev)*pos/len,
+    // all operands exact ints cast to double, one rounded division
+    "win_linear_interp" ->
+      """WITH daily AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, CAST(ts AS DATE) AS day,
+        |      SUM(CAST(floor(value * 100) AS BIGINT)) AS svc
+        |    FROM events GROUP BY 1, 2)
+        |  WHERE EXTRACT(DAY FROM day) % 3 <> 0),
+        |g AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT event_type,
+        |    d0 + CAST(unnest(range(0, d1 - d0 + 1)) AS INTEGER) AS day
+        |  FROM g),
+        |j AS (
+        |  SELECT s.event_type, s.day, daily.svc,
+        |    last_value(svc IGNORE NULLS) OVER
+        |      (PARTITION BY s.event_type ORDER BY s.day
+        |       ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN svc IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.day
+        |       ROWS UNBOUNDED PRECEDING) AS pd,
+        |    first_value(svc IGNORE NULLS) OVER
+        |      (PARTITION BY s.event_type ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN svc IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.day
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.event_type = daily.event_type AND s.day = daily.day)
+        |SELECT event_type, day, svc IS NOT NULL AS observed,
+        |  (CASE WHEN svc IS NOT NULL THEN CAST(svc AS DOUBLE)
+        |        ELSE CAST(pv AS DOUBLE) +
+        |          (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+        |          CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+        |   END) / 100.0 AS value
+        |FROM j ORDER BY event_type, day""".stripMargin,
     // integer-exact: both running maxima in the cent domain, /100 last
     "win_drawdown" ->
       """WITH daily AS (

@@ -674,6 +674,42 @@ class SurfaceSpec extends SparkSpec {
     out.getAs[Long]("n_triangles") shouldBe tri
   }
 
+  test("linear interp: gap values lie on the segment between bracketing observations") {
+    val out = graft.ops.Windows.winLinearInterp(spark, sf("sf0.001")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.values.foreach { rows =>
+      val s = rows.sortBy(_.getAs[java.sql.Date]("day").toString)
+      s.head.getAs[Boolean]("observed") shouldBe true  // endpoints observed
+      s.last.getAs[Boolean]("observed") shouldBe true
+      var i = 0
+      while (i < s.length) {
+        if (!s(i).getAs[Boolean]("observed")) {
+          val lo = (i - 1 to 0 by -1).find(s(_).getAs[Boolean]("observed")).get
+          val hi = (i + 1 until s.length).find(s(_).getAs[Boolean]("observed")).get
+          val (vl, vh) = (s(lo).getAs[Double]("value"), s(hi).getAs[Double]("value"))
+          val v = s(i).getAs[Double]("value")
+          v should be >= math.min(vl, vh) - 1e-9
+          v should be <= math.max(vl, vh) + 1e-9
+          // exact linear form
+          val expect = vl + (vh - vl) * (i - lo).toDouble / (hi - lo).toDouble
+          v shouldBe expect +- 1e-6
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("dedup sweep: monotone dial response, matches bounded by candidates") {
+    val out = graft.ops.Dedup.extDedupSweep(spark, sf("sf0.001")).collect()
+    out.length shouldBe 5
+    val nCand = out.map(_.getAs[Long]("n_candidates")).distinct
+    nCand.length shouldBe 1 // candidate set is threshold-independent
+    val byT = out.sortBy(_.getAs[Long]("threshold_pct"))
+      .map(_.getAs[Long]("n_pairs_ge"))
+    byT.zip(byT.tail).foreach { case (a, b) => b should be <= a } // monotone
+    byT.foreach(_ should be <= nCand.head)
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
