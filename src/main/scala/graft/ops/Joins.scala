@@ -353,7 +353,51 @@ object Joins {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** J14 — bucketed interval-overlap join (the batch cousin of
+    * [[graft.streaming.Streaming]]'s stream-stream interval join): which
+    * events overlap which maintenance windows, joined WITHOUT a
+    * cross-product — both sides are keyed by the hour bucket they touch
+    * (an event's [t, t+300) span explodes to its ≤2 covering hours; a
+    * window sits inside one), so the non-equi overlap predicate runs
+    * only within hour-key groups: work Σ per-hour density², never
+    * N×M. This is the standard time-bucketing rewrite for interval
+    * joins at scale — the bucket width is tuned to the interval spans
+    * (≥ max span keeps the explode factor ≤2). Windows are derived
+    * deterministically (hash-gated 1-in-6 hours, minutes 10–25), so
+    * both engines see identical windows and the whole query is integer
+    * epoch-second exact; the DuckDB oracle brute-forces the predicate
+    * join. Zero-overlap windows are kept via the final left join — the
+    * dashboard wants the quiet windows too. */
+  val joinIntervalOverlap: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(unix_timestamp(col("ts")).as("st"))
+      .withColumn("en", col("st") + 300L)
+      .select(col("st"), col("en"),
+        explode(array_distinct(array(expr("st div 3600"),
+                                     expr("(en - 1) div 3600")))).as("hk"))
+    val win = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .select(col("day"), explode(sequence(lit(0), lit(23))).as("hour"))
+      .where(pmod(Dedup.hash60(concat(lit("mw|"), col("day").cast("string"),
+               lit("|"), col("hour").cast("string"))), lit(6L)) === 0L)
+      .select(col("day"), col("hour"),
+        (unix_timestamp(col("day").cast("timestamp")) +
+          col("hour") * 3600L + 600L).as("w_st"))
+      .withColumn("w_en", col("w_st") + 900L)
+      .withColumn("hk", expr("w_st div 3600"))
+    val matched = win.join(ev, Seq("hk"))
+      .where(col("st") < col("w_en") && col("en") > col("w_st"))
+      .groupBy(col("day"), col("hour"))
+      .agg(count(lit(1)).as("n_overlap"))
+    win.select(col("day"), col("hour"))
+      .join(matched, Seq("day", "hour"), "left")
+      .select(col("day"), col("hour"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy(col("day"), col("hour"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_interval_overlap" -> joinIntervalOverlap,
     "join_fuzzy_blocked" -> joinFuzzyBlocked,
     "join_geo_grid" -> joinGeoGrid,
     "join_range_bucket" -> joinRangeBucket,
@@ -376,6 +420,31 @@ object Joins {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS st,
+         |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) + 300 AS en
+         |  FROM events),
+         |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+         |hrs AS (
+         |  SELECT day, CAST(unnest(range(0, 24)) AS INTEGER) AS hour
+         |  FROM days),
+         |win AS (
+         |  SELECT day, hour,
+         |    CAST(floor(EXTRACT(EPOCH FROM CAST(day AS TIMESTAMP)))
+         |      AS BIGINT) + hour * 3600 + 600 AS w_st
+         |  FROM hrs
+         |  WHERE ${h60("'mw|' || strftime(day, '%Y-%m-%d') || '|' || hour")}
+         |    % 6 = 0),
+         |m AS (
+         |  SELECT w.day, w.hour, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM win w JOIN ev
+         |    ON ev.st < w.w_st + 900 AND ev.en > w.w_st
+         |  GROUP BY 1, 2)
+         |SELECT w.day, w.hour,
+         |  CAST(coalesce(m.n_overlap, 0) AS BIGINT) AS n_overlap
+         |FROM win w LEFT JOIN m ON w.day = m.day AND w.hour = m.hour
+         |ORDER BY w.day, w.hour""".stripMargin,
     "join_fuzzy_blocked" ->
       """WITH names AS (
         |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,

@@ -401,6 +401,40 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W21 — rolling MAD anomaly screen: flag days whose total sits more
+    * than 3 robust deviations from the trailing-7 median — the
+    * outlier test that, unlike the z-score ([[winRollingZscore]]),
+    * does not let the outlier inflate its own yardstick (one spiked
+    * day shifts a 7-day stddev by ~40%, the MAD by at most one rank).
+    * Two stacked trailing windows: median of the totals, then median
+    * of the trailing absolute deviations — each day's deviation is
+    * measured against ITS OWN trailing median (the streaming-MAD
+    * variant stacked windows can express; the textbook per-frame MAD
+    * re-evaluates all deviations against the frame-end median, which
+    * no composable window can do — same robustness class, one rank of
+    * difference in practice). Exactness: cent integers →
+    * the first median is half-integer dyadic, deviations are dyadic,
+    * the second median quarters — still exact doubles — and the
+    * `dev > 3·mad` comparison is exact-vs-exact, so the flag cannot
+    * straddle an engine rounding difference. Day×type grain, O(frame)
+    * state per row. */
+  val winRollingMad: Q = (s, d) => {
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("svc"))
+      .withColumn("med7", percentile(col("svc"), lit(0.5)).over(w7))
+      .withColumn("dev", abs(col("svc").cast("double") - col("med7")))
+      .withColumn("mad7", percentile(col("dev"), lit(0.5)).over(w7))
+      .select(col("event_type"), col("day"),
+              (col("svc").cast("double") / 100.0).as("daily_total"),
+              (col("med7") / 100.0).as("med7"),
+              (col("mad7") / 100.0).as("mad7"),
+              (col("dev") > col("mad7") * 3.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** W16 — cumulative distinct users per event type by day: windows
     * cannot COUNT(DISTINCT), so the scalable spelling is the first-seen
     * trick — one row per (type, user) at their first day, count new
@@ -430,6 +464,7 @@ object Windows {
   }
 
   val queries: Map[String, Q] = Map(
+    "win_rolling_mad" -> winRollingMad,
     "win_linear_interp" -> winLinearInterp,
     "win_drawdown" -> winDrawdown,
     "win_moving_median" -> winMovingMedian,
@@ -451,6 +486,32 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // dyadic-exact throughout: cent ints → half-integer med7 → dyadic
+    // deviations → quarter-dyadic mad7; flag compares exact doubles
+    "win_rolling_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS svc
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, svc,
+        |    median(svc) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |  FROM daily),
+        |v AS (
+        |  SELECT event_type, day, svc, med7,
+        |    abs(CAST(svc AS DOUBLE) - med7) AS dev
+        |  FROM m),
+        |w AS (
+        |  SELECT event_type, day, svc, med7, dev,
+        |    median(dev) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mad7
+        |  FROM v)
+        |SELECT event_type, day,
+        |  CAST(svc AS DOUBLE) / 100.0 AS daily_total,
+        |  med7 / 100.0 AS med7, mad7 / 100.0 AS mad7,
+        |  dev > mad7 * 3.0 AS is_anomaly
+        |FROM w ORDER BY event_type, day""".stripMargin,
     // identical associativity both engines: prev + (next-prev)*pos/len,
     // all operands exact ints cast to double, one rounded division
     "win_linear_interp" ->

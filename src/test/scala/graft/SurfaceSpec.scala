@@ -710,6 +710,38 @@ class SurfaceSpec extends SparkSpec {
     byT.foreach(_ should be <= nCand.head)
   }
 
+  test("interval overlap join: counts match a brute-force predicate scan") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Joins.joinIntervalOverlap(spark, d).collect()
+    out.length should be > 0
+    val events = Tables.events(spark, d)
+      .select(unix_timestamp(col("ts"))).collect().map(_.getLong(0))
+    out.take(20).foreach { r =>  // spot-check a prefix against brute force
+      val day = r.getAs[java.sql.Date]("day")
+      val wSt = day.toLocalDate.toEpochDay * 86400L +
+        r.getAs[Int]("hour") * 3600L + 600L
+      val brute = events.count(st => st < wSt + 900 && st + 300 > wSt)
+      r.getAs[Long]("n_overlap") shouldBe brute
+    }
+  }
+
+  test("rolling MAD: yardstick stays put under a spike, flags are exact comparisons") {
+    val out = graft.ops.Windows.winRollingMad(spark, sf("sf0.001")).collect()
+    out.foreach { r =>
+      val (total, med, mad) = (r.getAs[Double]("daily_total"),
+        r.getAs[Double]("med7"), r.getAs[Double]("mad7"))
+      mad should be >= 0.0
+      val dev = math.abs(total - med)
+      // flag direction, with slack for the /100 presentation divide
+      if (r.getAs[Boolean]("is_anomaly")) dev should be >= 3 * mad - 1e-6
+      else dev should be <= 3 * mad + 1e-6
+    }
+    // some anomalies exist and they are a minority
+    val n = out.count(_.getAs[Boolean]("is_anomaly"))
+    n should be > 0
+    n should be < out.length / 2
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
