@@ -120,6 +120,29 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A10 — Herfindahl–Hirschman concentration index per event type:
+    * how concentrated each event stream is across users (10 000 ≈ one
+    * user owns it; 1/n_users ≈ uniform) — the audit behind "is this
+    * metric driven by a handful of accounts", and on a corpus the same
+    * query is source-concentration for mixture risk. Two hash
+    * aggregates (user grain, then type grain); the index is the exact
+    * integer ratio Σc²·10⁶ div (Σc)² — parts-per-million, no doubles.
+    * BIGINT envelope: Σc²·10⁶ overflows past ~3M events on one
+    * (type,user) pair; the DECIMAL(38,0) spelling is the documented
+    * 100 TB fallback, same query. */
+  val aggHhi: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("c")).as("n_events"),
+           sum(col("c") * col("c")).as("ss"))
+      .withColumn("hhi_ppm", expr("ss * 1000000 div (n_events * n_events)"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+              col("hhi_ppm"))
+      .orderBy(col("event_type"))
+
   /** A6 — HAVING post-aggregation filter (`analysis_queries.sql:208`). */
   val aggHaving: Q = (s, d) =>
     Tables.orders(s, d)
@@ -556,6 +579,7 @@ object Aggregates {
   }
 
   val queries: Map[String, Q] = Map(
+    "agg_hhi" -> aggHhi,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_topn_share" -> aggTopnShare,
     "agg_mad" -> aggMad,
@@ -583,6 +607,18 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_hhi" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM per GROUP BY 1)
+        |SELECT event_type, n_users, n_events,
+        |  ss * 1000000 // (n_events * n_events) AS hhi_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
     "agg_percentile_disc" ->
       """WITH b AS (
         |  SELECT o_orderpriority, o_orderkey,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-training-data pipelines (SURVEY.md
@@ -257,7 +258,64 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** E53 — hapax (frequency-1 token) rate per source: the cheap OCR/
+    * boilerplate-garbage detector — scanner noise, mangled encodings,
+    * and spam word-salads mint corpus-unique tokens at rates an order
+    * above clean prose, so a source whose hapax permille spikes gets a
+    * human look before it poisons a vocabulary build. One token
+    * explode → corpus term frequency → frequency-1 set joined back at
+    * token grain (vocabulary-cardinality join, not doc-cardinality) →
+    * per-source integer rates. Linear in token mass, and the tf table
+    * is reusable by every other vocabulary op in this module. */
+  val extHapaxRate: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(tf, Seq("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_tokens"),
+           sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_pm", expr("n_hapax * 1000 div n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** E54 — vocabulary-growth (Heaps-law) curve: cumulative distinct
+    * tokens vs cumulative token mass across the corpus in doc order,
+    * at 20-bucket grain — the curve that sizes a tokenizer vocabulary
+    * ("does 32k cover us, or is the corpus still minting words at the
+    * end?") and flags drift when a new release bends it. Each token
+    * charges its FIRST bucket (min over doc buckets — the first-seen
+    * trick at token grain, same as [[graft.ops.Windows]]' cumulative
+    * distinct); per-bucket sums then a 20-row cumulative window. No
+    * doc-grain global window anywhere — the only ordered structure is
+    * bucket-grain (20 rows at any SF). */
+  val extVocabGrowth: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .crossJoin(broadcast(
+        Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))))
+      .withColumn("bucket", expr("doc_id * 20 div n_corpus"))
+    val perBucket = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tok"))
+    val firstSeen = base.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tok"),
+              coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_hapax_rate" -> extHapaxRate,
+    "ext_vocab_growth" -> extVocabGrowth,
     "ext_cooccur_lift" -> extCooccurLift,
     "ext_ngram_profile" -> extNgramProfile,
     "ext_bm25" -> extBm25,
@@ -273,6 +331,35 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(
+    "ext_hapax_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1)
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(SUM(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // CAST(count(*) AS BIGINT) AS hapax_pm
+        |FROM t JOIN tf USING (tok) GROUP BY 1 ORDER BY source""".stripMargin,
+    "ext_vocab_growth" ->
+      """WITH n AS (SELECT count(*) AS n_corpus FROM documents),
+        |t AS (
+        |  SELECT doc_id * 20 // n_corpus AS bucket,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents, n),
+        |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok
+        |       FROM t GROUP BY 1),
+        |fs AS (SELECT min(bucket) AS bucket FROM t GROUP BY tok),
+        |nn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM fs GROUP BY 1)
+        |SELECT pb.bucket,
+        |  CAST(SUM(pb.n_tok) OVER (ORDER BY pb.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(coalesce(nn.n_new, 0)) OVER (ORDER BY pb.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM pb LEFT JOIN nn USING (bucket) ORDER BY pb.bucket""".stripMargin,
     "ext_cooccur_lift" ->
       """WITH t AS (
         |  SELECT doc_id,

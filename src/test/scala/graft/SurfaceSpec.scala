@@ -742,6 +742,54 @@ class SurfaceSpec extends SparkSpec {
     n should be < out.length / 2
   }
 
+  test("hapax rate: token totals reconcile, permille matches the integer divide") {
+    val d = sf("sf0.001")
+    val out = graft.ops.TextAnalysis.extHapaxRate(spark, d).collect()
+    out.map(_.getAs[Long]("n_tokens")).sum shouldBe
+      Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.size(split(col("text"), " "))).collect().map(_.getInt(0).toLong).sum
+    out.foreach { r =>
+      r.getAs[Long]("n_hapax") should be <= r.getAs[Long]("n_tokens")
+      r.getAs[Long]("hapax_pm") shouldBe
+        r.getAs[Long]("n_hapax") * 1000 / r.getAs[Long]("n_tokens")
+    }
+  }
+
+  test("vocab growth: cumulative curves are monotone and end at corpus totals") {
+    val d = sf("sf0.001")
+    val out = graft.ops.TextAnalysis.extVocabGrowth(spark, d).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val toks = out.map(_.getAs[Long]("cum_tokens"))
+    val vocab = out.map(_.getAs[Long]("cum_vocab"))
+    toks.zip(toks.tail).foreach { case (a, b) => b should be > a }
+    vocab.zip(vocab.tail).foreach { case (a, b) => b should be >= a }
+    val docs = Tables.documents(spark, d)
+    toks.last shouldBe docs
+      .select(org.apache.spark.sql.functions.size(split(col("text"), " "))).collect().map(_.getInt(0).toLong).sum
+    vocab.last shouldBe docs
+      .select(explode(split(col("text"), " "))).distinct().count()
+    // sublinear growth: vocabulary grows slower than token mass
+    vocab.last.toDouble / vocab.head should be <
+      toks.last.toDouble / toks.head
+  }
+
+  test("HHI: bounded by [1/n_users, 1] in ppm and exact on a direct replay") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Aggregates.aggHhi(spark, d).collect()
+    val counts = Tables.events(spark, d)
+      .groupBy(col("event_type"), col("user_id")).count().collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val cs = counts(tpe).map(_.getLong(2))
+      val n = cs.sum
+      val hhi = cs.map(c => c * c).sum * 1000000L / (n * n)
+      r.getAs[Long]("hhi_ppm") shouldBe hhi
+      r.getAs[Long]("hhi_ppm") should be >= 1000000L / r.getAs[Long]("n_users")
+      r.getAs[Long]("hhi_ppm") should be <= 1000000L
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
