@@ -171,6 +171,48 @@ object Joins {
                col("obs_value"))
   }
 
+  /** J7c — as-of join WITH a staleness tolerance (pandas
+    * `merge_asof(tolerance=...)` semantics): the last preceding
+    * observation counts only if it is at most 1 h old — the contract
+    * real feature pipelines want ("join the latest weather, but a
+    * reading from last Tuesday is worse than none": the reference's
+    * hour-quantized weather join silently accepts arbitrarily stale
+    * rows on sparse days). Same union-window machinery as
+    * [[joinAsofTrue]] — one user-partitioned sort window, no join
+    * explosion — plus one integer epoch-second staleness test that
+    * nulls out stale matches and reports the tolerance verdict
+    * per row. DuckDB oracle: native ASOF LEFT JOIN wrapped in the same
+    * CASE. */
+  val joinAsofTolerance: Q = (s, d) => {
+    val tolSec = 3600L
+    val ev = Tables.events(s, d)
+    val obs = ev
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("obs_value"))
+    val build = obs.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("ts").as("obs_ts"), col("obs_value")).as("obspack"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("struct<obs_ts:timestamp_ntz,obs_value:double>")
+        .as("obspack"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    build.unionByName(probe)
+      .withColumn("m", last(col("obspack"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("fresh", col("m").isNotNull &&
+        unix_timestamp(col("ts")) - unix_timestamp(col("m.obs_ts")) <= tolSec)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              when(col("fresh"), col("m.obs_ts")).as("obs_ts"),
+              when(col("fresh"), col("m.obs_value")).as("obs_value"),
+              coalesce(col("fresh"), lit(false)).as("within_tolerance"))
+      .orderBy(col("event_id"), col("user_id"), col("ts"), col("obs_ts"),
+               col("obs_value"))
+  }
+
   /** J8 — CROSS JOIN of two generated series (hours × quarter-hours →
     * dim_time shape, `fact_dim_tables.sql:215-217`). */
   val joinCrossSeries: Q = (s, _) => {
@@ -397,6 +439,7 @@ object Joins {
   }
 
   val queries: Map[String, Q] = Map(
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_fuzzy_blocked" -> joinFuzzyBlocked,
     "join_geo_grid" -> joinGeoGrid,
@@ -541,6 +584,27 @@ object Joins {
         |    CAST(count(*) AS BIGINT) AS hourly_n
         |  FROM events GROUP BY 1) w ON date_trunc('hour', e.ts) = w.h
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, max(value) AS obs_value
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.ts AS raw_ts,
+        |    o.obs_value AS raw_value
+        |  FROM events e ASOF LEFT JOIN obs o
+        |    ON e.user_id = o.user_id AND e.ts >= o.ts),
+        |f AS (
+        |  SELECT *, raw_ts IS NOT NULL AND
+        |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) -
+        |    CAST(floor(EXTRACT(EPOCH FROM raw_ts)) AS BIGINT) <= 3600
+        |    AS fresh
+        |  FROM j)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN fresh THEN raw_ts END AS obs_ts,
+        |  CASE WHEN fresh THEN raw_value END AS obs_value,
+        |  coalesce(fresh, false) AS within_tolerance
+        |FROM f ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     "join_asof_true" ->
       """WITH obs AS (
         |  SELECT user_id, ts, max(value) AS obs_value

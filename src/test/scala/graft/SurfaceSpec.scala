@@ -790,6 +790,31 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("asof tolerance: subset of true as-of, stale matches nulled, verdict consistent") {
+    val d = sf("sf0.001")
+    import java.time.LocalDateTime
+    val tol = graft.ops.Joins.joinAsofTolerance(spark, d).collect()
+    val full = graft.ops.Joins.joinAsofTrue(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[LocalDateTime]("obs_ts"))).toMap
+    var stale = 0
+    tol.foreach { r =>
+      val eid = r.getAs[Long]("event_id")
+      val fresh = r.getAs[Boolean]("within_tolerance")
+      val obsTs = Option(r.getAs[LocalDateTime]("obs_ts"))
+      if (fresh) {
+        obsTs shouldBe full(eid) // fresh matches agree with the true as-of
+        val age = java.time.Duration.between(
+          obsTs.get, r.getAs[LocalDateTime]("ts")).getSeconds
+        age should be <= 3600L
+      } else {
+        obsTs shouldBe None
+        if (full(eid).isDefined) stale += 1 // true-asof matched, too old here
+      }
+    }
+    stale should be > 0 // the tolerance actually rejects something
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
