@@ -166,7 +166,30 @@ object Extras {
                      |         'n', n) AS (metric, value)""".stripMargin))
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** Multi-aggregate PIVOT (the two-measure variant of [[aggPivot]]):
+    * one pivot producing BOTH a count and an exact money sum per pivot
+    * value — `groupBy.pivot(values).agg(n, qty)` names columns
+    * `<value>_<alias>`, the wide shape BI layers expect. Missing
+    * (group, pivot) cells are coalesced to 0/0.0 on BOTH engines so a
+    * sparse combination cannot hash-diverge (Spark's pivot yields NULL
+    * for an empty cell; the oracle's conditional aggregation yields 0).
+    * Same scale shape as any grouped aggregate: the pivot values are an
+    * enum (2 line statuses), so the row explosion is bounded. */
+  val aggPivotMulti: Q = (s, d) => {
+    val p = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    p.select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"),
+        coalesce(col("F_qty"), lit(0.0)).as("f_qty"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"),
+        coalesce(col("O_qty"), lit(0.0)).as("o_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot_multi" -> aggPivotMulti,
     "fn_unpivot" -> fnUnpivot,
     "fn_edit_distance" -> fnEditDistance,
     "fn_hash_funcs" -> fnHashFuncs,
@@ -178,6 +201,19 @@ object Extras {
     "fn_string_funcs" -> fnStringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot_multi" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_n,
+         |  coalesce(CAST(SUM(CASE WHEN l_linestatus = 'F'
+         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+         |    AS f_qty,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS o_n,
+         |  coalesce(CAST(SUM(CASE WHEN l_linestatus = 'O'
+         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+         |    AS o_qty
+         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "fn_unpivot" ->
       s"""WITH w AS (
          |  SELECT l_returnflag,

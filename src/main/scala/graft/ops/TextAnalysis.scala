@@ -313,7 +313,27 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** E55 — tokenizer fertility per language: characters consumed per
+    * BPE-ish token (the [[extTokenCount]] segmentation), ×100 integer —
+    * the number that says "this tokenizer spends 2.3× more tokens per
+    * character on zh than en", which prices multilingual context
+    * budgets and flags scripts a vocabulary underserves. Pure map +
+    * lang-cardinality aggregate; integer end to end. */
+  val extTokenFertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("long").as("n_chars"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("n_chars"),
+           sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("chars_per_token_c",
+        expr("n_chars * 100 div n_bpe_tokens"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
+    "ext_token_fertility" -> extTokenFertility,
     "ext_hapax_rate" -> extHapaxRate,
     "ext_vocab_growth" -> extVocabGrowth,
     "ext_cooccur_lift" -> extCooccurLift,
@@ -331,6 +351,15 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(
+    "ext_token_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) * 100 //
+        |    CAST(SUM(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS chars_per_token_c
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "ext_hapax_rate" ->
       """WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok

@@ -435,6 +435,33 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W22 — VALUE-range window frame (`RANGE BETWEEN n PRECEDING AND n
+    * FOLLOWING` over a numeric ordering — not time): for every order,
+    * how many same-priority orders sit within ±$5 000 of its price, and
+    * their total — the "how crowded is my price neighborhood" frame
+    * behind local-density scoring and price-banding features.
+    * Completes the frame-type matrix: ROWS ([[winMovingAvg]]), time
+    * RANGE ([[winTimeRange]]), and numeric RANGE (this). Peers at equal
+    * price are included identically on both engines (RANGE semantics),
+    * so ties cannot diverge; cent-integer ordering key and sums, /100
+    * last. At scale this is one partition-sorted window, O(frame) work
+    * amortized by the sliding endpoints. */
+  val winValueRange: Q = (s, d) => {
+    val band = 500000L // ±$5 000 in cents
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      .rangeBetween(-band, band)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("band_cents", sum(col("cents")).over(w))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              (col("cents").cast("double") / 100.0).as("price"),
+              col("n_band"),
+              (col("band_cents").cast("double") / 100.0).as("band_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** W16 — cumulative distinct users per event type by day: windows
     * cannot COUNT(DISTINCT), so the scalable spelling is the first-seen
     * trick — one row per (type, user) at their first day, count new
@@ -464,6 +491,7 @@ object Windows {
   }
 
   val queries: Map[String, Q] = Map(
+    "win_value_range" -> winValueRange,
     "win_rolling_mad" -> winRollingMad,
     "win_linear_interp" -> winLinearInterp,
     "win_drawdown" -> winDrawdown,
@@ -486,6 +514,20 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // RANGE peers included identically both engines; integer cents
+    "win_value_range" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CAST(cents AS DOUBLE) / 100.0 AS price,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_band,
+        |  CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS band_total
+        |FROM b
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+        |  RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     // dyadic-exact throughout: cent ints → half-integer med7 → dyadic
     // deviations → quarter-dyadic mad7; flag compares exact doubles
     "win_rolling_mad" ->

@@ -815,6 +815,45 @@ class SurfaceSpec extends SparkSpec {
     stale should be > 0 // the tolerance actually rejects something
   }
 
+  test("value-range frame: band members verified by a direct scan") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Windows.winValueRange(spark, d).collect()
+    val byPrio = out.groupBy(_.getAs[String]("o_orderpriority"))
+    byPrio.values.foreach { rows =>
+      val prices = rows.map(r => math.round(r.getAs[Double]("price") * 100))
+      rows.take(10).foreach { r =>
+        val c = math.round(r.getAs[Double]("price") * 100)
+        val band = prices.filter(p => p >= c - 500000 && p <= c + 500000)
+        r.getAs[Long]("n_band") shouldBe band.length
+        math.round(r.getAs[Double]("band_total") * 100) shouldBe band.sum
+      }
+    }
+  }
+
+  test("pivot multi: wide cells reconcile with the long-form aggregate") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Extras.aggPivotMulti(spark, d).collect()
+    val long = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val f = r.getString(0)
+      r.getAs[Long]("f_n") shouldBe long.getOrElse((f, "F"), 0L)
+      r.getAs[Long]("o_n") shouldBe long.getOrElse((f, "O"), 0L)
+    }
+  }
+
+  test("token fertility: ratio matches the integer divide, langs differ") {
+    val out = graft.ops.TextAnalysis.extTokenFertility(spark, sf("sf0.001")).collect()
+    out.length should be >= 2
+    out.foreach { r =>
+      r.getAs[Long]("chars_per_token_c") shouldBe
+        r.getAs[Long]("n_chars") * 100 / r.getAs[Long]("n_bpe_tokens")
+      r.getAs[Long]("chars_per_token_c") should be >= 100L // >= 1 char/token
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
