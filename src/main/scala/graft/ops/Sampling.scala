@@ -305,9 +305,12 @@ object Sampling {
     * arithmetic is cross-engine exact: `sqrt` is IEEE correctly-rounded on
     * both engines and `floor(sqrt(n))` sits ≥1/(2·sqrt(n)) from the grid
     * except at perfect squares where it is exact. One per-source window
-    * (rank) + one aggregate; Spark 4's WindowGroupLimit turns the
-    * rank-≤-quota filter into per-partition top-k heaps, so no stratum
-    * ever materializes sorted. */
+    * (rank) + one aggregate; the rank and count windows share a single
+    * source-grain sort (plan-asserted). The quota is data-dependent
+    * (a column, not a literal), so Spark's WindowGroupLimit top-k
+    * rewrite does NOT apply here — unlike [[extStratifiedSample]]'s
+    * constant k; the full stratum sorts once, which is the honest cost
+    * of an adaptive quota. */
   val extTemperatureSample: Q = (s, d) => {
     val w = Window.partitionBy(col("source"))
       .orderBy(decide("temp|", col("doc_id")), col("doc_id"))

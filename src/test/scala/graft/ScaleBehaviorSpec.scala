@@ -195,6 +195,45 @@ class ScaleBehaviorSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("geo-grid plan: spatial join is equi-keyed on cells — no nested loop anywhere") {
+    val plan = finalPlan(
+      SparkEntry.queries("join_geo_grid")(spark, sf("sf0.01")))
+    // the whole point of the grid: the radius predicate rides an
+    // equi-join on cell keys; a NestedLoop/Cartesian here means the
+    // bucketing degenerated to all-pairs
+    plan.contains("NestedLoop") shouldBe false
+    plan.contains("CartesianProduct") shouldBe false
+    plan should include("Generate explode") // the 3×3 neighborhood probe
+  }
+
+  test("epoch-plan plan: the only window partitioning is shard-grain") {
+    val plan = finalPlan(
+      SparkEntry.queries("ext_epoch_plan")(spark, sf("sf0.01")))
+    // parallelism = shard count by construction: one hash exchange on
+    // shard_id feeds the pack window; no single-partition window over
+    // doc-grain rows may exist
+    "Exchange hashpartitioning\\(shard_id".r.findAllIn(plan).size shouldBe 1
+    "Window \\[".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("temperature-sample plan: rank and count windows share one source-grain shuffle") {
+    val plan = finalPlan(
+      SparkEntry.queries("ext_temperature_sample")(spark, sf("sf0.01")))
+    // the quota is a COLUMN (floor(sqrt(n))), so the WindowGroupLimit
+    // top-k rewrite cannot apply (it needs a literal limit — see
+    // ext_stratified_sample for that shape); what must hold instead:
+    // both windows and the final aggregate ride ONE source hash exchange
+    "Exchange hashpartitioning\\(source".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("interval-overlap plan: the non-equi predicate rides an hour-bucket equi-join") {
+    val plan = finalPlan(
+      SparkEntry.queries("join_interval_overlap")(spark, sf("sf0.01")))
+    plan.contains("NestedLoop") shouldBe false
+    plan.contains("CartesianProduct") shouldBe false
+    (plan should include).regex("""hk#\d+L""") // the bucket key exists in the plan
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
