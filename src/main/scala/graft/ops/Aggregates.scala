@@ -120,6 +120,26 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A11 — several COUNT(DISTINCT) columns in ONE aggregate: Catalyst
+    * plans multi-distinct via the Expand operator — each input row is
+    * replicated once per distinct column (×3 here) with a grouping-id,
+    * then two aggregate phases dedupe and count. That ×k row expansion
+    * is the real 100 TB cost of casually stacking distincts in a
+    * dashboard query; the documented alternatives are one
+    * `approx_count_distinct` per column (no expansion, HLL error) or
+    * [[graft.ops.Advanced]]'s bitmap partials (exact, mergeable). This
+    * entry pins the exact semantics; the plan's Expand is the teaching
+    * point. */
+  val aggMultiDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           countDistinct(to_date(col("ts"))).as("n_days"),
+           countDistinct(col("user_id"), to_date(col("ts")))
+             .as("n_user_days"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** A10 — Herfindahl–Hirschman concentration index per event type:
     * how concentrated each event stream is across users (10 000 ≈ one
     * user owns it; 1/n_users ≈ uniform) — the audit behind "is this
@@ -579,6 +599,7 @@ object Aggregates {
   }
 
   val queries: Map[String, Q] = Map(
+    "agg_multi_distinct" -> aggMultiDistinct,
     "agg_hhi" -> aggHhi,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_topn_share" -> aggTopnShare,
@@ -607,6 +628,14 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_multi_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(CAST(ts AS DATE) AS VARCHAR))) AS BIGINT) AS n_user_days,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "agg_hhi" ->
       """WITH per AS (
         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c

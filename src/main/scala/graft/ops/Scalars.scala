@@ -146,7 +146,30 @@ object Scalars {
         round(pow(col("value"), lit(0.5)), 10).as("pow_half"))
       .orderBy(col("event_id"))
 
+  /** F9 — safe-cast (TRY_CAST) surface: the ingestion-hardening
+    * semantics ANSI mode demands — malformed numerics, integer
+    * overflow, and impossible dates become NULL instead of a job-killing
+    * exception. Probed over strings derived from real rows: a
+    * non-numeric name, its digit substring, a deliberately overflowing
+    * digit string, and a month that may not exist. Engine caveat kept
+    * OUT of the query on purpose: decimal strings ('12.9' → INT) round
+    * in DuckDB but null in Spark — the portable subset is
+    * integral/overflow/date validity, which is what ingestion actually
+    * gates on. Pure map stage. */
+  val fnTryCast: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        expr("try_cast(c_name AS INT)").as("name_as_int"),
+        expr("try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS INT)")
+          .as("digits_as_int"),
+        expr("try_cast(concat(regexp_extract(c_name, '([0-9]+)', 1), " +
+             "'9999999999') AS INT)").as("overflow_as_int"),
+        expr("try_cast(concat('2024-', cast(c_custkey % 13 + 1 AS STRING)," +
+             " '-28') AS DATE)").as("maybe_date"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, Q] = Map(
+    "fn_try_cast" -> fnTryCast,
     "fn_datetime_extract" -> fnDatetimeExtract,
     "fn_date_format" -> fnDateFormat,
     "fn_date_series" -> fnDateSeries,
@@ -157,6 +180,16 @@ object Scalars {
     "fn_exp_log" -> fnExpLog)
 
   val oracles: Map[String, String] = Map(
+    "fn_try_cast" ->
+      """SELECT c_custkey, c_name,
+        |  TRY_CAST(c_name AS INTEGER) AS name_as_int,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS INTEGER)
+        |    AS digits_as_int,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) || '9999999999'
+        |    AS INTEGER) AS overflow_as_int,
+        |  TRY_CAST('2024-' || CAST(c_custkey % 13 + 1 AS VARCHAR) || '-28'
+        |    AS DATE) AS maybe_date
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_exp_log" ->
       """SELECT event_id,
         |  round(exp(value / 100.0), 10) AS exp_v,

@@ -854,6 +854,33 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("try_cast: non-numerics and overflow null, digits and valid dates parse") {
+    val out = graft.ops.Scalars.fnTryCast(spark, sf("sf0.001")).collect()
+    out.foreach { r =>
+      r.isNullAt(r.fieldIndex("name_as_int")) shouldBe true    // has letters
+      r.isNullAt(r.fieldIndex("digits_as_int")) shouldBe false // pure digits
+      r.isNullAt(r.fieldIndex("overflow_as_int")) shouldBe true // > 2^31
+      val month = r.getAs[Long]("c_custkey") % 13 + 1
+      r.isNullAt(r.fieldIndex("maybe_date")) shouldBe (month == 13)
+    }
+  }
+
+  test("multi-distinct: plan uses Expand, results match independent distincts") {
+    val d = sf("sf0.001")
+    val df = graft.ops.Aggregates.aggMultiDistinct(spark, d)
+    val out = df.collect()
+    df.queryExecution.executedPlan.toString should include("Expand")
+    val ev = Tables.events(spark, d)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      r.getAs[Long]("n_users") shouldBe
+        ev.where(col("event_type") === tpe).select("user_id").distinct().count()
+      r.getAs[Long]("n_user_days") should be >= r.getAs[Long]("n_days")
+      r.getAs[Long]("n_user_days") should be <=
+        r.getAs[Long]("n_users") * r.getAs[Long]("n_days")
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
