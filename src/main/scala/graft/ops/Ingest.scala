@@ -31,7 +31,7 @@ object Ingest {
     * on `mode(overwrite)` of one shared path. The directory must
     * outlive the returned (lazy) DataFrame, so no inline cleanup — the
     * OS tmp reaper owns it. */
-  private def scratchDir(tag: String): String = {
+  private[ops] def scratchDir(tag: String): String = {
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       .stripSuffix("/")
     s"$base/graft-scratch/$tag-${java.util.UUID.randomUUID().toString.take(8)}"

@@ -438,7 +438,36 @@ object Joins {
       .orderBy(col("day"), col("hour"))
   }
 
+  /** J15 — dynamic partition pruning (DPP) over a date-partitioned
+    * layout: the star-schema access path that makes a 100 TB fact scan
+    * read only the partitions a filtered dimension selects AT RUNTIME.
+    * The fact (events) is laid out `partitionBy(day)` — the §4 layout
+    * rule: partition layout replaces the reference's btree indexes
+    * (`/root/reference/sql/create_schema.sql:181-196`) — and joined to
+    * a day-dimension filtered on an attribute (month-start days) the
+    * optimizer cannot statically push through the join key. Catalyst
+    * injects a `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters, reusing the dim's broadcast: at 1000 executors
+    * this is the difference between scanning 5/30 of the corpus and
+    * all of it. ScaleBehaviorSpec pins the injected filter in the
+    * plan; the oracle replays the join over the flat table. */
+  val joinPartitionPrune: Q = (s, d) => {
+    val scratch = Ingest.scratchDir("dpp_events")
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(scratch)
+    val fact = s.read.parquet(scratch)
+    val dim = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) <= 5)
+    fact.join(dim, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_partition_prune" -> joinPartitionPrune,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_fuzzy_blocked" -> joinFuzzyBlocked,
@@ -463,6 +492,14 @@ object Joins {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the DPP layout/join collapses to a flat filtered aggregate
+    "join_partition_prune" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events
+         |WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 5
+         |GROUP BY 1 ORDER BY day""".stripMargin,
     "join_interval_overlap" ->
       s"""WITH ev AS (
          |  SELECT CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS st,

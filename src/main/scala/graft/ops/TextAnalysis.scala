@@ -332,7 +332,33 @@ object TextAnalysis {
         expr("n_chars * 100 div n_bpe_tokens"))
       .orderBy(col("lang"))
 
+  /** E56 — BPE merge-pair counting: the inner loop of byte-pair-encoding
+    * tokenizer training, expressed as one dataflow iteration — count
+    * every adjacent character pair inside letter-words across the
+    * corpus and rank the top-50 merge candidates (count DESC, pair ASC:
+    * a total order, so the rank-50 cutoff is deterministic). This is
+    * the step a 100 TB tokenizer-training run repeats per merge: the
+    * pair explode is linear in corpus characters (executor-side
+    * `flatten∘transform`, no word-grain shuffle), the aggregate lands
+    * on a ≤(26+|symbols|)² bounded pair domain, and the top-k is
+    * TakeOrderedAndProject — no global sort. The full merge loop just
+    * re-runs this with the winning pair fused into the alphabet. */
+  val extBpePairs: Q = (s, d) => {
+    val words = filter(
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+      w => length(w) >= 2)
+    Tables.documents(s, d)
+      .select(explode(flatten(transform(words, w =>
+        transform(sequence(lit(1), length(w) - 1),
+                  i => w.substr(i, lit(2)))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_bpe_pairs" -> extBpePairs,
     "ext_token_fertility" -> extTokenFertility,
     "ext_hapax_rate" -> extHapaxRate,
     "ext_vocab_growth" -> extVocabGrowth,
@@ -351,6 +377,17 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(
+    // (count DESC, pair ASC) is a total order -> deterministic top-50
+    "ext_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |p AS (
+        |  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair
+        |  FROM w, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "ext_token_fertility" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,

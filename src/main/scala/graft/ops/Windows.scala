@@ -490,7 +490,44 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W23 — CUSUM changepoint screen per event type: the cumulative sum
+    * of deviations from the series mean, whose peak marks the most
+    * likely level-shift day (Page's classic statistic; the batch
+    * pre-check before alerting thresholds are trusted). A drifting
+    * series shows a V/Λ-shaped CUSUM; a stable one oscillates near 0.
+    * Exactness: with daily totals as cent integers and the mean μ = T/n
+    * a ratio of integers, the scaled statistic
+    *   C'_k = n·Σ_{i≤k} x_i − k·T  ( = n·Σ(x_i − μ) )
+    * is pure BIGINT arithmetic — no division ever happens, so the
+    * argmax flag compares integers and cannot straddle engine rounding.
+    * Envelope: n = #days is calendar-bounded (not SF-scaling), T ≤
+    * corpus cents ~1e15 at 100 TB → |C'| ≲ n·T ~ 1e18 < 2⁶³. One
+    * day-grain pre-aggregate, then three windows over the
+    * day-cardinality frame (running sum, whole-partition totals,
+    * whole-partition max) that share one sort. */
+  val winCusum: Q = (s, d) => {
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("xc"))
+      .withColumn("rs", sum(col("xc")).over(wRun))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("xc")).over(wAll))
+      .withColumn("cusum", col("n") * col("rs") - col("k") * col("tot"))
+      .withColumn("peak", max(abs(col("cusum"))).over(wAll))
+      .select(col("event_type"), col("day"),
+              (col("xc").cast("double") / 100.0).as("daily_total"),
+              col("cusum").as("cusum_scaled"),
+              (abs(col("cusum")) === col("peak")).as("is_peak"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_cusum" -> winCusum,
     "win_value_range" -> winValueRange,
     "win_rolling_mad" -> winRollingMad,
     "win_linear_interp" -> winLinearInterp,
@@ -514,6 +551,31 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // pure-BIGINT statistic: n*running_sum - k*total, no division;
+    // the peak flag compares integers so it cannot rounding-diverge
+    "win_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS xc
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, xc,
+        |    SUM(xc) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS k,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    SUM(xc) OVER (PARTITION BY event_type) AS tot
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, day, xc, n * rs - k * tot AS cusum,
+        |    MAX(abs(n * rs - k * tot)) OVER (PARTITION BY event_type) AS peak
+        |  FROM c)
+        |SELECT event_type, day,
+        |  CAST(xc AS DOUBLE) / 100.0 AS daily_total,
+        |  CAST(cusum AS BIGINT) AS cusum_scaled,
+        |  abs(cusum) = peak AS is_peak
+        |FROM s ORDER BY event_type, day""".stripMargin,
     // RANGE peers included identically both engines; integer cents
     "win_value_range" ->
       """WITH b AS (

@@ -75,6 +75,16 @@ class ScaleBehaviorSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("dynamic partition pruning: fact scan carries a runtime dim-driven filter") {
+    // join_partition_prune's layout story: the day-partitioned fact scan
+    // must receive a dynamicpruning PartitionFilter fed by the filtered
+    // day dimension — scanning 5/30 of the partitions, not all of them
+    val df = graft.ops.Joins.joinPartitionPrune(spark, sf("sf0.001"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    optimized should include("dynamicpruning")
+    df.count() should be > 0L
+  }
+
   test("bindOnce evaluates an expensive Column once where a val reference inlines it") {
     val sz = org.apache.spark.sql.functions.size _
     // range-based source: a local literal relation would be fully

@@ -881,6 +881,41 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("cusum: statistic returns to zero at series end, peak flag marks the max") {
+    val rows = graft.ops.Windows.winCusum(spark, sf("sf0.001")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // C'_n = n*T - n*T = 0 by construction — a failed zero means the
+      // integer identity broke somewhere
+      rs.last.getAs[Long]("cusum_scaled") shouldBe 0L
+      val peak = rs.map(r => math.abs(r.getAs[Long]("cusum_scaled"))).max
+      rs.filter(_.getAs[Boolean]("is_peak"))
+        .map(r => math.abs(r.getAs[Long]("cusum_scaled"))).toSet shouldBe Set(peak)
+    }
+  }
+
+  test("bpe pairs: top-50 adjacent letter pairs, counts non-increasing") {
+    val rows = graft.ops.TextAnalysis.extBpePairs(spark, sf("sf0.001")).collect()
+    rows.length shouldBe 50
+    rows.foreach(_.getString(0) should fullyMatch regex "[a-z]{2}")
+    rows.map(_.getString(0)).distinct.length shouldBe 50
+    val counts = rows.map(_.getAs[Long]("n"))
+    counts.zip(counts.tail).foreach { case (a, b) => a should be >= b }
+    // independent recount of the #1 pair straight off the text
+    val top = rows.head
+    val occ = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .select(sum(
+        when(org.apache.spark.sql.functions.length(col("w")) >= 2,
+          org.apache.spark.sql.functions.size(
+            expr(s"filter(sequence(1, length(w) - 1), " +
+              s"i -> substring(w, i, 2) = '${top.getString(0)}')"))
+        ).otherwise(0)).cast("long"))
+      .first().getLong(0)
+    // text words are space-separated alphanumerics; the regex-word count
+    // can only exceed the space-split count (punctuation splits words)
+    occ should be <= top.getAs[Long]("n")
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
