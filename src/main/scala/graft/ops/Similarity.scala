@@ -344,6 +344,19 @@ object Similarity {
     * nothing raw), query sub-slices and sub-codebook both broadcast;
     * one groupBy (qid, cid) pivot; TakeOrderedAndProject per query. */
   val extPqAdc: Q = (s, d) => {
+    val scored = adcScores(s, d)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("adc_score"),
+              col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Shared ADC scoring stage of [[extPqAdc]] / [[extPqRecall]]:
+    * every (query, candidate) pair with its compressed-domain cosine. */
+  private def adcScores(s: SparkSession, d: String): DataFrame = {
     graft.expressions.FloatVecDot.register(s)
     val codes = pqCodes(s, d)
     val sliced = pqSliced(s, d)
@@ -370,13 +383,86 @@ object Similarity {
               round((col("0_p") + col("1_p") + col("2_p") + col("3_p")) /
                     sqrt(col("0_nn") + col("1_nn") + col("2_nn") + col("3_nn")),
                     6).as("adc_score"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("cid"), col("adc_score"),
-              col("rn").cast("int").as("rn"))
-      .orderBy(col("qid"), col("rn"))
+    scored
+  }
+
+  /** E57 — hybrid retrieval fusion (RRF): merge a SPARSE lexical
+    * ranking (BM25 for the fixed 3-term query, [[TextAnalysis.extBm25]])
+    * with a DENSE embedding ranking (cosine against doc 0's vector — the
+    * test corpus aligns doc_id and vec_id) by reciprocal-rank fusion,
+    * the standard RAG-stack combiner (Cormack et al. 2009: score =
+    * Σ 1/(60+rank)). Kept engine-exact by integer micropoints —
+    * `1 000 000 div (60+rank)` — so no float sum can rounding-diverge;
+    * absence from a list contributes 0. Scale shape: each list is
+    * top-10 via TakeOrderedAndProject (never a global rank of the
+    * corpus), the rank windows run over 10-row frames, and the fusion
+    * join is 10×10-bounded. */
+  val extHybridRank: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = TextAnalysis.bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("sparse_rank", row_number().over(wS))
+      .select(col("doc_id"), col("sparse_rank"))
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = Tables.embeddings(s, d).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+              cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(10)
+      .withColumn("dense_rank", row_number().over(wD))
+      .select(col("doc_id"), col("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+              col("sparse_rank").cast("int").as("sparse_rank"),
+              col("dense_rank").cast("int").as("dense_rank"),
+              (coalesce(expr("1000000 div (60 + sparse_rank)"), lit(0L)) +
+               coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L)))
+                .as("rrf_points"))
+      .orderBy(col("rrf_points").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** E20c — PQ rank-preservation audit: recall@5 of the top-5 BY
+    * COMPRESSED-DOMAIN ADC SCORE against the exact-cosine top-5 — the
+    * number that says how much ranking quality the 4-byte codes give up
+    * (LSH/IVF lose candidates; PQ sees every candidate but scores it
+    * approximately — a different failure mode, now measured the same
+    * way). Completes the measured-recall set across all four shipped
+    * ANN variants. Same bounded query-batch audit grain as
+    * [[extAnnRecall]]; the ADC side never touches a raw candidate
+    * vector. */
+  val extPqRecall: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    def top5(pairs: DataFrame, score: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col(score).desc, col("cid"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select(col("qid"), col("cid"))
+    }
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .filter(col("qid") < 10)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val bf = top5(broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos")),
+      "cos")
+    val ann = top5(adcScores(s, d), "adc_score")
+    bf.withColumn("b", lit(1))
+      .join(ann.withColumn("a", lit(1)), Seq("qid", "cid"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("b"), lit(0))).as("n_bf"),
+           sum(coalesce(col("a"), lit(0))).as("n_ann"),
+           sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
+             .as("n_overlap"))
+      .select(col("qid"), col("n_bf"), col("n_ann"), col("n_overlap"),
+              when(col("n_bf") > 0,
+                   col("n_overlap").cast("double") /
+                     col("n_bf").cast("double")).as("recall_at_5"))
+      .orderBy(col("qid"))
   }
 
   /** E3e — ANN recall audit: recall@5 of the LSH-bucketed search
@@ -541,7 +627,9 @@ object Similarity {
     "ext_ann_multiprobe" -> extAnnMultiprobe,
     "ext_ivf_recall" -> extIvfRecall,
     "ext_pq_encode" -> extPqEncode,
-    "ext_pq_adc" -> extPqAdc)
+    "ext_pq_adc" -> extPqAdc,
+    "ext_pq_recall" -> extPqRecall,
+    "ext_hybrid_rank" -> extHybridRank)
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -565,6 +653,83 @@ object Similarity {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "ext_pq_recall" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    embedding[CAST(r.m * 16 + 1 AS INTEGER):CAST((r.m + 1) * 16 AS INTEGER)] AS sv
+         |  FROM embeddings CROSS JOIN range(0, 4) r(m)),
+         |seeds AS (
+         |  SELECT m AS sm, vec_id AS seed_id, sv AS se FROM sub WHERE vec_id < 16),
+         |scored0 AS (
+         |  SELECT vec_id, m, seed_id, ${cosSql("sv", "se")} AS c
+         |  FROM sub JOIN seeds ON m = sm),
+         |best AS (
+         |  SELECT vec_id, m, seed_id,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY c DESC, seed_id) AS rn
+         |  FROM scored0),
+         |codes AS (SELECT vec_id, m, seed_id FROM best WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, m AS qm, sv AS qv FROM sub WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.qid, c.vec_id AS cid, c.m, ${dotSql("qv", "se")} AS p,
+         |    ${dotSql("se", "se")} AS nn
+         |  FROM codes c
+         |  JOIN seeds s ON c.m = s.sm AND c.seed_id = s.seed_id
+         |  JOIN q ON c.m = q.qm
+         |  WHERE q.qid <> c.vec_id),
+         |g AS (
+         |  SELECT qid, cid,
+         |    round((max(CASE WHEN m = 0 THEN p END) + max(CASE WHEN m = 1 THEN p END)
+         |         + max(CASE WHEN m = 2 THEN p END) + max(CASE WHEN m = 3 THEN p END))
+         |      / sqrt(max(CASE WHEN m = 0 THEN nn END) + max(CASE WHEN m = 1 THEN nn END)
+         |           + max(CASE WHEN m = 2 THEN nn END) + max(CASE WHEN m = 3 THEN nn END)),
+         |      6) AS adc_score
+         |  FROM sc GROUP BY 1, 2),
+         |ann AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_score DESC, cid) AS rn FROM g)
+         |  WHERE rn <= 5),
+         |bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 10),
+         |bf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosSql("qe", "ce")} DESC, cid) AS rn
+         |    FROM bq JOIN (SELECT vec_id AS cid, embedding AS ce
+         |                  FROM embeddings) c ON qid <> cid)
+         |  WHERE rn <= 5),
+         |j AS (
+         |  SELECT qid, coalesce(bf2.f, 0) AS b, coalesce(an2.f, 0) AS a
+         |  FROM (SELECT qid, cid, 1 AS f FROM bf) bf2
+         |  FULL OUTER JOIN (SELECT qid, cid, 1 AS f FROM ann) an2
+         |    USING (qid, cid))
+         |SELECT qid, CAST(sum(b) AS BIGINT) AS n_bf,
+         |  CAST(sum(a) AS BIGINT) AS n_ann,
+         |  CAST(sum(b * a) AS BIGINT) AS n_overlap,
+         |  CASE WHEN sum(b) > 0 THEN
+         |    CAST(sum(b * a) AS DOUBLE) / CAST(sum(b) AS DOUBLE)
+         |  END AS recall_at_5
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer micropoints (1e6 div (60+rank)) keep the fused score exact
+    "ext_hybrid_rank" ->
+      s"""WITH s10 AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY score DESC, doc_id) AS INTEGER) AS sparse_rank
+         |  FROM (${TextAnalysis.oracles("ext_bm25")}) b),
+         |d0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d10 AS (
+         |  SELECT doc_id, CAST(rd AS INTEGER) AS dense_rank FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      row_number() OVER (ORDER BY ${cosSql("e.embedding", "qe")}
+         |        DESC, e.vec_id) AS rd
+         |    FROM embeddings e CROSS JOIN d0)
+         |  WHERE rd <= 10)
+         |SELECT doc_id, sparse_rank, dense_rank,
+         |  CAST(coalesce(1000000 // (60 + sparse_rank), 0)
+         |     + coalesce(1000000 // (60 + dense_rank), 0) AS BIGINT)
+         |    AS rrf_points
+         |FROM s10 FULL OUTER JOIN d10 USING (doc_id)
+         |ORDER BY rrf_points DESC, doc_id LIMIT 10""".stripMargin,
     "ext_ann_recall" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,7 +156,13 @@ object TextAnalysis {
     * df/N/avglen are three scalar aggregates carried on a broadcast
     * single-row frame; final ranking is TakeOrderedAndProject. Nothing
     * driver-side, nothing all-pairs. */
-  val extBm25: Q = (s, d) => {
+  val extBm25: Q = (s, d) =>
+    bm25Scored(s, d).orderBy(col("score").desc, col("doc_id")).limit(10)
+
+  /** Shared BM25 scoring stage of [[extBm25]] and
+    * [[Similarity.extHybridRank]]: every doc's score for the fixed
+    * 3-term query, pre-top-k. */
+  private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("hash", "join", "vector")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -191,8 +197,6 @@ object TextAnalysis {
               round(term(col(terms(0)), col("df0")) +
                     term(col(terms(1)), col("df1")) +
                     term(col(terms(2)), col("df2")), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
   }
 
   /** E24 — per-language character-trigram profile (top-3 by frequency):

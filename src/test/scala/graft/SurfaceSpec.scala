@@ -916,6 +916,34 @@ class SurfaceSpec extends SparkSpec {
     occ should be <= top.getAs[Long]("n")
   }
 
+  test("pq recall: full candidate coverage, recall in [0,1] per query") {
+    val rows = graft.ops.Similarity.extPqRecall(spark, sf("sf0.001")).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      // PQ scores every candidate — both lists are always full top-5
+      r.getAs[Long]("n_bf") shouldBe 5L
+      r.getAs[Long]("n_ann") shouldBe 5L
+      val rec = r.getAs[Double]("recall_at_5")
+      rec should (be >= 0.0 and be <= 1.0)
+      rec shouldBe r.getAs[Long]("n_overlap").toDouble / 5.0
+    }
+  }
+
+  test("hybrid rank: RRF points are exact integer micropoints of the two ranks") {
+    val rows = graft.ops.Similarity.extHybridRank(spark, sf("sf0.001")).collect()
+    rows.length should be <= 10
+    rows.foreach { r =>
+      def pts(i: Int): Long =
+        if (r.isNullAt(i)) 0L else 1000000L / (60L + r.getInt(i))
+      r.getAs[Long]("rrf_points") shouldBe
+        pts(r.fieldIndex("sparse_rank")) + pts(r.fieldIndex("dense_rank"))
+    }
+    // doc 0 is the dense query itself -> cosine 1 -> dense rank 1 -> on top
+    val top = rows.head
+    top.getAs[Long]("doc_id") shouldBe 0L
+    top.getInt(top.fieldIndex("dense_rank")) shouldBe 1
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
