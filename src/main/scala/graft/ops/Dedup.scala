@@ -658,7 +658,47 @@ object Dedup {
       .orderBy(col("threshold_pct"))
   }
 
+  /** E58 — winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS algorithm): hash every character 8-gram, slide a w=4 window
+    * over the hash sequence, keep each window's MINIMUM — guaranteeing
+    * any shared substring of ≥ k+w−1 = 11 chars yields a shared
+    * fingerprint while storing only ~2/(w+1) of the hashes. This is the
+    * published middle ground between [[extSubstringDedup]]'s stride grid
+    * (which can miss unaligned matches) and hashing every position
+    * (which a 100 TB corpus cannot store). Emitted per doc: fingerprint
+    * count and the share held by ≥2 docs — the copy-paste exposure
+    * number. Window minima are VALUE minima over [[hash60]] hashes, so
+    * both engines select identical fingerprints with no position
+    * tiebreak; the join back is fingerprint-grain (bounded by selected
+    * hashes, ~len/2.5 per doc), never doc×doc. */
+  val extWinnowing: Q = (s, d) => {
+    val lt = lower(col("text"))
+    val grams = bindOnce(lt) { t =>
+      when(length(t) >= 8,
+        transform(sequence(lit(1), length(t) - 7), i => t.substr(i, lit(8))))
+        .otherwise(array(t))
+    }
+    val fps = bindOnce(transform(grams, g => hash60(g))) { hs =>
+      when(size(hs) >= 4,
+        array_distinct(transform(sequence(lit(0), size(hs) - 4),
+          j => array_min(slice(hs, j + lit(1), lit(4))))))
+        .otherwise(array(array_min(hs)))
+    }
+    val docFp = Tables.documents(s, d)
+      .select(col("doc_id"), explode(fps).as("fp")).distinct()
+    val fpDocs = docFp.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    docFp.join(fpDocs, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared"),
+              expr("n_shared * 1000 div n_fp").as("shared_pm"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_winnowing" -> extWinnowing,
     "ext_dedup_sweep" -> extDedupSweep,
     "ext_exact_dedup" -> extExactDedup,
     "ext_minhash_dedup" -> extMinhashDedup,
@@ -673,6 +713,36 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // full winnowing replay: hash60 every 8-gram, window-of-4 minima,
+    // distinct fingerprints, fingerprint-grain document counts
+    "ext_winnowing" ->
+      """WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN length(t) >= 8 THEN
+        |    list_transform(generate_series(1, length(t) - 7),
+        |      i -> substring(t, CAST(i AS INTEGER), 8))
+        |    ELSE [t] END AS grams
+        |  FROM lt),
+        |h AS (
+        |  SELECT doc_id, list_transform(grams, s ->
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b)) AS hs
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id, CASE WHEN len(hs) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(0, len(hs) - 4),
+        |      j -> list_min(hs[CAST(j + 1 AS INTEGER):CAST(j + 4 AS INTEGER)])))
+        |    ELSE [list_min(hs)] END AS fps
+        |  FROM h),
+        |df AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f),
+        |fd AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM df GROUP BY 1)
+        |SELECT df.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |    AS BIGINT) AS shared_pm
+        |FROM df JOIN fd USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
     // same banding replay as the minhash/cluster oracles, then exact
     // shingle-set Jaccard per candidate and integer threshold tests
     "ext_dedup_sweep" ->

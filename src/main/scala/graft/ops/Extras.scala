@@ -38,6 +38,29 @@ object Extras {
       .orderBy(col("set_kind"), col("o_custkey"))
   }
 
+  /** INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicity
+    * min(m,n) / m−n), the half of the set-op surface
+    * [[setIntersectExcept]]'s DISTINCT variants don't pin. The probe
+    * multiset is (o_custkey, o_orderpriority) pairs in two overlapping
+    * price bands, where repeated pairs are common, so the bag/set
+    * difference is exercised for real. Spark plans these as aggregate +
+    * generate (no row-by-row matching); counts per kind keep the output
+    * bounded. */
+  val setOpsAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val hi = o.filter(col("o_totalprice") > 150000d)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val early = o.filter(year(col("o_orderdate")) <= 1997)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val inter = hi.intersectAll(early).withColumn("set_kind", lit("intersect_all"))
+    val exc = hi.exceptAll(early).withColumn("set_kind", lit("except_all"))
+    inter.union(exc)
+      .groupBy(col("set_kind"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("set_kind"), col("o_orderpriority"))
+  }
+
   /** Common string-function surface with cross-engine parity. */
   val fnStringFuncs: Q = (s, d) =>
     Tables.customer(s, d)
@@ -197,6 +220,7 @@ object Extras {
     "fn_resample_ffill" -> fnResampleFfill,
     "win_first_last" -> winFirstLast,
     "set_intersect_except" -> setIntersectExcept,
+    "set_ops_all" -> setOpsAll,
     "agg_pivot" -> aggPivot,
     "fn_string_funcs" -> fnStringFuncs)
 
@@ -288,6 +312,23 @@ object Extras {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH hi AS (
+        |  SELECT o_custkey, o_orderpriority FROM orders
+        |  WHERE o_totalprice > 150000),
+        |early AS (
+        |  SELECT o_custkey, o_orderpriority FROM orders
+        |  WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997),
+        |u AS (
+        |  SELECT *, 'intersect_all' AS set_kind FROM
+        |    (SELECT * FROM hi INTERSECT ALL SELECT * FROM early)
+        |  UNION ALL
+        |  SELECT *, 'except_all' FROM
+        |    (SELECT * FROM hi EXCEPT ALL SELECT * FROM early))
+        |SELECT set_kind, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "set_intersect_except" ->
       """WITH big AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000),

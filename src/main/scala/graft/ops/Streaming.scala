@@ -11,6 +11,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "stream_hourly_agg" -> ((s, d) => EventsStream.hourlyAgg(s, d)),
+    "stream_sliding_agg" -> ((s, d) => EventsStream.slidingAgg(s, d)),
     "stream_dedup_counts" -> ((s, d) => EventsStream.dedupCounts(s, d)),
     "stream_sessionize" -> ((s, d) => EventsStream.sessionStats(s, d)),
     "stream_running_max" -> ((s, d) => EventsStream.runningMaxQuery(s, d)),
@@ -26,6 +27,18 @@ object Streaming {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding 2h/1h: each event lands in exactly two hourly-aligned
+    // window starts — trunc(ts) and trunc(ts) - 1h
+    "stream_sliding_agg" ->
+      """SELECT win_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR])
+        |    AS win_start, event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_counts" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -177,6 +177,40 @@ object EventsStream {
     }
   }
 
+  /** ST2b — SLIDING 2-hour window (1-hour slide) per event_type: the
+    * overlapping-window shape tumbling windows can't express — every
+    * event contributes to exactly TWO windows (duration/slide = 2), so
+    * the trailing-2h trend is refreshed hourly instead of aging up to
+    * 2 h. State per micro-batch is (open windows × types) — the slide
+    * multiplies state by duration/slide, the watermark still GCs closed
+    * windows, so state stays bounded at any corpus rate. Drained with
+    * AvailableNow; the batch oracle materializes each event's two
+    * covering window-starts (trunc(ts) and trunc(ts)−1h) and aggregates
+    * — bit-identical to the streaming result. */
+  def slidingAgg(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
+    val q = readEvents(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+              col("event_type"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_sliding")
+      .outputMode("complete")
+      .option("checkpointLocation", scratch("sliding_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_sliding")
+      .orderBy(col("win_start"), col("event_type"))
+    }
+  }
+
   /** ST5 — watermarked streaming dedup on the natural key (the principled
     * `ON CONFLICT DO NOTHING`). The deduped stream lands in an APPEND-MODE
     * FILE SINK — distributed, exactly-once via the checkpoint, projected

@@ -944,6 +944,38 @@ class SurfaceSpec extends SparkSpec {
     top.getInt(top.fieldIndex("dense_rank")) shouldBe 1
   }
 
+  test("winnowing: shared counts bounded by totals, permille formula holds") {
+    val rows = graft.ops.Dedup.extWinnowing(spark, sf("sf0.001")).collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      val (nFp, nShared) = (r.getAs[Long]("n_fp"), r.getAs[Long]("n_shared"))
+      nFp should be > 0L
+      nShared should be <= nFp
+      r.getAs[Long]("shared_pm") shouldBe nShared * 1000 / nFp
+    }
+  }
+
+  test("set ops all: intersect-all row count equals sum of min multiplicities") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Extras.setOpsAll(spark, d).collect()
+    val o = Tables.orders(spark, d)
+    val hi = o.filter(col("o_totalprice") > 150000d)
+      .groupBy("o_custkey", "o_orderpriority").count().withColumnRenamed("count", "m")
+    val early = o.filter(year(col("o_orderdate")) <= 1997)
+      .groupBy("o_custkey", "o_orderpriority").count().withColumnRenamed("count", "n")
+    val expected = hi.join(early, Seq("o_custkey", "o_orderpriority"))
+      .select(least(col("m"), col("n")).as("k"))
+      .agg(sum("k")).first().getLong(0)
+    out.filter(_.getString(0) == "intersect_all").map(_.getAs[Long]("n_rows")).sum shouldBe expected
+  }
+
+  test("sliding window: every event lands in exactly two 2h/1h windows") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Streaming.queries("stream_sliding_agg")(spark, d).collect()
+    val total = Tables.events(spark, d).count()
+    out.map(_.getAs[Long]("n_events")).sum shouldBe total * 2
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
