@@ -598,7 +598,33 @@ object Aggregates {
               (col("top10_rev") / col("total_rev")).as("top10_share"))
   }
 
+  /** A18 — decile report per order priority (the BI "spend deciles"
+    * table): NTILE(10) over (price, key) — a total order, so decile
+    * membership is deterministic — then per-decile count/min/max/sum.
+    * The window partitions by priority: 5 partitions regardless of SF,
+    * which is the documented trade — exact NTILE needs a per-partition
+    * sort, so a 100 TB run swaps this spelling for percentile_approx
+    * decile THRESHOLDS (map-side sketch, no global sort) and a bucket
+    * join; this entry pins the exact semantics that approximation is
+    * judged against. Cent integers end to end; the long sum is exact
+    * and both engines cast the identical integer to double. */
+  val aggDecileStats: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+              floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+           (min(col("cents")).cast("double") / 100.0).as("min_price"),
+           (max(col("cents")).cast("double") / 100.0).as("max_price"),
+           (sum(col("cents")).cast("double") / 100.0).as("sum_price"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_decile_stats" -> aggDecileStats,
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_hhi" -> aggHhi,
     "agg_percentile_disc" -> aggPercentileDisc,
@@ -628,6 +654,22 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    "agg_decile_stats" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_orderpriority, cents,
+        |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents, o_orderkey) AS INTEGER) AS decile
+        |  FROM b)
+        |SELECT o_orderpriority, decile,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_price,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_price,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS sum_price
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_multi_distinct" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

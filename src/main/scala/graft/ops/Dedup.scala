@@ -697,7 +697,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** E59 — Bloom-filter dedup pre-screen with a measured false-positive
+    * audit: the arriving batch (doc_id ≥ 400) is tested against a
+    * deterministic m=4096, k=3 Bloom filter built from the existing
+    * corpus (doc_id < 400) — the membership structure an incremental
+    * 100 TB ingest consults BEFORE paying the exact-dedup shuffle
+    * ([[extIncrementalDedup]]'s band join); only flagged docs proceed.
+    * Everything is hash-derived ([[hash60]] with three salts mod 4096)
+    * so both engines build bit-identical filters: the old side
+    * contributes a distinct-position set (≤4096 rows — broadcast-sized
+    * at ANY corpus size, the whole point of the structure), the new side
+    * probes it with a 3-row explode + equi-join. The audit emits the
+    * Bloom contract: n_missed MUST be 0 (no false negatives — spec- and
+    * oracle-pinned) and fp_pm is the measured false-positive rate among
+    * true non-duplicates. */
+  val extBloomDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def pos(i: Int) =
+      pmod(hash60(concat(lit(s"bloom$i|"), col("text"))), lit(4096L))
+    val oldDocs = docs.filter(col("doc_id") < 400)
+    val newDocs = docs.filter(col("doc_id") >= 400)
+    val oldPos = oldDocs
+      .select(explode(array((0 until 3).map(pos): _*)).as("p")).distinct()
+    val probed = newDocs
+      .select(col("doc_id"), col("text"),
+              posexplode(array((0 until 3).map(pos): _*)))
+      .join(broadcast(oldPos.withColumn("hit", lit(1))),
+            col("col") === col("p"), "left")
+      .groupBy(col("doc_id"), col("text"))
+      .agg((sum(coalesce(col("hit"), lit(0))) === 3).as("flagged"))
+    val truth = probed.join(
+      oldDocs.select(col("text")).distinct().withColumn("dup", lit(true)),
+      Seq("text"), "left")
+    truth.agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("flagged") && col("dup").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("flagged") && col("dup"), 1L).otherwise(0L))
+          .as("n_missed"))
+      .select(col("n_new"), col("n_flagged"), col("n_true_dup"),
+              col("n_false_pos"), col("n_missed"),
+              when(col("n_new") - col("n_true_dup") > 0,
+                   expr("n_false_pos * 1000 div (n_new - n_true_dup)"))
+                .as("fp_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_bloom_dedup" -> extBloomDedup,
     "ext_winnowing" -> extWinnowing,
     "ext_dedup_sweep" -> extDedupSweep,
     "ext_exact_dedup" -> extExactDedup,
@@ -713,6 +761,48 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // bit-identical m=4096 k=3 bloom replay; the n_missed=0 column IS
+    // the no-false-negative contract, oracle-pinned
+    "ext_bloom_dedup" ->
+      """WITH oldd AS (SELECT text FROM documents WHERE doc_id < 400),
+        |newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
+        |oldpos AS (
+        |  SELECT DISTINCT
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5('bloom' || CAST(k AS VARCHAR) || '|' || text), i, 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 4096 AS p
+        |  FROM oldd CROSS JOIN range(0, 3) r(k)),
+        |probe AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5('bloom' || CAST(k AS VARCHAR) || '|' || text), i, 1))
+        |        - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 4096 AS p
+        |  FROM newd CROSS JOIN range(0, 3) r(k)),
+        |flags AS (
+        |  SELECT doc_id, text,
+        |    SUM(CASE WHEN op.p IS NOT NULL THEN 1 ELSE 0 END) = 3 AS flagged
+        |  FROM probe LEFT JOIN oldpos op USING (p)
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT f.doc_id, f.flagged, o.dup
+        |  FROM flags f LEFT JOIN
+        |    (SELECT DISTINCT text, true AS dup FROM oldd) o USING (text))
+        |SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+        |  CAST(SUM(CASE WHEN flagged AND dup IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  CAST(SUM(CASE WHEN NOT flagged AND dup THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missed,
+        |  CASE WHEN count(*) - SUM(CASE WHEN dup THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(SUM(CASE WHEN flagged AND dup IS NULL THEN 1 ELSE 0 END) * 1000
+        |      // (count(*) - SUM(CASE WHEN dup THEN 1 ELSE 0 END)) AS BIGINT)
+        |  END AS fp_pm
+        |FROM truth""".stripMargin,
     // full winnowing replay: hash60 every 8-gram, window-of-4 minima,
     // distinct fingerprints, fingerprint-grain document counts
     "ext_winnowing" ->

@@ -19,6 +19,8 @@ object Streaming {
       ((s, d) => EventsStream.incrementalDailyQuery(s, d)),
     "stream_enrich_join" -> ((s, d) => EventsStream.enrichJoin(s, d)),
     "stream_interval_join" -> ((s, d) => EventsStream.intervalJoin(s, d)),
+    "stream_interval_left_join" ->
+      ((s, d) => EventsStream.intervalLeftJoin(s, d)),
     "stream_upsert_merge" -> ((s, d) => EventsStream.upsertMerge(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -70,6 +72,35 @@ object Streaming {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+    // left-outer stream-stream join drained == matched pairs + clicks
+    // whose 30-min window closed before the terminal watermark
+    // (min of the two stream maxima - 1 h)
+    "stream_interval_left_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user_id,
+        |    ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |         - INTERVAL 1 HOUR AS w),
+        |m AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id,
+        |    c.click_ts, p.purchase_ts
+        |  FROM c JOIN p ON c.user_id = p.p_user_id
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        |SELECT user_id, click_id, purchase_id, click_ts, purchase_ts FROM m
+        |UNION ALL
+        |SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT),
+        |  c.click_ts, CAST(NULL AS TIMESTAMP)
+        |FROM c, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |  AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     // foreachBatch merge drained == batch last-event-per-user
     "stream_upsert_merge" ->
       """WITH r AS (

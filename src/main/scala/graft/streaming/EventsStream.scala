@@ -368,6 +368,53 @@ object EventsStream {
     }
   }
 
+  /** ST7b — stream-stream LEFT OUTER interval join: the attribution
+    * query that must also emit the clicks that never converted — the
+    * hard half of stream joins, because a null-extended left row can
+    * only be emitted once the watermark PROVES no matching purchase can
+    * still arrive (inner joins never wait; outer joins are
+    * watermark-gated). With AvailableNow + no-data final batch, the
+    * terminal watermark is min(max click_ts, max purchase_ts) − 1 h, so
+    * exactly the clicks whose 30-min match window closed before that
+    * mark emit null-extended — a deterministic boundary the batch
+    * oracle replays with the same cutoff expression. Clicks inside the
+    * terminal grace window stay in state (correct streaming semantics:
+    * their matches could still arrive); the oracle excludes them
+    * identically. State: same four per-partition stores as
+    * [[intervalJoin]], watermark-GC'd. */
+  def intervalLeftJoin(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 4) {
+      val clicks = readEvents(s, sfDir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+                col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = readEvents(s, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+                col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+                col("click_ts").cast("timestamp_ntz").as("click_ts"),
+                col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_stream_attrib_left")
+        .outputMode("append")
+        .option("checkpointLocation", scratch("attrib_left_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_attrib_left")
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }
+  }
+
   /** ST8 — `foreachBatch` keyed-merge sink: the production "MERGE INTO
     * snapshot" pattern no built-in sink provides. Each micro-batch is
     * first reduced to per-user partials (count + latest-event struct —

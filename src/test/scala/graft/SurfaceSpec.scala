@@ -976,6 +976,48 @@ class SurfaceSpec extends SparkSpec {
     out.map(_.getAs[Long]("n_events")).sum shouldBe total * 2
   }
 
+  test("bloom dedup: zero false negatives, flag decomposition holds") {
+    val r = graft.ops.Dedup.extBloomDedup(spark, sf("sf0.001")).first()
+    r.getAs[Long]("n_missed") shouldBe 0L // the Bloom contract
+    r.getAs[Long]("n_flagged") shouldBe
+      r.getAs[Long]("n_true_dup") + r.getAs[Long]("n_false_pos")
+    r.getAs[Long]("n_new") shouldBe 100L
+  }
+
+  test("decile stats: 10 deciles per priority covering every order, sizes within 1") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Aggregates.aggDecileStats(spark, d).collect()
+    val total = Tables.orders(spark, d).count()
+    rows.map(_.getAs[Long]("n_orders")).sum shouldBe total
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.map(_.getInt(1)).sorted.toSeq shouldBe (1 to 10)
+      val sizes = rs.map(_.getAs[Long]("n_orders"))
+      (sizes.max - sizes.min) should be <= 1L
+      // deciles are value-ordered: max of decile k <= min of decile k+1
+      val byDecile = rs.sortBy(_.getInt(1))
+      byDecile.zip(byDecile.tail).foreach { case (a, b) =>
+        a.getAs[Double]("max_price") should be <= b.getAs[Double]("min_price")
+      }
+    }
+  }
+
+  test("stream left-outer interval join: inner pairs preserved, nulls only past watermark") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Streaming.queries("stream_interval_left_join")(spark, d)
+      .collect()
+    val ev = Tables.events(spark, d)
+    val inner = ev.filter(col("event_type") === "click").alias("c")
+      .join(ev.filter(col("event_type") === "purchase").alias("p"),
+        col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") <= col("c.ts") + expr("INTERVAL 30 MINUTES"))
+      .count()
+    out.count(!_.isNullAt(2)) shouldBe inner
+    // null-extended rows exist and carry no purchase timestamp either
+    val nulls = out.filter(_.isNullAt(2))
+    nulls.foreach(_.isNullAt(4) shouldBe true)
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
