@@ -678,13 +678,25 @@ object Dedup {
         transform(sequence(lit(1), length(t) - 7), i => t.substr(i, lit(8))))
         .otherwise(array(t))
     }
+    // window minimum as least-of-4 element_ats: A/B'd against
+    // array_min(slice(...)) — the slice allocates a 4-element array per
+    // window position (~1k allocations/doc); least() reads in place
     val fps = bindOnce(transform(grams, g => hash60(g))) { hs =>
       when(size(hs) >= 4,
         array_distinct(transform(sequence(lit(0), size(hs) - 4),
-          j => array_min(slice(hs, j + lit(1), lit(4))))))
+          j => least(element_at(hs, j + 1), element_at(hs, j + 2),
+                     element_at(hs, j + 3), element_at(hs, j + 4)))))
         .otherwise(array(array_min(hs)))
     }
+    // the gram-hash projection is ~1k md5/doc: without a repartition it
+    // runs inside the single-split parquet scan (docs are ~1 KB, so the
+    // split count tracks bytes while the cost is CPU) — one cheap
+    // shuffle of raw docs buys scan-independent parallelism. The
+    // partition count is PINNED: an unnumbered repartition lets AQE
+    // coalesce the ~600 KB shuffle back to one partition (it sizes by
+    // bytes and cannot see the md5 cost behind each row)
     val docFp = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), explode(fps).as("fp")).distinct()
     val fpDocs = docFp.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
