@@ -215,7 +215,12 @@ object Curation {
     // c exact — identical sum, ~⅓ the join/shuffle rows). The first cut
     // joined raw occurrences and re-exploded the corpus twice; together
     // with the bindOnce fix above: 4.9 s → 2.9 s at sf0.1.
-    val perDoc = docs
+    // pinned parallelism for the trigram explode: the corpus is one
+    // parquet split (byte-sized), but the projection is ~1k substr+hash
+    // ops per doc — same AQE-coalescing trap as ext_winnowing's A/B
+    // (PLANS.md round-5 session 2): an unnumbered repartition gets
+    // coalesced back to one partition by byte-based sizing
+    val perDoc = fanout(docs, col("doc_id"))
       .select(col("doc_id"), explode(chargrams("text")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       .localCheckpoint()

@@ -695,8 +695,7 @@ object Dedup {
     // partition count is PINNED: an unnumbered repartition lets AQE
     // coalesce the ~600 KB shuffle back to one partition (it sizes by
     // bytes and cannot see the md5 cost behind each row)
-    val docFp = Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
+    val docFp = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), explode(fps).as("fp")).distinct()
     val fpDocs = docFp.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))

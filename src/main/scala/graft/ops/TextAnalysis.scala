@@ -212,7 +212,7 @@ object TextAnalysis {
                   i => lt.substr(i, lit(3))))
         .otherwise(array(lt))
     }
-    val counts = Tables.documents(s, d)
+    val counts = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("lang"), explode(grams).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -32,6 +32,23 @@ package object ops {
   def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** Pin parallelism for a CPU-dense per-row projection (per-doc gram
+    * hashing and the like) whose input is byte-small: the parquet split
+    * count tracks bytes, and an UNNUMBERED repartition gets coalesced
+    * back to ~one partition by AQE's byte-based sizing — neither can see
+    * the ~1k md5/substr calls behind each row. A numbered repartition
+    * (REPARTITION_BY_NUM) disables AQE coalescing; the count is the
+    * cluster's default parallelism, so the same code spreads over 1000
+    * executors at corpus scale. Measured on ext_winnowing 4.9→1.3 s,
+    * ext_lm_score 3.3→1.3 s, ext_ngram_profile 2.8→1.1 s at sf0.1.
+    * LIMIT: only for frames that REDUCE into small aggregates — on
+    * frames that feed self-joins or iterative propagation the
+    * never-coalesce contract propagates the pinned partition count
+    * through every downstream exchange and measured 1.5–2.3× WORSE
+    * (full A/B table in PLANS.md round-5 session 2). */
+  def fanout(df: DataFrame, by: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
+
   /** Exact order-independent sum of a 2-decimal money/qty column → double. */
   def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
