@@ -466,7 +466,45 @@ object Joins {
       .orderBy(col("day"))
   }
 
+  /** J7d — FORWARD as-of join (pandas `merge_asof(direction='forward')`):
+    * each event matched to the NEXT observation at or after its
+    * timestamp — the "what happened next" join behind
+    * label-at-horizon feature builds (backward as-of answers "latest
+    * known state", forward answers "next outcome"). Same
+    * union-and-carry machinery as [[joinAsofTrue]] mirrored in time:
+    * probe rows sort BEFORE build rows at equal ts (side 0 < 1) and the
+    * window runs current-row → unbounded FOLLOWING taking the first
+    * non-null pack, so an observation at the exact event time matches
+    * (>= semantics), preserving one user-partitioned sort and no join
+    * explosion. DuckDB has no forward ASOF JOIN — the oracle replays
+    * the identical window program with IGNORE NULLS first_value. */
+  val joinAsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val obs = ev
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("obs_value"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(0).as("side"),
+      col("event_id"),
+      lit(null).cast("struct<obs_ts:timestamp_ntz,obs_value:double>")
+        .as("obspack"))
+    val build = obs.select(col("user_id"), col("ts"), lit(1).as("side"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("ts").as("obs_ts"), col("obs_value")).as("obspack"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    probe.unionByName(build)
+      .withColumn("m", first(col("obspack"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("m.obs_ts").as("next_ts"), col("m.obs_value").as("next_value"))
+      .orderBy(col("event_id"), col("user_id"), col("ts"), col("next_ts"),
+               col("next_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_forward" -> joinAsofForward,
     "join_partition_prune" -> joinPartitionPrune,
     "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval_overlap" -> joinIntervalOverlap,
@@ -492,6 +530,30 @@ object Joins {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // no forward ASOF in DuckDB — identical union-and-carry window
+    // program, IGNORE NULLS first_value over the following frame
+    "join_asof_forward" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, max(value) AS obs_value
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id,
+        |    CAST(NULL AS TIMESTAMP) AS o_ts, CAST(NULL AS DOUBLE) AS o_val
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT), ts, obs_value
+        |  FROM obs),
+        |m AS (
+        |  SELECT user_id, ts, side, event_id,
+        |    first_value(o_ts IGNORE NULLS) OVER w AS next_ts,
+        |    first_value(o_val IGNORE NULLS) OVER w AS next_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ts, next_ts, next_value
+        |FROM m WHERE side = 0
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // the DPP layout/join collapses to a flat filtered aggregate
     "join_partition_prune" ->
       s"""SELECT CAST(ts AS DATE) AS day,

@@ -526,7 +526,44 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** W24 — sweep-line maximum concurrency per event type: treat every
+    * event as a [ts, ts+300 s) interval and find the peak number of
+    * simultaneously-open intervals plus the first instant it is
+    * reached — the capacity-planning primitive (max concurrent
+    * sessions / connections / jobs) that interval_merge's island
+    * machinery cannot answer. Classic sweep: ±1 deltas at start/end,
+    * one time-ordered running sum per type. Half-open semantics pinned
+    * by the sort key (t, delta): an interval ending at t closes BEFORE
+    * one starting at t opens (−1 sorts first), so touching intervals
+    * never double-count. Integer epoch seconds and counts end to end;
+    * the peak instant is min t where the running sum hits the max —
+    * deterministic. The window is type-partitioned; state is O(1). */
+  val winSweepConcurrency: Q = (s, d) => {
+    val pts = Tables.events(s, d)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("st"))
+      .select(col("event_type"),
+        explode(array(
+          struct(col("st").as("t"), lit(1).as("delta")),
+          struct((col("st") + 300L).as("t"), lit(-1).as("delta"))))
+          .as("p"))
+      .select(col("event_type"), col("p.t").as("t"), col("p.delta").as("delta"))
+      .groupBy(col("event_type"), col("t"), col("delta"))
+      .agg(sum(col("delta")).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts
+      .withColumn("open", sum(col("d")).over(w))
+      .withColumn("mx",
+        max(col("open")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("open")).as("max_concurrent"),
+           min(when(col("open") === col("mx"), col("t"))).as("peak_t"),
+           sum(when(col("d") > 0, col("d")).otherwise(0L)).as("n_intervals"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_sweep_concurrency" -> winSweepConcurrency,
     "win_cusum" -> winCusum,
     "win_value_range" -> winValueRange,
     "win_rolling_mad" -> winRollingMad,
@@ -551,6 +588,37 @@ object Windows {
     "win_single_offset_frame" -> winSingleOffsetFrame)
 
   val oracles: Map[String, String] = Map(
+    // half-open sweep: at equal t the close (-1) sorts before the open
+    // (+1); all integers
+    "win_sweep_concurrency" ->
+      """WITH pts AS (
+        |  SELECT event_type, t, delta FROM (
+        |    SELECT event_type,
+        |      CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS t,
+        |      1 AS delta
+        |    FROM events
+        |    UNION ALL
+        |    SELECT event_type,
+        |      CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) + 300, -1
+        |    FROM events)),
+        |g AS (
+        |  SELECT event_type, t, delta, CAST(SUM(delta) AS BIGINT) AS d
+        |  FROM pts GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT event_type, t, d,
+        |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM g),
+        |mx AS (
+        |  SELECT event_type, t, d, open,
+        |    MAX(open) OVER (PARTITION BY event_type) AS mxo
+        |  FROM r)
+        |SELECT event_type,
+        |  CAST(max(open) AS BIGINT) AS max_concurrent,
+        |  min(CASE WHEN open = mxo THEN t END) AS peak_t,
+        |  CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+        |    AS n_intervals
+        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin,
     // pure-BIGINT statistic: n*running_sum - k*total, no division;
     // the peak flag compares integers so it cannot rounding-diverge
     "win_cusum" ->

@@ -1018,6 +1018,47 @@ class SurfaceSpec extends SparkSpec {
     nulls.foreach(_.isNullAt(4) shouldBe true)
   }
 
+  test("asof forward: next_ts is never before the event, matches >= semantics") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Joins.joinAsofForward(spark, d).collect()
+    rows.length shouldBe Tables.events(spark, d).count()
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val ts = r.getAs[java.time.LocalDateTime]("ts")
+      val nx = r.getAs[java.time.LocalDateTime]("next_ts")
+      nx.isBefore(ts) shouldBe false
+    }
+  }
+
+  test("sweep concurrency: peak bounded by interval count, positive at every type") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Windows.winSweepConcurrency(spark, d).collect()
+    val byType = Tables.events(spark, d).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      r.getAs[Long]("n_intervals") shouldBe byType(t)
+      r.getAs[Long]("max_concurrent") should be >= 1L
+      r.getAs[Long]("max_concurrent") should be <= byType(t)
+    }
+  }
+
+  test("array HOFs: fold/zip/sort agree with a driver-side replay") {
+    val rows = graft.ops.JsonArray.fnArrayOps2(spark, sf("sf0.001"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val arr = (1 to 10).map(i => (id * i) % 7)
+      r.getAs[Int]("n_even") shouldBe arr.count(_ % 2 == 0)
+      r.getAs[Boolean]("has_five") shouldBe arr.contains(5)
+      r.getAs[Boolean]("all_lt7") shouldBe true // mod 7 is always < 7
+      r.getAs[Long]("folded") shouldBe arr.foldLeft(0L)((a, x) => a * 2 + x)
+      r.getAs[String]("sorted_desc") shouldBe
+        arr.sorted.reverse.mkString(",")
+      r.getAs[Long]("zip_sum") shouldBe
+        arr.zip(arr.reverse).map { case (x, y) => x + y }.sum
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
