@@ -623,7 +623,45 @@ object Aggregates {
       .orderBy(col("o_orderpriority"), col("decile"))
   }
 
+  /** A19 — Welch two-sample t-test between click and purchase values:
+    * the A/B-experiment readout (unequal variances, the safe default).
+    * Every moment (n, Σx, Σx²) is an exact integer in cents, so mean and
+    * variance are the same doubles on both engines (identical
+    * int→double casts and one arithmetic shape); t and the
+    * Welch–Satterthwaite df are reported round(6). The statistic rides
+    * two partial-aggregated scans collapsed to a 2×1-row cross join —
+    * nothing here scales with rows but the moment aggregation itself. */
+  val aggTtest: Q = (s, d) => {
+    def m(tpe: String, p: String) =
+      Tables.events(s, d).filter(col("event_type") === tpe)
+        .select(floor(col("value") * 100).cast("long").as("z"))
+        .agg(count(lit(1)).as(s"n$p"), sum(col("z")).as(s"s1$p"),
+             sum(col("z") * col("z")).as(s"s2$p"))
+    def mean(p: String) =
+      col(s"s1$p").cast("double") / col(s"n$p").cast("double") / 100.0
+    def variance(p: String) = {
+      val n = col(s"n$p").cast("double")
+      (n * col(s"s2$p").cast("double") -
+        col(s"s1$p").cast("double") * col(s"s1$p").cast("double")) /
+        (n * (n - 1.0)) / 10000.0
+    }
+    m("click", "1").crossJoin(m("purchase", "2"))
+      .select(col("n1"), col("n2"),
+        round(mean("1"), 6).as("mean1"), round(mean("2"), 6).as("mean2"), {
+          val se1 = variance("1") / col("n1").cast("double")
+          val se2 = variance("2") / col("n2").cast("double")
+          struct(
+            round((mean("1") - mean("2")) / sqrt(se1 + se2), 6).as("t"),
+            round((se1 + se2) * (se1 + se2) /
+              (se1 * se1 / (col("n1").cast("double") - 1.0) +
+               se2 * se2 / (col("n2").cast("double") - 1.0)), 2).as("df"))
+        }.as("st"))
+      .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+              col("st.t").as("t_stat"), col("st.df").as("welch_df"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_ttest" -> aggTtest,
     "agg_decile_stats" -> aggDecileStats,
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_hhi" -> aggHhi,
@@ -654,6 +692,37 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    // identical arithmetic shape: int moments -> same doubles -> round
+    "agg_ttest" ->
+      """WITH ca AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(SUM(z) AS BIGINT) AS s1a, CAST(SUM(z * z) AS BIGINT) AS s2a
+        |  FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS z FROM events
+        |        WHERE event_type = 'click')),
+        |cb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(SUM(z) AS BIGINT) AS s1b, CAST(SUM(z * z) AS BIGINT) AS s2b
+        |  FROM (SELECT CAST(floor(value * 100) AS BIGINT) AS z FROM events
+        |        WHERE event_type = 'purchase')),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(s1a AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+        |    CAST(s1b AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
+        |    (CAST(n1 AS DOUBLE) * CAST(s2a AS DOUBLE)
+        |       - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 10000.0
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    (CAST(n2 AS DOUBLE) * CAST(s2b AS DOUBLE)
+        |       - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) / 10000.0
+        |      / CAST(n2 AS DOUBLE) AS se2
+        |  FROM ca, cb)
+        |SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |  round((se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |     + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS welch_df
+        |FROM m""".stripMargin,
     "agg_decile_stats" ->
       """WITH b AS (
         |  SELECT o_orderpriority, o_orderkey,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for LLM-training-data pipelines (the
@@ -424,7 +424,45 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E60 — incremental materialized-view maintenance: the per-language
+    * corpus MV (docs / chars / token mass) maintained by MERGING a
+    * delta batch (doc_id ≥ 400) into the previous MV state (doc_id
+    * < 400) instead of recomputing — the pattern that turns the
+    * reference's REFRESH-the-world materialized views
+    * (`/root/reference/sql/performance_optimization.sql:83-91`) into an
+    * O(delta) nightly job at 100 TB. Only mergeable partials are
+    * stored (counts and exact decimal sums — never averages); the
+    * ratio is re-derived after the merge. The full-outer merge keys on
+    * the MV grain (langs — bounded), so the merge cost is independent
+    * of corpus size. The ORACLE RECOMPUTES FROM SCRATCH: equality of
+    * the merged path with the recompute is exactly the invariant that
+    * makes incremental maintenance trustworthy. */
+  val extMvMerge: Q = (s, d) => {
+    def mv(df: DataFrame) = df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars").cast("long")).as("n_chars"),
+           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val docs = Tables.documents(s, d)
+    val old = mv(docs.filter(col("doc_id") < 400))
+      .select(col("lang"), col("n_docs").as("d0"), col("n_chars").as("c0"),
+              col("n_tokens").as("t0"))
+    val delta = mv(docs.filter(col("doc_id") >= 400))
+      .select(col("lang"), col("n_docs").as("d1"), col("n_chars").as("c1"),
+              col("n_tokens").as("t1"))
+    old.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("d1"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)))
+          .as("n_chars"),
+        (coalesce(col("t0"), lit(0L)) + coalesce(col("t1"), lit(0L)))
+          .as("n_tokens"))
+      .withColumn("chars_per_doc", expr("n_chars * 100 div n_docs"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_mv_merge" -> extMvMerge,
     "ext_span_corruption" -> extSpanCorruption,
     "ext_dataset_diff" -> extDatasetDiff,
     "ext_line_dedup" -> extLineDedup,
@@ -455,6 +493,15 @@ object Curation {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle recomputes from scratch — merged == recomputed IS the
+    // incremental-maintenance invariant
+    "ext_mv_merge" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) * 100
+        |    // CAST(count(*) AS BIGINT) AS BIGINT) AS chars_per_doc
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "ext_span_corruption" ->
       s"""WITH b AS (
          |  SELECT doc_id,

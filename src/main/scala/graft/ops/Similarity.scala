@@ -386,6 +386,30 @@ object Similarity {
     scored
   }
 
+  /** E61 — embedding-table QA audit: the pre-flight check before any
+    * similarity job trusts a vector column — dimension consistency,
+    * zero/near-zero norms (degenerate vectors that NaN a cosine), and
+    * the squared-norm distribution. Per-row squared norms are
+    * sequential HOF folds (identical evaluation order both engines →
+    * identical doubles); the only cross-row sum goes through
+    * round(6)→decimal so partition merge order cannot leak into the
+    * mean. One map stage + one single-row aggregate at any corpus
+    * size. */
+  val extEmbedAudit: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val sq = dotD(col("embedding"), col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+              round(sq, 6).cast("decimal(18,6)").as("sqn"))
+      .agg(count(lit(1)).as("n_vectors"),
+           countDistinct(col("dim")).as("n_dims"),
+           min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+           sum(when(col("sqn") < 0.000001, 1L).otherwise(0L)).as("n_degenerate"),
+           min(col("sqn")).cast("double").as("min_sq_norm"),
+           max(col("sqn")).cast("double").as("max_sq_norm"),
+           (sum(col("sqn")).cast("double") / count(lit(1))).as("avg_sq_norm"))
+  }
+
   /** E57 — hybrid retrieval fusion (RRF): merge a SPARSE lexical
     * ranking (BM25 for the fixed 3-term query, [[TextAnalysis.extBm25]])
     * with a DENSE embedding ranking (cosine against doc 0's vector — the
@@ -629,7 +653,8 @@ object Similarity {
     "ext_pq_encode" -> extPqEncode,
     "ext_pq_adc" -> extPqAdc,
     "ext_pq_recall" -> extPqRecall,
-    "ext_hybrid_rank" -> extHybridRank)
+    "ext_hybrid_rank" -> extHybridRank,
+    "ext_embed_audit" -> extEmbedAudit)
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -653,6 +678,21 @@ object Similarity {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "ext_embed_audit" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+         |    CAST(round(${dotSql("embedding", "embedding")}, 6)
+         |      AS DECIMAL(18,6)) AS sqn
+         |  FROM embeddings)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+         |  min(dim) AS dim_min, max(dim) AS dim_max,
+         |  CAST(SUM(CASE WHEN sqn < 0.000001 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_degenerate,
+         |  CAST(min(sqn) AS DOUBLE) AS min_sq_norm,
+         |  CAST(max(sqn) AS DOUBLE) AS max_sq_norm,
+         |  CAST(SUM(sqn) AS DOUBLE) / count(*) AS avg_sq_norm
+         |FROM b""".stripMargin,
     "ext_pq_recall" ->
       s"""WITH sub AS (
          |  SELECT vec_id, CAST(r.m AS INTEGER) AS m,

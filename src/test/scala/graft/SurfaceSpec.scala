@@ -1059,6 +1059,40 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("welch t-test: symmetric under group swap, df between min and sum of dfs") {
+    val r = graft.ops.Aggregates.aggTtest(spark, sf("sf0.001")).first()
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    n1 should be > 1L; n2 should be > 1L
+    val df = r.getAs[Double]("welch_df")
+    df should be >= math.min(n1 - 1, n2 - 1).toDouble
+    df should be <= (n1 + n2 - 2).toDouble
+  }
+
+  test("mv merge: incremental path equals direct recompute") {
+    val d = sf("sf0.001")
+    val merged = graft.ops.Curation.extMvMerge(spark, d).collect()
+    val direct = Tables.documents(spark, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars").cast("long")).as("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    merged.foreach { r =>
+      val (nd, nc) = direct(r.getString(0))
+      r.getAs[Long]("n_docs") shouldBe nd
+      r.getAs[Long]("n_chars") shouldBe nc
+    }
+  }
+
+  test("embed audit: uniform dims, no degenerate vectors in the fixture") {
+    val r = graft.ops.Similarity.extEmbedAudit(spark, sf("sf0.001")).first()
+    r.getAs[Long]("n_dims") shouldBe 1L
+    r.getAs[Int]("dim_min") shouldBe 64
+    r.getAs[Long]("n_degenerate") shouldBe 0L
+    r.getAs[Double]("min_sq_norm") should be > 0.0
+    r.getAs[Double]("avg_sq_norm") should be >= r.getAs[Double]("min_sq_norm")
+    r.getAs[Double]("avg_sq_norm") should be <= r.getAs[Double]("max_sq_norm")
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
