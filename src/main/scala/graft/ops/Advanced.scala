@@ -182,7 +182,36 @@ object Advanced {
     perType.unionByName(total).orderBy(col("event_type"))
   }
 
+  /** E62 — Z-order layout audit: Morton-interleave two 8-bit dimensions
+    * (user bucket × value bucket) with [[graft.etl.ZOrder.zvalue]]'s
+    * mask ladder, cut the curve into 64 equal z-ranges (stand-ins for
+    * output files), and report each block's (x, y) bounding box — the
+    * numbers that PROVE two-dimensional locality: every block's box is
+    * a small square (≈32×32 for 8-bit dims), so a predicate on EITHER
+    * dimension prunes most blocks on min/max stats alone, which is the
+    * whole case for ZORDER BY at 100 TB (vs a single-column sort whose
+    * trailing-dimension spans stay ~full-range). Pure bit arithmetic,
+    * bit-identical in DuckDB; one hash aggregate over 64 groups. */
+  val extZorderAudit: Q = (s, d) => {
+    val x = pmod(col("user_id"), lit(256L))
+    val y = pmod(floor(col("value") * 100).cast("long"), lit(256L))
+    Tables.events(s, d)
+      .select(x.as("x"), y.as("y"),
+              graft.etl.ZOrder.zvalue(pmod(col("user_id"), lit(256L)),
+                pmod(floor(col("value") * 100).cast("long"), lit(256L)))
+                .as("z"))
+      .select(expr("z div 1024").as("block"), col("x"), col("y"))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n"),
+           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("x_span", col("x_max") - col("x_min"))
+      .withColumn("y_span", col("y_max") - col("y_min"))
+      .orderBy(col("block"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_zorder_audit" -> extZorderAudit,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ext_vec_centroid" -> extVecCentroid,
     "agg_rollup" -> aggRollup,
@@ -192,7 +221,30 @@ object Advanced {
     "agg_approx" -> aggApprox,
     "sample_seeded" -> sampleSeeded)
 
+  // DuckDB replay of ZOrder.zvalue's mask ladder (pure bit arithmetic)
+  private def spreadSql(c: String): String = {
+    val c0 = s"($c & 65535)"
+    val c1 = s"(($c0 | ($c0 << 8)) & 16711935)"
+    val c2 = s"(($c1 | ($c1 << 4)) & 252645135)"
+    val c3 = s"(($c2 | ($c2 << 2)) & 858993459)"
+    s"(($c3 | ($c3 << 1)) & 1431655765)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "ext_zorder_audit" ->
+      s"""WITH b AS (
+         |  SELECT (user_id % 256) AS x,
+         |    (CAST(floor(value * 100) AS BIGINT) % 256) AS y
+         |  FROM events),
+         |z AS (
+         |  SELECT x, y,
+         |    (${spreadSql("x")} | (${spreadSql("y")} << 1)) // 1024 AS block
+         |  FROM b)
+         |SELECT block, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1

@@ -660,7 +660,75 @@ object Aggregates {
               col("st.t").as("t_stat"), col("st.df").as("welch_df"))
   }
 
+  /** A20 — Benford first-digit audit over order totals: the
+    * forensic-accounting screen (fabricated numbers rarely follow
+    * Benford's log distribution). Digit extraction is string-based
+    * (portable: no log10 at runtime) and the expected shares are the
+    * nine PINNED ppm constants — hardcoding them dodges the only
+    * nondeterminism in the whole query, a possible last-ulp libm
+    * disagreement in log10 between engines. Counts → ppm in integer
+    * floor-divide; 9-row output from one hash aggregate. */
+  val aggBenford: Q = (s, d) => {
+    val benford = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+                      66946L, 57991L, 51152L, 45757L)
+    val bmap = map((1 to 9).flatMap(i =>
+      Seq(lit(i), lit(benford(i - 1)))): _*)
+    Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+              expr("n * 1000000 div total").as("obs_ppm"),
+              element_at(bmap, col("digit")).as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy(col("digit"))
+  }
+
+  /** A21 — chi-square independence test: is event type independent of
+    * day-of-week? Observed 5×7 contingency counts vs expected
+    * row·col/N, χ² = Σ(o−e)²/e. The only nondeterminism hazard is the
+    * SUM ORDER over cell contributions (doubles): each contribution is
+    * rounded(6) and cast to decimal first, so the reduction is
+    * order-independent and bit-identical — same discipline as every
+    * money sum in this repo. Day-of-week via ISO `dayofweek` shifted to
+    * 0=Sunday on both engines. Bounded 35-cell frame after one
+    * count shuffle. */
+  val aggChisq: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+              (dayofweek(to_date(col("ts"))) - 1).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val wCol = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dow"))
+    cells
+      .withColumn("r", sum(col("o")).over(wRow))
+      .withColumn("c", sum(col("o")).over(wCol))
+      .withColumn("t", sum(col("o")).over(wAll))
+      .withColumn("e", col("r").cast("double") * col("c").cast("double") /
+                       col("t").cast("double"))
+      .withColumn("contrib",
+        round((col("o").cast("double") - col("e")) *
+              (col("o").cast("double") - col("e")) / col("e"), 6)
+          .cast("decimal(18,6)"))
+      .agg(count(lit(1)).as("n_cells"),
+           countDistinct(col("event_type")).as("n_types"),
+           countDistinct(col("dow")).as("n_dows"),
+           sum(col("contrib")).cast("double").as("chi2"),
+           max(col("contrib")).cast("double").as("max_contrib"))
+      .select(col("n_cells"), col("n_types"), col("n_dows"), col("chi2"),
+              col("max_contrib"),
+              ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_benford" -> aggBenford,
+    "agg_chisq" -> aggChisq,
     "agg_ttest" -> aggTtest,
     "agg_decile_stats" -> aggDecileStats,
     "agg_multi_distinct" -> aggMultiDistinct,
@@ -692,6 +760,55 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    // pinned Benford ppm constants — no runtime log10 on either engine
+    "agg_benford" ->
+      """WITH b(digit, benford_ppm) AS (VALUES
+        |  (1, CAST(301029 AS BIGINT)), (2, 176091), (3, 124938),
+        |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |  (9, 45757)),
+        |o AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n) AS total FROM o)
+        |SELECT o.digit, o.n,
+        |  CAST(o.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        |  b.benford_ppm,
+        |  abs(CAST(o.n * 1000000 // t.total AS BIGINT) - b.benford_ppm)
+        |    AS dev_ppm
+        |FROM o JOIN b USING (digit) CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
+    // per-cell contributions rounded->decimal so the chi2 reduction is
+    // order-independent; dow shifted to 0=Sunday on both engines
+    "agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, dow, o,
+        |    SUM(o) OVER (PARTITION BY event_type) AS r,
+        |    SUM(o) OVER (PARTITION BY dow) AS c,
+        |    SUM(o) OVER () AS t
+        |  FROM cells),
+        |k AS (
+        |  SELECT event_type, dow, o,
+        |    CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE)
+        |        * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)
+        |        * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+        |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)),
+        |      6) AS DECIMAL(18,6)) AS contrib
+        |  FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+        |  CAST(SUM(contrib) AS DOUBLE) AS chi2,
+        |  CAST(MAX(contrib) AS DOUBLE) AS max_contrib,
+        |  CAST((COUNT(DISTINCT event_type) - 1)
+        |     * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS df
+        |FROM k""".stripMargin,
     // identical arithmetic shape: int moments -> same doubles -> round
     "agg_ttest" ->
       """WITH ca AS (

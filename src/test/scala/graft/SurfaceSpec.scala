@@ -1093,6 +1093,35 @@ class SurfaceSpec extends SparkSpec {
     r.getAs[Double]("avg_sq_norm") should be <= r.getAs[Double]("max_sq_norm")
   }
 
+  test("benford: nine digits, ppm shares sum near 1e6, pinned expectations") {
+    val rows = graft.ops.Aggregates.aggBenford(spark, sf("sf0.001")).collect()
+    rows.map(_.getInt(0)).sorted.toSeq shouldBe (1 to 9)
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    obsSum should (be >= 999990L and be <= 1000000L) // floor-div slack
+    rows.map(_.getAs[Long]("benford_ppm")).sum shouldBe 999995L
+  }
+
+  test("chi-square: full 5x7 grid, chi2 equals sum of rounded contributions") {
+    val r = graft.ops.Aggregates.aggChisq(spark, sf("sf0.001")).first()
+    r.getAs[Long]("n_types") shouldBe 5L
+    r.getAs[Long]("n_dows") shouldBe 7L
+    r.getAs[Long]("df") shouldBe 24L
+    r.getAs[Double]("chi2") should be >= r.getAs[Double]("max_contrib")
+  }
+
+  test("zorder audit: blocks are small boxes, single-dim sort would not be") {
+    val rows = graft.ops.Advanced.extZorderAudit(spark, sf("sf0.001")).collect()
+    // 64 blocks over a 256x256 space -> each box is at most 32x32
+    rows.foreach { r =>
+      r.getAs[Long]("x_span") should be <= 31L
+      r.getAs[Long]("y_span") should be <= 31L
+    }
+    // locality claim: total box area is a small fraction of the space
+    val area = rows.map(r => (r.getAs[Long]("x_span") + 1) *
+                             (r.getAs[Long]("y_span") + 1)).sum
+    area should be <= 64L * 32 * 32
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
