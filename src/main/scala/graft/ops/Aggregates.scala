@@ -726,7 +726,42 @@ object Aggregates {
               ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"))
   }
 
+  /** A22 — lag-1 autocorrelation of the daily value series per event
+    * type: the "is today predicted by yesterday" number behind
+    * seasonality detection and forecast-model sanity checks. Pairs
+    * (xₜ, xₜ₋₁) come from one lag window over the day grain; Pearson r
+    * over the pairs is computed from exact integer-cent moments
+    * (n·Σxy − ΣxΣy over the two variance terms), so both engines build
+    * identical doubles before the single round(6). Degenerate series
+    * (constant, or <2 pairs) → NULL via the variance guard. Day-grain
+    * frames only — nothing scales with raw rows except the first
+    * aggregate. */
+  val aggAutocorr: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      .withColumn("y", lag(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+           sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n_pairs"), {
+        val n = col("n_pairs").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val cov = n * col("sxy").cast("double") - sx * sy
+        val vx = n * col("sxx").cast("double") - sx * sx
+        val vy = n * col("syy").cast("double") - sy * sy
+        when(vx > 0 && vy > 0,
+             round(cov / sqrt(vx * vy), 6)).as("lag1_autocorr")
+      })
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_autocorr" -> aggAutocorr,
     "agg_benford" -> aggBenford,
     "agg_chisq" -> aggChisq,
     "agg_ttest" -> aggTtest,
@@ -760,6 +795,39 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    // identical integer moments -> identical doubles -> one round(6)
+    "agg_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM daily),
+        |q AS (SELECT * FROM p WHERE y IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN
+        |      CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |  THEN round(
+        |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS lag1_autocorr
+        |FROM m ORDER BY event_type""".stripMargin,
     // pinned Benford ppm constants — no runtime log10 on either engine
     "agg_benford" ->
       """WITH b(digit, benford_ppm) AS (VALUES

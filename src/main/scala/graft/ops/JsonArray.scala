@@ -75,12 +75,61 @@ object JsonArray {
               col("r.zip_sum"))
       .orderBy(col("event_id"))
 
+  /** X3 — MapType surface: per-row maps built with `map()`, probed with
+    * `element_at`, filtered with `map_filter`, rewritten with
+    * `transform_values`, flattened with `map_keys`/`map_values`. DuckDB
+    * has no map_filter/transform_values — its oracle recomputes the
+    * same outputs from the underlying key/value arrays, which is the
+    * point: the CONTRACT is output equality, not operator-name parity.
+    * Outputs are scalars (maps never hit the parquet dump, so no
+    * map-hashing portability hazard). One codegen'd map stage. */
+  val fnMapOps: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        bindOnce(map(
+          lit("a"), pmod(col("event_id"), lit(10L)),
+          lit("b"), pmod(col("user_id"), lit(10L)),
+          lit("c"), pmod(floor(col("value") * 100).cast("long"), lit(10L)))) {
+          m => struct(
+            size(m).as("n_keys"),
+            element_at(m, "b").as("val_b"),
+            size(map_filter(m, (_, v) => v > 5)).as("n_gt5"),
+            element_at(transform_values(m, (_, v) => v * 2), "c")
+              .as("c_doubled"),
+            concat_ws(",", map_keys(m)).as("keys_csv"),
+            aggregate(map_values(m), lit(0L), (acc, v) => acc + v)
+              .as("val_sum"))
+        }.as("r"))
+      .select(col("event_id"), col("r.n_keys"), col("r.val_b"),
+              col("r.n_gt5"), col("r.c_doubled"), col("r.keys_csv"),
+              col("r.val_sum"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
     "fn_json_extract" -> fnJsonExtract,
     "fn_array_ops" -> fnArrayOps,
-    "fn_array_ops2" -> fnArrayOps2)
+    "fn_array_ops2" -> fnArrayOps2,
+    "fn_map_ops" -> fnMapOps)
 
   val oracles: Map[String, String] = Map(
+    // map semantics recomputed from the key/value arrays (DuckDB lacks
+    // map_filter/transform_values) — output equality is the contract
+    "fn_map_ops" ->
+      """WITH v AS (
+        |  SELECT event_id,
+        |    (event_id % 10) AS va, (user_id % 10) AS vb,
+        |    (CAST(floor(value * 100) AS BIGINT) % 10) AS vc
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(3 AS INTEGER) AS n_keys,
+        |  vb AS val_b,
+        |  CAST((CASE WHEN va > 5 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN vb > 5 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN vc > 5 THEN 1 ELSE 0 END) AS INTEGER) AS n_gt5,
+        |  vc * 2 AS c_doubled,
+        |  'a,b,c' AS keys_csv,
+        |  va + vb + vc AS val_sum
+        |FROM v ORDER BY event_id""".stripMargin,
     "fn_array_ops2" ->
       """WITH a AS (
         |  SELECT event_id,

@@ -168,7 +168,23 @@ object Scalars {
              " '-28') AS DATE)").as("maybe_date"))
       .orderBy(col("c_custkey"))
 
+  /** F10 — batch time-bucketing via `window()` (the same tumbling
+    * `window(ts, "15 minutes")` the streaming tier uses, here in a
+    * batch aggregate — proving the grouping primitive is
+    * engine-uniform across modes). Buckets are epoch-aligned; the
+    * oracle spells the identical bucketing as epoch floor-division
+    * (`time_bucket` origins differ between engines — arithmetic
+    * doesn't). Counts + exact decimal sums. */
+  val fnTimeBucket: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "fn_time_bucket" -> fnTimeBucket,
     "fn_try_cast" -> fnTryCast,
     "fn_datetime_extract" -> fnDatetimeExtract,
     "fn_date_format" -> fnDateFormat,
@@ -180,6 +196,14 @@ object Scalars {
     "fn_exp_log" -> fnExpLog)
 
   val oracles: Map[String, String] = Map(
+    // epoch floor-division bucketing — identical alignment both engines
+    "fn_time_bucket" ->
+      s"""SELECT
+         |  to_timestamp(CAST(floor(EXTRACT(EPOCH FROM ts) / 900) * 900
+         |    AS BIGINT)) AT TIME ZONE 'UTC' AS bucket_start,
+         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "fn_try_cast" ->
       """SELECT c_custkey, c_name,
         |  TRY_CAST(c_name AS INTEGER) AS name_as_int,

@@ -1122,6 +1122,44 @@ class SurfaceSpec extends SparkSpec {
     area should be <= 64L * 32 * 32
   }
 
+  test("map ops: probe/filter/transform agree with a driver-side replay") {
+    val rows = graft.ops.JsonArray.fnMapOps(spark, sf("sf0.001"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      r.getAs[Int]("n_keys") shouldBe 3
+      r.getAs[String]("keys_csv") shouldBe "a,b,c"
+      r.getAs[Long]("val_sum") should be >= r.getAs[Long]("val_b")
+      r.getAs[Long]("c_doubled") % 2 shouldBe 0L
+    }
+  }
+
+  test("time bucket: batch window() buckets partition all events, 15-min aligned") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Scalars.fnTimeBucket(spark, d).collect()
+    rows.map(_.getAs[Long]("n_events")).sum shouldBe Tables.events(spark, d).count()
+    rows.foreach { r =>
+      val t = r.getAs[java.time.LocalDateTime]("bucket_start")
+      t.getMinute % 15 shouldBe 0
+      t.getSecond shouldBe 0
+    }
+  }
+
+  test("autocorrelation: r in [-1, 1], pair count is days minus one per type") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Aggregates.aggAutocorr(spark, d).collect()
+    val days = Tables.events(spark, d)
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      r.getAs[Long]("n_pairs") shouldBe days(r.getString(0)) - 1
+      if (!r.isNullAt(2)) {
+        val v = r.getAs[Double]("lag1_autocorr")
+        v should (be >= -1.0 and be <= 1.0)
+      }
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
