@@ -760,7 +760,33 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** A23 — argument extremes (`max_by`/`min_by`, DuckDB `arg_max`/
+    * `arg_min`): WHO had the biggest/smallest event per type — the
+    * lookup every leaderboard needs without a rank window. Neither
+    * engine pins tie-breaks, so the ordering key is a composite
+    * integer (cents·10⁸ + event_id — unique by construction, envelope
+    * ~1e13 ≪ 2⁶³ at any test SF; a corpus deployment widens to
+    * decimal) making the answer deterministic. One hash aggregate. */
+  val aggArgExtremes: Q = (s, d) => {
+    val key = floor(col("value") * 100).cast("long") * 100000000L +
+      col("event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("value"),
+              key.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           max_by(col("user_id"), col("k")).as("top_user"),
+           min_by(col("user_id"), col("k")).as("bottom_user"),
+           max(col("k")).as("kmax"), min(col("k")).as("kmin"))
+      .select(col("event_type"), col("n_events"), col("top_user"),
+              col("bottom_user"),
+              expr("kmax div 100000000").as("max_cents"),
+              expr("kmin div 100000000").as("min_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_arg_extremes" -> aggArgExtremes,
     "agg_autocorr" -> aggAutocorr,
     "agg_benford" -> aggBenford,
     "agg_chisq" -> aggChisq,
@@ -795,6 +821,18 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    // composite unique ordering key makes arg_max/arg_min deterministic
+    "agg_arg_extremes" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) * 100000000 + event_id AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  arg_max(user_id, k) AS top_user,
+        |  arg_min(user_id, k) AS bottom_user,
+        |  CAST(max(k) // 100000000 AS BIGINT) AS max_cents,
+        |  CAST(min(k) // 100000000 AS BIGINT) AS min_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical integer moments -> identical doubles -> one round(6)
     "agg_autocorr" ->
       """WITH daily AS (

@@ -112,6 +112,51 @@ object Sampling {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** E63 — RAG context packing: the retrieve-and-fit step between a
+    * query and a context window — [[extChunkOverlap]]'s 128/96 chunks
+    * are scored for the fixed 3-term query (integer term-occurrence
+    * count), the top candidates ranked, and greedily packed into a
+    * 512-token budget (a chunk ships only if it fits whole). Composes
+    * three shipped primitives (chunking, lexical scoring, budget
+    * window) into the operator a RAG serving layer actually runs.
+    * Scale shape: scoring is per-chunk map work; candidate selection
+    * is TakeOrdered top-64 (never a global rank of all chunks); the
+    * pack window runs over ≤64 rows. */
+  val extRagPack: Q = (s, d) => {
+    val terms = Seq("hash", "join", "vector")
+    val win = 128
+    val stride = 96
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .withColumn("n_tok", size(col("tk")))
+      .select(col("doc_id"), col("n_tok"),
+              posexplode(sequence(lit(0), col("n_tok") - 1, lit(stride))),
+              col("tk"))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_tok")
+      .select(col("doc_id"), col("chunk_idx"),
+              least(lit(win), col("n_tok") - col("start_tok"))
+                .as("n_chunk_tok"),
+              size(filter(slice(col("tk"), col("start_tok") + 1, lit(win)),
+                          t => terms.map(t === _).reduce(_ || _)))
+                .cast("long").as("score"))
+      .filter(col("score") > 0)
+    val top = scored
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      .limit(64)
+    val wRank = Window.orderBy(col("score").desc, col("doc_id"),
+                               col("chunk_idx"))
+    top
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_tok",
+        sum(col("n_chunk_tok").cast("long")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tok") <= 512)
+      .select(col("rank"), col("doc_id"), col("chunk_idx"), col("score"),
+              col("n_chunk_tok"), col("cum_tok"))
+      .orderBy(col("rank"))
+  }
+
   /** E19 — dataset card: the per-language corpus summary every dataset
     * release ships (docs, sources, token mass, exact-dup incidence).
     * One window over text (the dup probe shuffles 32-byte-hash-sized
@@ -395,6 +440,7 @@ object Sampling {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_rag_pack" -> extRagPack,
     "ext_epoch_plan" -> extEpochPlan,
     "ext_shard_assign" -> extShardAssign,
     "ext_temperature_sample" -> extTemperatureSample,
@@ -418,6 +464,38 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chunk -> integer term score -> top-64 -> greedy 512-token pack
+    "ext_rag_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk,
+        |    len(string_split(lower(text), ' ')) AS n_tok
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(r.i AS INTEGER) AS chunk_idx,
+        |    CAST(r.i * 96 AS INTEGER) AS start_tok, n_tok, tk
+        |  FROM base, LATERAL (SELECT unnest(range(0,
+        |    CAST(ceil(CAST(n_tok AS DOUBLE) / 96) AS BIGINT))) AS i) r
+        |  WHERE r.i * 96 < n_tok),
+        |sc AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CAST(least(128, n_tok - start_tok) AS INTEGER) AS n_chunk_tok,
+        |    CAST(len(list_filter(tk[start_tok + 1:start_tok + 128],
+        |      t -> t IN ('hash', 'join', 'vector'))) AS BIGINT) AS score
+        |  FROM ch),
+        |top AS (
+        |  SELECT * FROM sc WHERE score > 0
+        |  ORDER BY score DESC, doc_id, chunk_idx LIMIT 64),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id, chunk_idx)
+        |      AS INTEGER) AS rank,
+        |    SUM(CAST(n_chunk_tok AS BIGINT)) OVER (ORDER BY score DESC,
+        |      doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cum_tok
+        |  FROM top)
+        |SELECT rank, doc_id, chunk_idx, score, n_chunk_tok, cum_tok
+        |FROM rk WHERE cum_tok <= 512 ORDER BY rank""".stripMargin,
     "ext_epoch_plan" ->
       s"""WITH b AS (
          |  SELECT doc_id,

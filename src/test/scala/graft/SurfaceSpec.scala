@@ -1160,6 +1160,33 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("rag pack: budget respected, ranks contiguous, scores non-increasing") {
+    val rows = graft.ops.Sampling.extRagPack(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.last.getAs[Long]("cum_tok") should be <= 512L
+    rows.map(_.getInt(0)).toSeq shouldBe (1 to rows.length)
+    val scores = rows.map(_.getAs[Long]("score"))
+    scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
+    rows.foreach(_.getAs[Long]("score") should be > 0L)
+  }
+
+  test("arg extremes: top user really owns the per-type maximum value") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Aggregates.aggArgExtremes(spark, d).collect()
+    val ev = Tables.events(spark, d)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val maxCents = ev.filter(col("event_type") === t)
+        .agg(max(floor(col("value") * 100).cast("long"))).first().getLong(0)
+      r.getAs[Long]("max_cents") shouldBe maxCents
+      // the elected user has at least one event at that exact amount
+      ev.filter(col("event_type") === t &&
+          col("user_id") === r.getAs[Long]("top_user") &&
+          floor(col("value") * 100).cast("long") === maxCents)
+        .count() should be >= 1L
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
