@@ -785,7 +785,45 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** A24 — two-sample Kolmogorov–Smirnov distance between the click and
+    * purchase value distributions — the distribution-drift detector
+    * that, unlike [[aggTtest]], sees shape changes a mean can't
+    * (completes the stats trio: t locates, χ² associates, KS shapes).
+    * FULLY integer-exact: at each distinct cent value the scaled CDF
+    * gap is |cum₁·n₂ − cum₂·n₁| (every factor an exact count, products
+    * in decimal(38,0)/HUGEINT), the statistic is its max, and the
+    * reported D is a ppm floor-divide — no float ever enters the
+    * comparison. The cumulative window runs over the DISTINCT-value
+    * grain (price-domain-bounded, not row-bounded); scale note: the
+    * value domain is what bounds the single-partition window, the same
+    * envelope argument as agg_percentile_disc. */
+  val aggKsTest: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("z"))
+    val per = base.groupBy(col("z"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("z"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = base.agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n2"))
+    per
+      .withColumn("cum1", sum(col("c1")).over(w).cast("decimal(38,0)"))
+      .withColumn("cum2", sum(col("c2")).over(w).cast("decimal(38,0)"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("gap"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("gap")).as("dmax"))
+      .select(col("n1"), col("n2"),
+        expr("CAST((dmax * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2) " +
+             "AS BIGINT)").as("ks_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_ks_test" -> aggKsTest,
     "agg_arg_extremes" -> aggArgExtremes,
     "agg_autocorr" -> aggAutocorr,
     "agg_benford" -> aggBenford,
@@ -821,6 +859,37 @@ object Aggregates {
     "agg_multikey" -> aggMultikey)
 
   val oracles: Map[String, String] = Map(
+    // integer-exact KS: |cum1*n2 - cum2*n1| in HUGEINT, ppm floor-div
+    "agg_ks_test" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS z
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |per AS (
+        |  SELECT z,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM base GROUP BY 1),
+        |t AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM base),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(c1) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS HUGEINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS HUGEINT) AS cum2
+        |  FROM per),
+        |g AS (
+        |  SELECT t.n1, t.n2, MAX(abs(cum1 * t.n2 - cum2 * t.n1)) AS dmax
+        |  FROM c, t GROUP BY 1, 2)
+        |SELECT n1, n2,
+        |  CAST((dmax * 1000000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+        |    AS ks_ppm
+        |FROM g""".stripMargin,
     // composite unique ordering key makes arg_max/arg_min deterministic
     "agg_arg_extremes" ->
       """WITH b AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.11 / BASELINE.json): treat
@@ -457,9 +458,11 @@ object Multimodal {
     sb.toString
   }
 
-  val extImagePhash: Q = (s, d) => {
+  /** Encode→decode→aHash stage shared by [[extImagePhash]] and
+    * [[extImageFrameMatch]]: one perceptual hash per document image. */
+  private def imagePhashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashed = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
       .as[(Long, String, Int)]
       .mapPartitions(_.map { case (id, text, nChars) =>
@@ -472,6 +475,10 @@ object Multimodal {
           sys.error(s"undecodable payload for doc $id"))
         (id, aHash(dw, dh, pix))
       }).toDF("doc_id", "phash")
+  }
+
+  val extImagePhash: Q = (s, d) => {
+    val hashed = imagePhashes(s, d)
     val counts = hashed.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_same_hash"))
     hashed.join(counts, Seq("phash"))
@@ -537,7 +544,9 @@ object Multimodal {
     * fingerprinting decodes all frames — the point is per-frame
     * identity, and each frame's hash is the SAME aHash the image entry
     * uses, so image-vs-frame matches compose. */
-  val extFramePhash: Q = (s, d) => {
+  /** Per-frame aHash arrays shared by [[extFramePhash]] and
+    * [[extImageFrameMatch]]. */
+  private def framePhashArrays(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("n_chars"))
@@ -552,14 +561,45 @@ object Multimodal {
             .getOrElse(sys.error(s"undecodable frame for doc $id"))
           aHash(dw, dh, p)
         }
-        (id, hashes.length, hashes.distinct.length)
-      }).toDF("doc_id", "n_frames", "n_unique_frames")
+        (id, hashes.toSeq)
+      }).toDF("doc_id", "hashes")
+  }
+
+  val extFramePhash: Q = (s, d) =>
+    framePhashArrays(s, d)
+      .select(col("doc_id"), size(col("hashes")).as("n_frames"),
+              size(array_distinct(col("hashes"))).as("n_unique_frames"))
       .select(col("doc_id"), col("n_frames"), col("n_unique_frames"),
               (col("n_unique_frames") === 1).as("is_static"))
+      .orderBy(col("doc_id"))
+
+  /** E64 — cross-modal dedup probe: which documents' IMAGE rendering
+    * appears among any document's VIDEO frames — possible only because
+    * image and frame fingerprints share one aHash ([[extImagePhash]] /
+    * [[extFramePhash]] scaladocs promise exactly this composition; this
+    * entry cashes the promise). Scale shape matters: the join is image
+    * → per-HASH frame summary (hash-grain, bounded by distinct
+    * signatures), never image × frame pairs — a degenerate signature
+    * (all-black stills) inflates one summary row, not a pair
+    * blow-up. By construction every doc's frame 0 equals its own image
+    * (same width formula at i = 0), so n_frame_matches ≥ 1 — a
+    * spec-pinned invariant that the two decode paths really do agree. */
+  val extImageFrameMatch: Q = (s, d) => {
+    val img = imagePhashes(s, d)
+    val frameSummary = framePhashArrays(s, d)
+      .select(col("doc_id").as("vid_doc"), explode(col("hashes")).as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_frame_matches"),
+           countDistinct(col("vid_doc")).as("n_video_matches"))
+    img.join(frameSummary, Seq("phash"), "left")
+      .select(col("doc_id"), col("phash"),
+              coalesce(col("n_frame_matches"), lit(0L)).as("n_frame_matches"),
+              coalesce(col("n_video_matches"), lit(0L)).as("n_video_matches"))
       .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_image_frame_match" -> extImageFrameMatch,
     "ext_multimodal" -> extMultimodal,
     "ext_audio_features" -> extAudioFeatures,
     "ext_audio_phash" -> extAudioPhash,
@@ -575,6 +615,51 @@ object Multimodal {
     * come from the hex dump (engine-portable), so parity holds on
     * non-ASCII text too. */
   val oracles: Map[String, String] = Map(
+    // image phash = the frame-0 formula (same width derivation), so one
+    // fg() replay serves both sides of the cross-modal join
+    "ext_image_frame_match" -> {
+      def fg(qv: String, kv: String): String = {
+        val w = s"(1 + (n_chars + $kv) % 12)"
+        val base = s"((($qv // 8) * hh // 8) * $w + (($qv % 8) * $w // 8)) * 3"
+        (0 to 2).map(c =>
+          s"bytes[CAST(($base + $c) % len AS INTEGER) + 1]").mkString(" + ")
+      }
+      def hashAt(kv: String): String =
+        s"""CASE WHEN len = 0 THEN repeat('0', 64)
+           |      ELSE list_aggregate(list_transform(range(0, 64), q ->
+           |        CASE WHEN (${fg("q", kv)}) * 64 >
+           |          list_aggregate(list_transform(range(0, 64),
+           |                                        q2 -> ${fg("q2", kv)}), 'sum')
+           |        THEN '1' ELSE '0' END), 'string_agg', '')
+           |      END""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(1 + doc_id % 7 AS INTEGER) AS hh,
+         |    CAST(1 + doc_id % 4 AS INTEGER) AS f,
+         |    coalesce(octet_length(encode(text)), 0) AS len,
+         |    coalesce(hex(encode(text)), '') AS hx
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_chars, hh, f, len,
+         |    list_transform(range(1, len + 1),
+         |      i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+         |              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT)) AS bytes
+         |  FROM h),
+         |ph AS (
+         |  SELECT doc_id, list_transform(range(0, f), k -> ${hashAt("k")})
+         |    AS hashes
+         |  FROM b),
+         |fr AS (SELECT doc_id AS vid_doc, unnest(hashes) AS phash FROM ph),
+         |fs AS (
+         |  SELECT phash, CAST(count(*) AS BIGINT) AS n_frame_matches,
+         |    CAST(count(DISTINCT vid_doc) AS BIGINT) AS n_video_matches
+         |  FROM fr GROUP BY 1),
+         |img AS (SELECT doc_id, ${hashAt("0")} AS phash FROM b)
+         |SELECT img.doc_id, img.phash,
+         |  CAST(coalesce(fs.n_frame_matches, 0) AS BIGINT) AS n_frame_matches,
+         |  CAST(coalesce(fs.n_video_matches, 0) AS BIGINT) AS n_video_matches
+         |FROM img LEFT JOIN fs USING (phash) ORDER BY doc_id""".stripMargin
+    },
     "ext_multimodal" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

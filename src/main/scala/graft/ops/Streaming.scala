@@ -12,6 +12,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "stream_hourly_agg" -> ((s, d) => EventsStream.hourlyAgg(s, d)),
     "stream_sliding_agg" -> ((s, d) => EventsStream.slidingAgg(s, d)),
+    "stream_chained_agg" -> ((s, d) => EventsStream.chainedAgg(s, d)),
     "stream_dedup_counts" -> ((s, d) => EventsStream.dedupCounts(s, d)),
     "stream_sessionize" -> ((s, d) => EventsStream.sessionStats(s, d)),
     "stream_running_max" -> ((s, d) => EventsStream.runningMaxQuery(s, d)),
@@ -72,6 +73,20 @@ object Streaming {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+    // chained aggs in append mode emit only days finalized before the
+    // terminal watermark (max ts - 1 h)
+    "stream_chained_agg" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        |SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+        |  max(n_events) AS max_hourly, CAST(count(*) AS BIGINT) AS n_hours
+        |FROM hourly, wm
+        |WHERE CAST(date_trunc('day', h) AS DATE) + INTERVAL 1 DAY
+        |      <= wm.w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // left-outer stream-stream join drained == matched pairs + clicks
     // whose 30-min window closed before the terminal watermark
     // (min of the two stream maxima - 1 h)

@@ -211,6 +211,43 @@ object EventsStream {
     }
   }
 
+  /** ST2c — CHAINED streaming aggregations (Spark 3.4+ capability:
+    * multiple stateful operators in one query, append mode): hourly
+    * counts per type (first window agg) feed a daily MAX-of-hourly
+    * (second window agg over `window_time`) — the "peak hourly load
+    * per day" metric, end to end inside one streaming query instead of
+    * two jobs with an intermediate topic. Append mode is what makes
+    * chaining sound (each stage emits only finalized windows), so the
+    * last partially-watermarked day stays in state at drain — the
+    * batch oracle excludes exactly the days whose end lies past the
+    * terminal watermark (max ts − 1 h), the same deterministic
+    * boundary as [[intervalLeftJoin]]. */
+  def chainedAgg(s: SparkSession, sfDir: String): DataFrame = {
+    withStatePartitions(s, 8) {
+    val hourly = readEvents(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("day_w"),
+               col("event_type"))
+      .agg(max(col("n_events")).as("max_hourly"),
+           count(lit(1)).as("n_hours"))
+      .select(col("day_w.start").cast("timestamp_ntz").cast("date").as("day"),
+              col("event_type"), col("max_hourly"), col("n_hours"))
+      .writeStream
+      .format("memory")
+      .queryName("graft_stream_chained")
+      .outputMode("append")
+      .option("checkpointLocation", scratch("chained_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_chained")
+      .orderBy(col("day"), col("event_type"))
+    }
+  }
+
   /** ST5 — watermarked streaming dedup on the natural key (the principled
     * `ON CONFLICT DO NOTHING`). The deduped stream lands in an APPEND-MODE
     * FILE SINK — distributed, exactly-once via the checkpoint, projected

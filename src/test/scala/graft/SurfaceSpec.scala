@@ -1187,6 +1187,43 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("ks test: D in [0, 1e6] ppm, zero only if distributions identical") {
+    val r = graft.ops.Aggregates.aggKsTest(spark, sf("sf0.001")).first()
+    val ks = r.getAs[Long]("ks_ppm")
+    ks should (be >= 0L and be <= 1000000L)
+    r.getAs[Long]("n1") should be > 0L
+    r.getAs[Long]("n2") should be > 0L
+  }
+
+  test("chained streaming aggs: daily maxima match batch, last open day held back") {
+    val d = sf("sf0.001")
+    val out = graft.ops.Streaming.queries("stream_chained_agg")(spark, d).collect()
+    out.length should be > 0
+    val batch = Tables.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(to_date(col("h")).as("day"), col("event_type"))
+      .agg(max(col("n")).as("mx"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) ->
+        r.getAs[Long]("mx")).toMap
+    out.foreach { r =>
+      r.getAs[Long]("max_hourly") shouldBe
+        batch((r.getDate(0).toString, r.getString(1)))
+    }
+  }
+
+  test("image-frame match: every doc's image appears in its own video (frame 0)") {
+    val rows = graft.ops.Multimodal.extImageFrameMatch(spark, sf("sf0.001"))
+      .collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      r.getAs[Long]("n_frame_matches") should be >= 1L
+      r.getAs[Long]("n_video_matches") should be >= 1L
+      r.getAs[Long]("n_frame_matches") should be >=
+        r.getAs[Long]("n_video_matches")
+    }
+  }
+
   test("range bucket join: buckets partition the events exactly") {
     val d = sf("sf0.001")
     val out = graft.ops.Joins.joinRangeBucket(spark, d).collect()
