@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must NOT pass through sbt's logger: the "[info] "
+// prefix it adds stops the driver's bench parser from json.loads-ing the
+// one-line {"metric":...} summary (BENCH_r0{1..4}.json all show
+// parsed:null). StdoutOutput inherits the parent's raw stdout/stderr, so
+// the JSON line is emitted verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

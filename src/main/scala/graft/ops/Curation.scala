@@ -350,6 +350,45 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** E47b — per-source BOILERPLATE audit (the RefinedWeb/C4 navbar–
+    * cookie-banner–footer detector, scoped WITHIN a source the way
+    * production pipelines scope it per domain): a segment is
+    * boilerplate for a source when it recurs in ≥ 3 distinct documents
+    * OF THAT SOURCE, and the report is source-grain — how many distinct
+    * segments the source has, how many are boilerplate, and what
+    * fraction of the source's total segment occurrences the boilerplate
+    * accounts for. Complements [[extLineDedup]] (corpus-global segment
+    * DF, doc-grain keep stats) with the per-domain summary a curation
+    * run reads FIRST to decide which sources need scrubbing.
+    *
+    * Same no-word-explode segmentation (array slices of the split
+    * array, 8-word segments standing in for lines in this newline-free
+    * corpus). Two bounded shuffles: (source, seg) for the DF count —
+    * at 100 TB shuffle the segment hash, not the text, same plan — and
+    * the 5-group source rollup. The boilerplate fraction is one
+    * division of exact longs. */
+  val extBoilerplateLines: Q = (s, d) => {
+    val segs = bindOnce(split(col("text"), " ")) { t =>
+      transform(sequence(lit(0), floor((size(t) + 7) / lit(8)).cast("int") - 1),
+                k => array_join(slice(t, k * lit(8) + 1, lit(8)), " "))
+    }
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), explode(segs).as("seg"))
+      .groupBy(col("source"), col("seg"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("nd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"),
+           sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_boiler_segs"),
+           sum(col("occ")).as("total_occ"),
+           sum(when(col("nd") >= 3, col("occ")).otherwise(0L))
+             .as("boiler_occ"))
+      .select(col("source"), col("n_segments"), col("n_boiler_segs"),
+              col("total_occ"), col("boiler_occ"),
+              (col("boiler_occ").cast("double") /
+               col("total_occ").cast("double")).as("boiler_frac"))
+      .orderBy(col("source"))
+  }
+
   /** E48 — dataset release diff: per-source added / removed / changed /
     * unchanged counts between two corpus snapshots — the audit every
     * dataset release ships ("v2 removed 5% of web, edited 10% of
@@ -462,6 +501,7 @@ object Curation {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_boilerplate_lines" -> extBoilerplateLines,
     "ext_mv_merge" -> extMvMerge,
     "ext_span_corruption" -> extSpanCorruption,
     "ext_dataset_diff" -> extDatasetDiff,
@@ -542,6 +582,29 @@ object Curation {
          |  FROM v1 FULL OUTER JOIN v2 ON id1 = id2)
          |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
          |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+    // same segmentation as ext_line_dedup, DF scoped per source
+    "ext_boilerplate_lines" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS ord
+        |  FROM documents),
+        |seg AS (
+        |  SELECT source, doc_id, CAST(floor((ord - 1) / 8) AS BIGINT) AS seg_no,
+        |         string_agg(word, ' ' ORDER BY ord) AS seg
+        |  FROM w GROUP BY 1, 2, 3),
+        |df AS (
+        |  SELECT source, seg, CAST(count(*) AS BIGINT) AS occ,
+        |         count(DISTINCT doc_id) AS nd
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler_segs,
+        |  CAST(SUM(occ) AS BIGINT) AS total_occ,
+        |  CAST(SUM(CASE WHEN nd >= 3 THEN occ ELSE 0 END) AS BIGINT)
+        |    AS boiler_occ,
+        |  CAST(SUM(CASE WHEN nd >= 3 THEN occ ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(occ) AS DOUBLE) AS boiler_frac
+        |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical segmentation: word ord 1..n, segment = (ord-1) div 8,
     // words rejoined in ord order ≡ Spark's slice(t, 8k+1, 8)
     "ext_line_dedup" ->

@@ -755,7 +755,45 @@ object Dedup {
                 .as("fp_pm"))
   }
 
+  /** E1b — SOFT dedup (down-weighting instead of dropping, the
+    * SoftDeDup / "ditto-penalty" alternative to hard removal in
+    * training-data curation): every document keeps weight 1/k where k
+    * is its exact-duplicate cluster size, so a text duplicated 50×
+    * contributes one document's worth of gradient mass in aggregate
+    * instead of 50 (or, under hard dedup, 1 chosen arbitrarily).
+    * Reported per source: raw count, singleton count, EFFECTIVE
+    * document count Σ 1/k, and the inflation ratio raw/effective —
+    * the "how much of this source is ditto mass" audit number.
+    *
+    * Scale shape: the window that computes k partitions by the sha-256
+    * CONTENT FINGERPRINT of the text, projected before the shuffle —
+    * so the exchange carries (64-hex, source) pairs, never documents
+    * (the same digests-not-documents discipline as
+    * [[extExactDedup]]'s production variant and extDatasetDiff).
+    * Second aggregate is source-grain (5 groups). Numeric discipline:
+    * each 1/k is rounded to 9 decimals and summed as decimal(38,9) —
+    * an ORDER-FREE exact sum (IEEE summation of 1/k terms would be
+    * order-dependent and engines shuffle differently); the final
+    * effective count and ratio get one rounded double conversion. */
+  val extSoftDedup: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(sha2(col("text"), 256).as("fp"), col("source"))
+      .withColumn("k", count(lit(1)).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_singletons"),
+           sum(round(lit(1.0) / col("k"), 9).cast("decimal(38,9)"))
+             .as("eff"))
+      .select(col("source"), col("n_docs"), col("n_singletons"),
+              round(col("eff").cast("double"), 6).as("effective_docs"),
+              round(col("n_docs").cast("double") / col("eff").cast("double"),
+                    6).as("dedup_inflation"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_soft_dedup" -> extSoftDedup,
     "ext_bloom_dedup" -> extBloomDedup,
     "ext_winnowing" -> extWinnowing,
     "ext_dedup_sweep" -> extDedupSweep,
@@ -772,6 +810,22 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // same fingerprint-window program; 1/k rounded to 9 decimals and
+    // decimal-summed so the effective count is order-free on both engines
+    "ext_soft_dedup" ->
+      """WITH f AS (
+        |  SELECT sha256(text) AS fp, source FROM documents),
+        |k AS (
+        |  SELECT source, count(*) OVER (PARTITION BY fp) AS k FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  round(CAST(SUM(CAST(round(1.0 / k, 9) AS DECIMAL(38,9)))
+        |    AS DOUBLE), 6) AS effective_docs,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(1.0 / k, 9) AS DECIMAL(38,9))) AS DOUBLE),
+        |    6) AS dedup_inflation
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // bit-identical m=4096 k=3 bloom replay; the n_missed=0 column IS
     // the no-false-negative contract, oracle-pinned
     "ext_bloom_dedup" ->

@@ -503,7 +503,65 @@ object Joins {
                col("next_value"))
   }
 
+  /** J7e — NEAREST as-of join (pandas `merge_asof(direction='nearest')`):
+    * each event matched to the closest purchase observation of the same
+    * user in EITHER time direction, ties going to the earlier
+    * observation — the sensor-alignment join ("attach the closest
+    * reading, past or future") that completes the as-of family
+    * (backward [[joinAsofTrue]], forward [[joinAsofForward]],
+    * tolerance [[joinAsofTolerance]]).
+    *
+    * Still ONE shuffle and ONE sort: both candidate directions come
+    * from the same union frame under the same (user_id) partitioning
+    * and (ts, side) order — a backward carry (`last` ignoreNulls over
+    * UNBOUNDED PRECEDING..0) and a forward carry (`first` ignoreNulls
+    * over 0..UNBOUNDED FOLLOWING) are two frames over one Window sort,
+    * so Spark plans a single exchange + sort with both running states.
+    * Build rows sort before probe rows at equal ts, so an observation
+    * at exactly the event time lands in the BACKWARD carry with
+    * Δt = 0 — which wins the nearest comparison unconditionally, and
+    * the forward frame's strict-after semantics at equal ts is
+    * therefore harmless. The |Δt| comparison is integer epoch seconds
+    * on both engines — no float boundary. */
+  val joinAsofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val obs = ev
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("obs_value"))
+    val build = obs.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("ts").as("obs_ts"), col("obs_value")).as("obspack"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"),
+      lit(null).cast("struct<obs_ts:timestamp_ntz,obs_value:double>")
+        .as("obspack"))
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val wPrev = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = base.rowsBetween(
+      0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val db = unix_timestamp(col("ts")) - unix_timestamp(col("p.obs_ts"))
+    val dfw = unix_timestamp(col("n.obs_ts")) - unix_timestamp(col("ts"))
+    val takePrev = col("p").isNotNull && (col("n").isNull || db <= dfw)
+    build.unionByName(probe)
+      .withColumn("p", last(col("obspack"), ignoreNulls = true).over(wPrev))
+      .withColumn("n", first(col("obspack"), ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+      .withColumn("m", when(takePrev, col("p")).otherwise(col("n")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("m.obs_ts").as("obs_ts"), col("m.obs_value").as("obs_value"),
+              when(col("m").isNull, lit(null).cast("string"))
+                .when(takePrev, lit("backward")).otherwise(lit("forward"))
+                .as("direction"),
+              when(takePrev, db).otherwise(dfw).as("delta_sec"))
+      .orderBy(col("event_id"), col("user_id"), col("ts"), col("obs_ts"),
+               col("obs_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_asof_nearest" -> joinAsofNearest,
     "join_asof_forward" -> joinAsofForward,
     "join_partition_prune" -> joinPartitionPrune,
     "join_asof_tolerance" -> joinAsofTolerance,
@@ -530,6 +588,51 @@ object Joins {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // nearest = the winner of the backward and forward carries over the
+    // SAME union-window program, |Δt| in integer epoch seconds
+    "join_asof_nearest" ->
+      """WITH obs AS (
+        |  SELECT user_id, ts, max(value) AS obs_value
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+        |    ts AS o_ts, obs_value AS o_val
+        |  FROM obs
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id,
+        |    CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, side, event_id,
+        |    last_value(o_ts IGNORE NULLS) OVER wp AS p_ts,
+        |    last_value(o_val IGNORE NULLS) OVER wp AS p_val,
+        |    first_value(o_ts IGNORE NULLS) OVER wn AS n_ts,
+        |    first_value(o_val IGNORE NULLS) OVER wn AS n_val
+        |  FROM u
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY ts, side
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |p AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(EXTRACT(EPOCH FROM ts))
+        |      - floor(EXTRACT(EPOCH FROM p_ts)) AS BIGINT) AS db,
+        |    CAST(floor(EXTRACT(EPOCH FROM n_ts))
+        |      - floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS df,
+        |    p_ts, p_val, n_ts, n_val,
+        |    (p_ts IS NOT NULL AND (n_ts IS NULL OR
+        |       floor(EXTRACT(EPOCH FROM ts)) - floor(EXTRACT(EPOCH FROM p_ts))
+        |       <= floor(EXTRACT(EPOCH FROM n_ts)) - floor(EXTRACT(EPOCH FROM ts))))
+        |      AS take_prev
+        |  FROM m WHERE side = 1)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN take_prev THEN p_ts ELSE n_ts END AS obs_ts,
+        |  CASE WHEN take_prev THEN p_val ELSE n_val END AS obs_value,
+        |  CASE WHEN p_ts IS NULL AND n_ts IS NULL THEN CAST(NULL AS VARCHAR)
+        |       WHEN take_prev THEN 'backward' ELSE 'forward' END AS direction,
+        |  CASE WHEN take_prev THEN db ELSE df END AS delta_sec
+        |FROM p ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // no forward ASOF in DuckDB — identical union-and-carry window
     // program, IGNORE NULLS first_value over the following frame
     "join_asof_forward" ->

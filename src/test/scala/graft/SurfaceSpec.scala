@@ -1236,4 +1236,75 @@ class SurfaceSpec extends SparkSpec {
       lo2 shouldBe hi
     }
   }
+
+  test("asof nearest: chosen |Δt| is minimal over the user's purchase obs") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Joins.joinAsofNearest(spark, d).collect()
+    rows.length shouldBe Tables.events(spark, d).count().toInt
+    // driver-side replay of the candidate set: per (user, ts) purchase obs
+    val obs = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts")).distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("ts")))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    def epoch(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC)
+    rows.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("user_id")) ||
+          !obs.contains(r.getAs[Long]("user_id"))) {
+        r.isNullAt(r.fieldIndex("obs_ts")) shouldBe true
+      } else {
+        val ts = epoch(r.getAs[java.time.LocalDateTime]("ts"))
+        val cands = obs(r.getAs[Long]("user_id")).map(epoch)
+        val d0 = r.getAs[Long]("delta_sec")
+        d0 should be >= 0L
+        d0 shouldBe cands.map(c => math.abs(c - ts)).min
+        val ot = epoch(r.getAs[java.time.LocalDateTime]("obs_ts"))
+        r.getAs[String]("direction") match {
+          case "backward" => ot should be <= ts
+          case "forward"  => ot should be > ts
+        }
+      }
+    }
+  }
+
+  test("soft dedup: effective count matches a driver replay of Σ 1/k") {
+    val d = sf("sf0.001")
+    val rows = graft.ops.Dedup.queries("ext_soft_dedup")(spark, d).collect()
+    val docs = Tables.documents(spark, d)
+      .select(col("source"), sha2(col("text"), 256).as("fp")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val k = docs.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val grp = bySrc(src)
+      r.getAs[Long]("n_docs") shouldBe grp.length.toLong
+      r.getAs[Long]("n_singletons") shouldBe
+        grp.count { case (_, fp) => k(fp) == 1 }.toLong
+      val eff = grp.map { case (_, fp) =>
+        BigDecimal(1.0 / k(fp)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      r.getAs[Double]("effective_docs") shouldBe eff.toDouble +- 1e-6
+      r.getAs[Double]("dedup_inflation") should be >= 1.0
+    }
+  }
+
+  test("boilerplate lines: counts are internally consistent per source") {
+    val rows = graft.ops.Curation.queries("ext_boilerplate_lines")(
+      spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val nSeg = r.getAs[Long]("n_segments")
+      val nBoil = r.getAs[Long]("n_boiler_segs")
+      val tot = r.getAs[Long]("total_occ")
+      val boil = r.getAs[Long]("boiler_occ")
+      nBoil should be <= nSeg
+      boil should be <= tot
+      // a boilerplate segment recurs in ≥3 distinct docs → ≥3 occurrences
+      boil should be >= nBoil * 3
+      r.getAs[Double]("boiler_frac") shouldBe
+        boil.toDouble / tot.toDouble +- 1e-12
+    }
+  }
 }
