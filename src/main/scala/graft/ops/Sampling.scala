@@ -439,7 +439,49 @@ object Sampling {
       .orderBy(col("shard_id"))
   }
 
+  /** E-mix2 — DOMAIN REWEIGHTING to a uniform target mixture (the static
+    * ancestor of DoReMi / data-mixture tuning: given the corpus's actual
+    * per-source token shares, what sampling weight does each source need
+    * so the TRAINED-ON mixture is uniform?). weight_ppm > 10⁶ means the
+    * source must be up-sampled (repeated epochs), < 10⁶ down-sampled;
+    * `epochs_x100` says how many passes over the source one balanced
+    * "virtual epoch" of the full corpus implies — the number a data-
+    * loader actually configures. Complements [[extDomainMix]] (which
+    * APPLIES per-source keep rates); this COMPUTES the rates from the
+    * observed mass.
+    *
+    * Plan: ONE text scan → two-level per-source aggregate → whole-frame
+    * window for the corpus total. The unpartitioned window runs over the
+    * SOURCE-GRAIN frame, whose cardinality is the mixture-bucket count
+    * (a handful here; dozens in production — reweighting happens at the
+    * mixture grain, not raw-domain grain), so the single-partition sort
+    * is a few rows regardless of corpus size — and it saves the second
+    * full corpus scan a `g.agg(...).crossJoin` spelling costs (measured:
+    * Spark does not reuse the source-grain exchange across the two
+    * branches). Integer discipline: shares and weights are ppm
+    * floor-divides in BIGINT; token mass ≲ 10¹³ even at 100 TB so
+    * tokens·10⁶ fits comfortably. */
+  val extDomainReweight: Q = (s, d) => {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .withColumn("tot", sum(col("n_tokens")).over(wAll))
+      .withColumn("nsrc", count(lit(1)).over(wAll))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+              expr("n_tokens * 1000000 div tot").as("share_ppm"),
+              // uniform target: each source should contribute tot/nsrc
+              expr("tot * 1000000 div (nsrc * n_tokens)").as("weight_ppm"),
+              expr("tot * 100 div (nsrc * n_tokens)").as("epochs_x100"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_domain_reweight" -> extDomainReweight,
     "ext_rag_pack" -> extRagPack,
     "ext_epoch_plan" -> extEpochPlan,
     "ext_shard_assign" -> extShardAssign,
@@ -464,6 +506,20 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same 5-group aggregate × 1-row total; ppm/epochs are BIGINT
+    // floor-divides, identical on both engines
+    "ext_domain_reweight" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_tokens) AS tot,
+        |        CAST(count(*) AS BIGINT) AS nsrc FROM g)
+        |SELECT source, n_docs, n_tokens,
+        |  n_tokens * 1000000 // tot AS share_ppm,
+        |  tot * 1000000 // (nsrc * n_tokens) AS weight_ppm,
+        |  tot * 100 // (nsrc * n_tokens) AS epochs_x100
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     // chunk -> integer term score -> top-64 -> greedy 512-token pack
     "ext_rag_pack" ->
       """WITH base AS (

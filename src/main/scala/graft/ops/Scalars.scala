@@ -183,7 +183,35 @@ object Scalars {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("bucket_start"), col("event_type"))
 
+  /** F11 — regex extraction surface (`regexp_extract_all` / masking):
+    * all length-≥5 word matches per document, their count, the first
+    * match, non-overlapping vowel-pair occurrences, and a masked prefix
+    * — the pattern layer PII scrubbing and tokenizer pre-splits build
+    * on. Pure map stage over the text scan: no shuffle, codegen'd
+    * regex, linear at any corpus size.
+    *
+    * Cross-engine contract: the patterns use only character classes and
+    * bounded repetition, where Java regex (Spark) and RE2 (DuckDB)
+    * agree on leftmost non-overlapping match semantics; both engines'
+    * extract-all return arrays in match order, so element-1 and counts
+    * are identical. The masked prefix runs on a fixed 40-char substring
+    * so output width is bounded regardless of document length. */
+  val fnRegexExtract: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
+                .as("n_long_words"),
+              coalesce(element_at(
+                regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)), 1),
+                lit("")).as("first_long"),
+              size(regexp_extract_all(col("text"), lit("[aeiou][aeiou]"),
+                lit(0))).as("n_vowel_pairs"),
+              regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*")
+                .as("masked40"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "fn_regex_extract" -> fnRegexExtract,
     "fn_time_bucket" -> fnTimeBucket,
     "fn_try_cast" -> fnTryCast,
     "fn_datetime_extract" -> fnDatetimeExtract,
@@ -196,6 +224,18 @@ object Scalars {
     "fn_exp_log" -> fnExpLog)
 
   val oracles: Map[String, String] = Map(
+    // same class-only patterns; RE2 and Java regex agree on these
+    "fn_regex_extract" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INTEGER)
+        |    AS n_long_words,
+        |  coalesce(list_extract(regexp_extract_all(text, '[a-z]{5,}'), 1),
+        |    '') AS first_long,
+        |  CAST(len(regexp_extract_all(text, '[aeiou][aeiou]')) AS INTEGER)
+        |    AS n_vowel_pairs,
+        |  regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g')
+        |    AS masked40
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // epoch floor-division bucketing — identical alignment both engines
     "fn_time_bucket" ->
       s"""SELECT

@@ -642,7 +642,44 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** E3f — HARD-NEGATIVE MINING for contrastive training (the
+    * batch-retrieval step behind DPR/SimCSE-style data builds): for each
+    * query vector, the top-3 most-similar vectors whose LABEL DIFFERS —
+    * near-misses that teach the model the decision boundary, unlike
+    * random negatives which are trivially far. Complements
+    * [[extKnnCosine]] (label-blind top-k): the label inequality is part
+    * of the JOIN predicate, so same-class neighbors never reach the
+    * ranking window at all.
+    *
+    * Plan shape: broadcast the bounded 8-row query batch against the
+    * corpus (BroadcastNestedLoopJoin — intentional for a query BATCH;
+    * the corpus side streams, never shuffles), codegen'd `vec_dot`
+    * kernel, per-query top-3 via WindowGroupLimit heaps. At 100 TB the
+    * batch stays driver-bounded (it is the thing a training job holds
+    * anyway) and corpus work is one scan per batch; the ANN variants
+    * ([[extAnnLsh]]/[[extAnnIvf]]) are the scale path when the batch
+    * itself grows. Cosine is bit-identical cross-engine: sequential
+    * fold dot, IEEE division/sqrt (same contract as ext_knn_cosine). */
+  val extHardNegatives: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                     col("embedding").as("qe"))
+      .filter(col("qid") < 8)
+    val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+                     col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    broadcast(q).join(c, col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+              cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_hard_negatives" -> extHardNegatives,
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
     "ext_ann_lsh" -> extAnnLsh,
@@ -678,6 +715,19 @@ object Similarity {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // same broadcast-batch program, label inequality in the join; cosine
+    // is the sequential-fold dot both engines compute identically
+    "ext_hard_negatives" ->
+      s"""SELECT qid, qlabel, cid, clabel, cos, rn FROM (
+         |  SELECT qid, qlabel, cid, clabel, cos, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS qid, q.label AS qlabel,
+         |      c.vec_id AS cid, c.label AS clabel,
+         |      ${cosSql("q.embedding", "c.embedding")} AS cos
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < 8 AND c.label <> q.label))
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "ext_embed_audit" ->
       s"""WITH b AS (
          |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

@@ -53,13 +53,82 @@ object TopK {
         .select(lit(name).as("tbl"), col("n_rows"))
     }.reduce(_ union _).orderBy(col("tbl"))
 
+  /** T5 — NUCLEUS (top-p) cutoff per group: the smallest prefix of users,
+    * ranked by exact spend, that covers ≥ 90% of each event type's total —
+    * the "how concentrated is this segment" report (same math as top-p /
+    * nucleus sampling's cumulative-probability cutoff, and the head-mass
+    * question behind source-curation decisions: "how few domains account
+    * for 90% of tokens?"). Distinct from [[sortLimitTopk]]: the k is not
+    * fixed, it is determined by the mass distribution itself.
+    *
+    * Plan: user-grain hash aggregate (shuffle 1, partial-agg map side)
+    * → per-type rank window (shuffle 2, type-partitioned sort) → 5-group
+    * rollup. The keep test is pure integer arithmetic on cents: a user is
+    * in the nucleus iff the cumulative mass STRICTLY BEFORE them is
+    * < 90% of total, i.e. (cum − u)·10 < tot·9 — no float threshold, no
+    * rounding grid, identical on both engines. Ties rank (spend desc,
+    * user_id asc), so the prefix is deterministic. Overflow envelope:
+    * cents·10 stays in BIGINT through ~9·10¹⁷ cents (≈ $9 quadrillion)
+    * per type — past any corpus; share_ppm multiplies by 10⁶ only at the
+    * 5-row type grain where cents ≲ 10¹² even at 100 TB. */
+  val topkNucleus: Q = (s, d) => {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ucents").desc, col("user_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("ucents"))
+      .withColumn("cum", sum(col("ucents")).over(wRank))
+      .withColumn("tot", sum(col("ucents")).over(wTot))
+      .withColumn("keep", (col("cum") - col("ucents")) * 10 < col("tot") * 9)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_nucleus"),
+           sum(when(col("keep"), col("ucents")).otherwise(0L)).as("nc"),
+           max(col("tot")).as("tc"))
+      .select(col("event_type"), col("n_users"), col("n_nucleus"),
+              expr("nc * 1000000 div tc").as("nucleus_share_ppm"),
+              (col("nc").cast("double") / 100.0).as("nucleus_spend"),
+              (col("tc").cast("double") / 100.0).as("total_spend"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "topk_nucleus" -> topkNucleus,
     "sort_limit_topk" -> sortLimitTopk,
     "sort_multikey" -> sortMultikey,
     "topk_by_abs" -> topkByAbs,
     "union_all_counts" -> unionAllCounts)
 
   val oracles: Map[String, String] = Map(
+    // identical integer program: strict-before cumulative < 90% of total,
+    // all in BIGINT cents; ppm is a floor-divide at type grain
+    "topk_nucleus" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS ucents
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, ucents,
+        |    SUM(ucents) OVER (PARTITION BY event_type
+        |      ORDER BY ucents DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(ucents) OVER (PARTITION BY event_type) AS tot
+        |  FROM u)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nucleus,
+        |  SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
+        |    THEN ucents ELSE 0 END) * 1000000 // max(tot)
+        |    AS nucleus_share_ppm,
+        |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
+        |    THEN ucents ELSE 0 END) AS DOUBLE) / 100.0 AS nucleus_spend,
+        |  CAST(max(tot) AS DOUBLE) / 100.0 AS total_spend
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "sort_limit_topk" ->
       s"""SELECT o_custkey, ${dsumSql("o_totalprice")} AS total_spent,
          |  CAST(count(*) AS BIGINT) AS n_orders

@@ -1307,4 +1307,74 @@ class SurfaceSpec extends SparkSpec {
         boil.toDouble / tot.toDouble +- 1e-12
     }
   }
+
+  test("hard negatives: labels always differ, cos non-increasing per query") {
+    val rows = graft.ops.Similarity.queries("ext_hard_negatives")(
+      spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Int]("qlabel") should !==(r.getAs[Int]("clabel"))
+      r.getAs[Int]("rn") should be <= 3
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { grp =>
+      val ordered = grp.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      ordered.zip(ordered.tail).foreach { case (a, b) => a should be >= b }
+    }
+  }
+
+  test("nucleus: covers >=90%, and dropping the last member would not") {
+    val d = sf("sf0.001")
+    val out = graft.ops.TopK.queries("topk_nucleus")(spark, d).collect()
+    // driver replay of the per-user cents aggregate
+    val byType = Tables.events(spark, d).filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("uc")).collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val t = r.getString(0)
+      r.getAs[Long]("nucleus_share_ppm") should be >= 900000L
+      val sorted = byType(t)
+        .map(x => (x.getAs[Long]("uc"), x.getAs[Long]("user_id")))
+        .sortBy { case (c, u) => (-c, u) }
+      val totC = sorted.map(_._1).sum
+      val k = r.getAs[Long]("n_nucleus").toInt
+      k should be <= sorted.length
+      // minimality: the k-prefix covers >=90% but the (k-1)-prefix doesn't
+      (sorted.take(k).map(_._1).sum * 10) should be >= totC * 9
+      if (k > 1) (sorted.take(k - 1).map(_._1).sum * 10) should be < totC * 9
+    }
+  }
+
+  test("domain reweight: shares sum to ~1e6, weights invert the shares") {
+    val rows = graft.ops.Sampling.queries("ext_domain_reweight")(
+      spark, sf("sf0.001")).collect()
+    val nsrc = rows.length
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    shareSum should be <= 1000000L
+    shareSum should be >= (1000000L - nsrc)
+    rows.foreach { r =>
+      val share = r.getAs[Long]("share_ppm"); val w = r.getAs[Long]("weight_ppm")
+      // weight ≈ 1e6/(nsrc·share/1e6): the product share·w·nsrc ≈ 1e12
+      (share * w * nsrc).toDouble shouldBe 1e12 +- 2e10
+      r.getAs[Long]("epochs_x100") shouldBe w * 100 / 1000000 +- 1
+    }
+  }
+
+  test("regex extract: counts and first match agree with a Scala replay") {
+    val rows = graft.ops.Scalars.queries("fn_regex_extract")(
+      spark, sf("sf0.001")).limit(100).collect()
+    val texts = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val long5 = "[a-z]{5,}".r; val vp = "[aeiou][aeiou]".r
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val m = long5.findAllIn(t).toSeq
+      r.getAs[Int]("n_long_words") shouldBe m.length
+      r.getAs[String]("first_long") shouldBe m.headOption.getOrElse("")
+      r.getAs[Int]("n_vowel_pairs") shouldBe vp.findAllIn(t).length
+      r.getAs[String]("masked40") shouldBe
+        t.take(40).replaceAll("[aeiou]", "*")
+    }
+  }
 }
