@@ -18,22 +18,28 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. We read it as raw Long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros —
-    * identical to what DuckDB's microsecond TIMESTAMP does on the oracle
-    * side, so both engines see the same instants.
+  /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) in some
+    * driver generations (Spark has no native type for it — we read raw
+    * Long nanos via `spark.sql.legacy.parquet.nanosAsLong` and truncate
+    * to micros, identical to DuckDB's microsecond TIMESTAMP) and as plain
+    * TIMESTAMP(MICROS) in others. Dispatch on the physical type so both
+    * layouts land on the same timestamp_ntz micros column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // timestamp_ntz, matching how Spark reads the other tables' naive
     // parquet timestamps (inferTimestampNTZ) — a plain TimestampType here
     // would dump as isAdjustedToUTC=true parquet and mismatch the oracle's
     // naive timestamps. Session TZ is pinned UTC so the cast is a rebadge.
-    table(s, d, "events")
-      .withColumn("ts",
+    val raw = table(s, d, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long layout
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast("timestamp_ntz"))
+          .cast("timestamp_ntz")
+      case _ => // native micros layout
+        org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", tsCol)
   }
 
   val allNames: Seq[String] = Seq(

@@ -500,7 +500,62 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** E5u — URL CANONICALIZATION DEDUP (the first stage of every
+    * web-crawl curation build, upstream even of text dedup: CC-style
+    * pipelines drop ~30% of fetches as URL-variant duplicates before
+    * reading a byte of body): deterministic synthetic raw URLs carrying
+    * the classic surface variants (www prefix, host case, trailing
+    * slash, tracking query, fragment — all keyed off doc_id so both
+    * engines build identical strings), canonicalized by the standard
+    * normalization chain (lowercase → strip query/fragment → strip www
+    * → strip trailing slash), then per-source dup accounting with a
+    * min-doc_id keeper per canonical URL.
+    *
+    * Scale shape: one map stage builds+canonicalizes (regex, codegen'd),
+    * one shuffle on (source, canonical) — the canonical string is
+    * bounded (~60 chars), so the shuffle moves keys, not documents —
+    * then a source-grain rollup. At 100 TB this is the cheapest dedup
+    * tier: no shingles, no signatures, just key normalization. */
+  val extUrlDedup: Q = (s, d) => {
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(
+          lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, upper(col("source")))
+            .otherwise(col("source")),
+          lit(".example.org"), lit("/p"),
+          (col("doc_id") % 20).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+               concat(lit("?utm_source="), col("source")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+          .as("url"))
+    val canon = raw.withColumn("curl",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col("url")), "[?#].*$", ""),
+          "^https://www\\.", "https://"),
+        "/$", ""))
+    canon
+      .groupBy(col("source"), col("curl"))
+      .agg(count(lit(1)).as("n_raw"),
+           countDistinct(col("url")).as("n_forms"),
+           min(col("doc_id")).as("keep_doc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_canonical"),
+           sum(col("n_raw")).cast("bigint").as("n_raw"),
+           (sum(col("n_raw")) - count(lit(1))).cast("bigint").as("n_dupes"),
+           sum(when(col("n_forms") > 1, 1).otherwise(0)).cast("bigint")
+             .as("n_multi_form"),
+           round((sum(col("n_raw")) - count(lit(1))).cast("double") /
+                   sum(col("n_raw")).cast("double"), 6).as("dup_ratio"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_url_dedup" -> extUrlDedup,
     "ext_boilerplate_lines" -> extBoilerplateLines,
     "ext_mv_merge" -> extMvMerge,
     "ext_span_corruption" -> extSpanCorruption,
@@ -533,6 +588,40 @@ object Curation {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical synthetic URLs and normalization chain; dup accounting
+    // is pure integer arithmetic, the ratio ONE IEEE division
+    "ext_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END ||
+        |    '.example.org' || '/p' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=' || source
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, source, url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(url), '[?#].*$', ''),
+        |        '^https://www\.', 'https://'),
+        |      '/$', '') AS curl
+        |  FROM raw),
+        |per_curl AS (
+        |  SELECT source, curl, count(*) AS n_raw,
+        |    COUNT(DISTINCT url) AS n_forms, min(doc_id) AS keep_doc
+        |  FROM canon GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_canonical,
+        |  CAST(sum(n_raw) AS BIGINT) AS n_raw,
+        |  CAST(sum(n_raw) - count(*) AS BIGINT) AS n_dupes,
+        |  CAST(SUM(CASE WHEN n_forms > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi_form,
+        |  round(CAST(sum(n_raw) - count(*) AS DOUBLE) /
+        |    CAST(sum(n_raw) AS DOUBLE), 6) AS dup_ratio
+        |FROM per_curl GROUP BY source ORDER BY source""".stripMargin,
     // the oracle recomputes from scratch — merged == recomputed IS the
     // incremental-maintenance invariant
     "ext_mv_merge" ->

@@ -210,7 +210,48 @@ object Scalars {
                 .as("masked40"))
       .orderBy(col("doc_id"))
 
+  /** F12 — URL parsing surface (the canonicalization layer every
+    * web-crawl curation pipeline starts with): deterministic synthetic
+    * URLs (scheme + optional www + source host + lang/path + optional
+    * tracking query + optional fragment, all keyed off doc_id so both
+    * engines build identical strings), then regex decomposition into
+    * host / registrable core / path / query / fragment plus path depth
+    * and a tracking-param flag. Pure map stage — no shuffle, codegen'd
+    * regex, linear at any corpus size.
+    *
+    * Cross-engine contract: anchors, character classes and literal
+    * escapes only — Java regex (Spark) and RE2 (DuckDB) agree on these;
+    * both engines return '' for a no-match extract, and both split
+    * "/a/b" into 3 elements (leading empty kept). */
+  val fnUrlParse: Q = (s, d) => {
+    val hostRe = "^https://([^/?#]+)"
+    val pathRe = "^https://[^/?#]+(/[^?#]*)"
+    val queryRe = "\\?([^#]*)"
+    Tables.documents(s, d)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.org/"), col("lang"), lit("/p"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+             concat(lit("?utm_source="), col("source"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#sec1")).otherwise(lit(""))))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), hostRe, 1).as("host"),
+        regexp_replace(regexp_extract(col("url"), hostRe, 1), "^www\\.", "")
+          .as("host_core"),
+        regexp_extract(col("url"), pathRe, 1).as("path"),
+        (size(split(regexp_extract(col("url"), pathRe, 1), "/")) - 1)
+          .as("path_depth"),
+        regexp_extract(col("url"), queryRe, 1).as("query_str"),
+        regexp_extract(col("url"), "#(.*)$", 1).as("fragment"),
+        when(substring(regexp_extract(col("url"), queryRe, 1), 1, 4)
+               === "utm_", 1).otherwise(0).as("is_tracked"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_url_parse" -> fnUrlParse,
     "fn_regex_extract" -> fnRegexExtract,
     "fn_time_bucket" -> fnTimeBucket,
     "fn_try_cast" -> fnTryCast,
@@ -224,6 +265,33 @@ object Scalars {
     "fn_exp_log" -> fnExpLog)
 
   val oracles: Map[String, String] = Map(
+    // identical synthetic URL construction and anchored class-only
+    // patterns; both engines return '' on no-match and keep the leading
+    // empty split element
+    "fn_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        |    source || '.example.org/' || lang || '/p' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=' || source
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+        |  regexp_replace(regexp_extract(url, '^https://([^/?#]+)', 1),
+        |    '^www\.', '') AS host_core,
+        |  regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  CAST(len(string_split(
+        |    regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1), '/')) - 1
+        |    AS INTEGER) AS path_depth,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query_str,
+        |  regexp_extract(url, '#(.*)$', 1) AS fragment,
+        |  CASE WHEN substr(regexp_extract(url, '\?([^#]*)', 1), 1, 4)
+        |    = 'utm_' THEN 1 ELSE 0 END AS is_tracked
+        |FROM u ORDER BY doc_id""".stripMargin,
     // same class-only patterns; RE2 and Java regex agree on these
     "fn_regex_extract" ->
       """SELECT doc_id,

@@ -678,7 +678,66 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** E3g — NDCG@10 RETRIEVAL-QUALITY EVAL (the ranking metric every
+    * retrieval data build reports alongside recall): queries vec_id < 8
+    * against the disjoint candidate pool vec_id ≥ 8, system ranking by
+    * exact cosine, binary relevance = label match. DCG@10 sums
+    * rel/log2(rank+1) over the system order; IDCG@10 over the ideal
+    * (all-relevant-first) order of the SAME pool; NDCG their ratio.
+    * Complements [[extAnnRecall]] (set overlap, order-blind) with the
+    * position-weighted metric.
+    *
+    * Plan shape: the bounded 8-row query batch broadcasts against the
+    * corpus (one scan per batch, corpus never shuffles — the
+    * [[extHardNegatives]] contract); both ranks come from two windows
+    * over ONE per-qid sort partition, then a qid-grain aggregate.
+    *
+    * Cross-engine exactness: cosines are the bit-identical sequential
+    * fold; ranks are integers with a cid tiebreak; each 1/log2(r+1)
+    * term is rounded to 12 decimals and decimal-summed (the
+    * [[Aggregates.aggEntropy]] trick) so the ≤10-term reduction is
+    * order-free and libm's ≤1-ulp log2 drift is absorbed; the final
+    * ratio is ONE IEEE division under round(6), zero-guarded for
+    * queries with no relevant candidate. */
+  val extNdcg: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                     col("embedding").as("qe"))
+      .filter(col("qid") < 8)
+    val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+                     col("embedding").as("ce"))
+      .filter(col("cid") >= 8)
+    val wSys = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    def term(rank: Column): Column =
+      when(rank <= 10,
+           round(col("rel").cast("double") / log2(rank.cast("double") + 1.0),
+                 12))
+        .otherwise(0.0).cast("decimal(18,12)")
+    broadcast(q).join(c)
+      .select(col("qid"), col("cid"),
+              (col("qlabel") === col("clabel")).cast("int").as("rel"),
+              cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rn", row_number().over(wSys))
+      .withColumn("irn", row_number().over(wIdeal))
+      .groupBy(col("qid"))
+      .agg(sum(col("rel")).cast("bigint").as("n_rel"),
+           sum(term(col("rn"))).as("dcg_d"),
+           sum(term(col("irn"))).as("idcg_d"))
+      .select(col("qid"), col("n_rel"),
+              col("dcg_d").cast("double").as("dcg10"),
+              col("idcg_d").cast("double").as("idcg10"),
+              when(col("idcg_d") > 0,
+                   round(col("dcg_d").cast("double") /
+                           col("idcg_d").cast("double"), 6)).as("ndcg10"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_ndcg" -> extNdcg,
     "ext_hard_negatives" -> extHardNegatives,
     "ext_knn_cosine" -> extKnnCosine,
     "ext_embed_neardup" -> extEmbedNeardup,
@@ -715,6 +774,38 @@ object Similarity {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // same two-window ranking over the same exact cosines; each DCG term
+    // rounded to 12 decimals and decimal-summed so the reduction is
+    // order-free on both engines
+    "ext_ndcg" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 8 AND c.vec_id >= 8),
+         |ranked AS (
+         |  SELECT qid, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+         |      AS rn,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid)
+         |      AS irn
+         |  FROM scored),
+         |aggd AS (
+         |  SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    SUM(CASE WHEN rn <= 10 THEN CAST(round(
+         |      rel / log2(rn + 1.0), 12) AS DECIMAL(18,12))
+         |      ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg_d,
+         |    SUM(CASE WHEN irn <= 10 THEN CAST(round(
+         |      rel / log2(irn + 1.0), 12) AS DECIMAL(18,12))
+         |      ELSE CAST(0 AS DECIMAL(18,12)) END) AS idcg_d
+         |  FROM ranked GROUP BY qid)
+         |SELECT qid, n_rel, CAST(dcg_d AS DOUBLE) AS dcg10,
+         |  CAST(idcg_d AS DOUBLE) AS idcg10,
+         |  CASE WHEN idcg_d > 0 THEN
+         |    round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6)
+         |  END AS ndcg10
+         |FROM aggd ORDER BY qid""".stripMargin,
     // same broadcast-batch program, label inequality in the join; cosine
     // is the sequential-fold dot both engines compute identically
     "ext_hard_negatives" ->

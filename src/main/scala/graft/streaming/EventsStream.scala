@@ -29,15 +29,31 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Explicit schema — streaming sources never infer (and the events table
-    * stores ts as parquet TIMESTAMP(NANOS), which we surface as micros). */
-  private val eventsRawSchema = StructType(Seq(
+  /** Explicit schema — streaming sources never infer. The events table has
+    * stored ts as parquet TIMESTAMP(NANOS) in some driver generations
+    * (surfaced as nanos-as-long, see [[graft.Tables.events]]) and native
+    * TIMESTAMP(MICROS) in others, so the schema is parametric on one
+    * footer probe of the actual file. */
+  private def eventsRawSchema(tsLong: Boolean) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (see graft.Tables.events)
+    StructField("ts", if (tsLong) LongType else TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Physical-layout probe: true when `ts` is stored as TIMESTAMP(NANOS)
+    * (read back as raw Long under nanosAsLong), false for native micros.
+    * One batch footer read; no data scan. */
+  private def tsStoredAsLong(s: SparkSession, dir: String): Boolean = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(dir).schema("ts").dataType == LongType
+  }
+
+  /** Micros TimestampType column from either physical layout (watermarks
+    * require TimestampType; session TZ is pinned UTC so instants match). */
+  private def tsMicros(tsLong: Boolean) =
+    if (tsLong) timestamp_micros(expr("ts div 1000")) else col("ts")
 
   /** Scratch directory exposing `sfDir/events.parquet` through a symlink:
     * the file-stream source requires a directory; the testdata table is a
@@ -70,13 +86,14 @@ object EventsStream {
   }
 
   private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = eventsSourceDir(sfDir)
+    val tsLong = tsStoredAsLong(s, dir)
     s.readStream
-      .schema(eventsRawSchema)
-      .parquet(eventsSourceDir(sfDir))
+      .schema(eventsRawSchema(tsLong))
+      .parquet(dir)
       // TZ (not NTZ) timestamp: watermarks require TimestampType; session
       // TZ is UTC so instants match. Outputs cast to NTZ at the edge.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsMicros(tsLong))
   }
 
   /** Run `f` with `spark.sql.shuffle.partitions` (which also sets a NEW
@@ -482,11 +499,12 @@ object EventsStream {
         .agg(count(lit(1)).as("n_events"),
              max(struct(col("ts"), col("event_id"), col("value")))
                .as("latest"))
-    val reader = s.readStream.schema(eventsRawSchema)
+    val tsLong = tsStoredAsLong(s, srcDir)
+    val reader = s.readStream.schema(eventsRawSchema(tsLong))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     val q = reader.parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsMicros(tsLong))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val agg = reduceBatch(batch)
@@ -541,7 +559,7 @@ object EventsStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
     val typed = s.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsStoredAsLong(s, srcDir)))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       // NULL values are skipped like the aggregate max they feed (and the

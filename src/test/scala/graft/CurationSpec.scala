@@ -70,6 +70,23 @@ class CurationSpec extends SparkSpec {
     out.toSeq shouldBe Seq((1L, 2L, 1L)) // one pair, one shared shingle
   }
 
+  test("url dedup: raw counts conserve, canonicalization merges surface variants") {
+    val d = sf("sf0.01")
+    val rows = Curation.extUrlDedup(spark, d).collect()
+    val nDocs = Tables.documents(spark, d).count()
+    rows.map(_.getAs[Long]("n_raw")).sum shouldBe nDocs
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("n_raw"); val canon = r.getAs[Long]("n_canonical")
+      canon should be <= raw
+      r.getAs[Long]("n_dupes") shouldBe raw - canon
+      val ratio = r.getAs[Double]("dup_ratio")
+      ratio should be >= 0.0
+      ratio should be < 1.0
+    }
+    // 500 docs vs a 20-residue path space per source: variants MUST merge
+    rows.map(_.getAs[Long]("n_dupes")).sum should be > 0L
+  }
+
   test("tfidf: reciprocal idf boosts the rare term; log damping flips to the high-tf term") {
     // 100 docs all containing 'the'; doc 0 repeats it 13x and holds the
     // unique term 'quark'. Reciprocal idf: quark = 1*101/2 = 50.5 beats

@@ -224,6 +224,27 @@ class SimilaritySpec extends SparkSpec {
     withClue(s"ADC recall@3 = $recall:") { recall should be >= 0.15 }
   }
 
+  test("NDCG@10: bounded in [0,1], dcg <= idcg, and idcg matches the closed form of n_rel") {
+    val d = sf("sf0.01")
+    val rows = extNdcg(spark, d).collect()
+    rows.length shouldBe 8
+    rows.foreach { r =>
+      val dcg = r.getAs[Double]("dcg10"); val idcg = r.getAs[Double]("idcg10")
+      dcg should be <= idcg + 1e-9
+      val nRel = r.getAs[Long]("n_rel")
+      if (nRel > 0) {
+        // ideal DCG is the fixed prefix sum of 1/log2(i+1), i = 1..min(10, n_rel)
+        val want = (1 to math.min(10, nRel.toInt))
+          .map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        idcg shouldBe want +- 1e-9
+        val ndcg = r.getAs[Double]("ndcg10")
+        ndcg should be >= 0.0
+        ndcg should be <= 1.0
+      }
+    }
+  }
+
   test("IVF ANN: every reported neighbor shares the query's inverted list and scores exactly") {
     val d = sf("sf0.001")
     val ivf = extAnnIvf(spark, d).collect()

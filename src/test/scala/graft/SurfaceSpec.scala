@@ -34,6 +34,24 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("url parse: components reassemble the url and the tracking flag tracks the query") {
+    val rows = Scalars.fnUrlParse(spark, sf("sf0.001")).collect()
+    rows.foreach { r =>
+      val url = r.getAs[String]("url")
+      val host = r.getAs[String]("host")
+      val path = r.getAs[String]("path")
+      val q = r.getAs[String]("query_str")
+      val frag = r.getAs[String]("fragment")
+      val reassembled = "https://" + host + path +
+        (if (q.nonEmpty) "?" + q else "") +
+        (if (frag.nonEmpty) "#" + frag else "")
+      reassembled shouldBe url
+      r.getAs[String]("host_core") shouldBe host.stripPrefix("www.")
+      r.getAs[Int]("path_depth") shouldBe 2
+      r.getAs[Int]("is_tracked") shouldBe (if (q.startsWith("utm_")) 1 else 0)
+    }
+  }
+
   test("trig surface satisfies sin^2 + cos^2 = 1 and rad/deg invert") {
     val rows = Scalars.fnTrig(spark, sf("sf0.001")).limit(500).collect()
     rows.foreach { r =>
