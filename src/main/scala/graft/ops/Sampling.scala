@@ -516,9 +516,9 @@ object Sampling {
         |t AS (SELECT SUM(n_tokens) AS tot,
         |        CAST(count(*) AS BIGINT) AS nsrc FROM g)
         |SELECT source, n_docs, n_tokens,
-        |  n_tokens * 1000000 // tot AS share_ppm,
-        |  tot * 1000000 // (nsrc * n_tokens) AS weight_ppm,
-        |  tot * 100 // (nsrc * n_tokens) AS epochs_x100
+        |  CAST(n_tokens * 1000000 // tot AS BIGINT) AS share_ppm,
+        |  CAST(tot * 1000000 // (nsrc * n_tokens) AS BIGINT) AS weight_ppm,
+        |  CAST(tot * 100 // (nsrc * n_tokens) AS BIGINT) AS epochs_x100
         |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     // chunk -> integer term score -> top-64 -> greedy 512-token pack
     "ext_rag_pack" ->
@@ -550,7 +550,8 @@ object Sampling {
         |      doc_id, chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
         |      CURRENT ROW) AS cum_tok
         |  FROM top)
-        |SELECT rank, doc_id, chunk_idx, score, n_chunk_tok, cum_tok
+        |SELECT rank, doc_id, chunk_idx, score, n_chunk_tok,
+        |  CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM rk WHERE cum_tok <= 512 ORDER BY rank""".stripMargin,
     "ext_epoch_plan" ->
       s"""WITH b AS (

@@ -151,52 +151,52 @@ object TextAnalysis {
     * both engines, so ranking ties are decided identically; doc_id
     * breaks residual ties.
     *
-    * Scale shape: tf comes from one explode+filter+groupBy on the
-    * matching tokens only (3-term IN filter prunes before the shuffle);
-    * df/N/avglen are three scalar aggregates carried on a broadcast
-    * single-row frame; final ranking is TakeOrderedAndProject. Nothing
-    * driver-side, nothing all-pairs. */
+    * Scale shape: SHUFFLE-FREE scoring. Per-doc tf for a fixed small
+    * query needs no explode+groupBy — `size(filter(toks, _ === term))`
+    * is a map-only array kernel, so the per-doc frame (len, tf0..tf2)
+    * is one codegen'd scan. Corpus stats (N, avglen, per-term df) are
+    * ONE scalar aggregate over that frame, broadcast back as a single
+    * row; final ranking is TakeOrderedAndProject. Nothing driver-side,
+    * nothing all-pairs, and the documents scan runs twice total (stats
+    * pass + scoring pass) instead of the previous six (the
+    * explode/groupBy spelling re-derived the tf lineage per df term,
+    * which is also what regressed 4.2× under AQE re-planning in r5). */
   val extBm25: Q = (s, d) =>
     bm25Scored(s, d).orderBy(col("score").desc, col("doc_id")).limit(10)
 
   /** Shared BM25 scoring stage of [[extBm25]] and
     * [[Similarity.extHybridRank]]: every doc's score for the fixed
-    * 3-term query, pre-top-k. */
+    * 3-term query, pre-top-k. Arithmetic is kept in the exact shape of
+    * the oracle SQL (per-term product/sum order, round 6) so scores
+    * stay bit-identical cross-engine. */
   private[ops] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("hash", "join", "vector")
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val lens = docs.select(col("doc_id"), size(col("toks")).as("len"))
-    val tf = docs.select(col("doc_id"), explode(col("toks")).as("t"))
-      .filter(col("t").isin(terms: _*))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    // one row per (doc, term) -> pivot to fixed columns tf1..tf3
-    val tfw = lens
-      .join(tf.groupBy(col("doc_id"))
-              .pivot("t", terms).agg(first(col("tf"))),
-            Seq("doc_id"), "left")
-    // corpus stats: N, avglen, and per-term df, all on ONE broadcast row
-    val stats = lens.agg(
+    // one map-only pass: doc length + per-term raw counts
+    val perDoc = Tables.documents(s, d).select(
+      col("doc_id") +: size(tokens(col("text"))).as("len") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(tokens(col("text")), x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    // corpus stats: N, avglen, and per-term df, all in ONE 1-row agg
+    val const = broadcast(perDoc.agg(
       count(lit(1)).as("n_docs"),
-      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
-    val dfs = terms.zipWithIndex.map { case (t, i) =>
-      tf.filter(col("t") === t)
-        .agg(count(lit(1)).cast("double").as(s"df$i"))
-    }.reduce(_.crossJoin(_))
-    val const = broadcast(stats.crossJoin(dfs))
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double")
+            .as(s"df$i")): _*))
     def idf(dfc: Column) =
       log((col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1.0)
     def term(tfc: Column, dfc: Column) = {
-      val tfv = coalesce(tfc.cast("double"), lit(0.0))
+      val tfv = tfc.cast("double")
       idf(dfc) * (tfv * (1.2 + 1.0)) /
         (tfv + lit(1.2) * (lit(1.0 - 0.75) +
            lit(0.75) * col("len") / col("avglen")))
     }
-    tfw.crossJoin(const)
+    perDoc.crossJoin(const)
       .select(col("doc_id"),
-              round(term(col(terms(0)), col("df0")) +
-                    term(col(terms(1)), col("df1")) +
-                    term(col(terms(2)), col("df2")), 6).as("score"))
+              round(term(col("tf0"), col("df0")) +
+                    term(col("tf1"), col("df1")) +
+                    term(col("tf2"), col("df2")), 6).as("score"))
   }
 
   /** E24 — per-language character-trigram profile (top-3 by frequency):

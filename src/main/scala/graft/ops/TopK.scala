@@ -122,9 +122,9 @@ object TopK {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nucleus,
-        |  SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
+        |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
         |    THEN ucents ELSE 0 END) * 1000000 // max(tot)
-        |    AS nucleus_share_ppm,
+        |    AS BIGINT) AS nucleus_share_ppm,
         |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
         |    THEN ucents ELSE 0 END) AS DOUBLE) / 100.0 AS nucleus_spend,
         |  CAST(max(tot) AS DOUBLE) / 100.0 AS total_spend

@@ -44,10 +44,25 @@ object EventsStream {
 
   /** Physical-layout probe: true when `ts` is stored as TIMESTAMP(NANOS)
     * (read back as raw Long under nanosAsLong), false for native micros.
-    * One batch footer read; no data scan. */
+    * One batch footer read; no data scan. An empty source directory (no
+    * parquet footer to probe — the legitimate "stream started before the
+    * first file landed" state) defaults to native micros rather than
+    * failing, so the caller's empty-source path still drains cleanly.
+    * The legacy flag is restored unless nanos is actually detected — the
+    * session is shared, and leaving it set would silently re-type every
+    * later nanos parquet read on it. */
   private def tsStoredAsLong(s: SparkSession, dir: String): Boolean = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(dir).schema("ts").dataType == LongType
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val isLong =
+      try s.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!isLong) prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    isLong
   }
 
   /** Micros TimestampType column from either physical layout (watermarks
@@ -485,7 +500,6 @@ object EventsStream {
     * batch last-event-per-user (the oracle). */
   def upsertMergeFrom(s: SparkSession, srcDir: String, base: String,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stateRoot = java.nio.file.Paths.get(s"$base/state")
     java.nio.file.Files.createDirectories(stateRoot)
     def versions: Seq[java.nio.file.Path] = {
@@ -597,7 +611,6 @@ object EventsStream {
     * per-batch emissions to the final per-type running maximum — which
     * equals the batch `max(value)` per event_type, the oracle SQL. */
   def runningMaxQuery(s: SparkSession, sfDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withStatePartitions(s, 8) {
       val out = runningMaxPerType(s, eventsSourceDir(sfDir),
         scratch("runmax_ckpt"), "graft_stream_runmax")

@@ -158,6 +158,22 @@ class StreamingSpec extends SparkSpec {
     stateVersions shouldBe v1
   }
 
+  test("foreachBatch upsert merge: empty source dir yields empty result and leaks no legacy conf") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.unset(key)
+    try {
+      val src = tmp("upsert3_src") // created, deliberately left empty
+      val base = tmp("upsert3_base")
+      val out = EventsStream.upsertMergeFrom(spark, src, base)
+      out.columns.toSeq shouldBe Seq("user_id", "n_events", "last_ts", "last_value")
+      out.count() shouldBe 0L
+      // the layout probe saw no nanos file, so the legacy flag must not
+      // stay set on the shared session (unset → registered default "false")
+      spark.conf.get(key) shouldBe "false"
+    } finally prev.foreach(spark.conf.set(key, _))
+  }
+
   test("day-partitioned layout prunes partitions under a date predicate") {
     import org.apache.spark.sql.functions._
     val dir = tmp("layout")

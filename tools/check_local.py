@@ -5,9 +5,14 @@ Usage:  python3 tools/check_local.py [sfDir] [outDir]
 
 Reads outDir/<name>/ parquet dumps written by `graft.Verify`, runs each
 oracle SQL from outDir/oracle_sql.json in DuckDB against the sfDir parquet
-tables, and compares: column names (sorted), dtypes (loosely), row counts,
-and values (bit-exact first, then 1e-9 relative tolerance fallback so we can
-see HOW close a float mismatch is).
+tables, and compares: column names (sorted), dtypes (STRICT, at the DuckDB
+type level — the driver's hash is dtype-sensitive, so a DuckDB HUGEINT vs a
+Spark BIGINT is a FAIL even when every value matches), row counts, and
+values (bit-exact first, then 1e-9 relative tolerance fallback so we can
+see HOW close a float mismatch is). Additionally audits every oracle for
+forbidden wide output types (HUGEINT/UHUGEINT/DECIMAL) that no Spark plan
+can emit — the round-5 class of bug (uncast SUM(BIGINT)) fails here even
+if values happen to agree.
 
 Dev-only tool (driver-side python); not part of the shipped Scala library.
 """
@@ -25,6 +30,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+FORBIDDEN_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def norm_type(t):
+    """Normalize DuckDB type names across parquet writer noise.
+
+    Spark writes timestamps as int64 micros; DuckDB renders both
+    TIMESTAMP and TIMESTAMP_NS/_MS depending on the parquet logical
+    annotation — unit differences are not what the driver hash sees
+    (values compare equal), so collapse them. Everything else is strict.
+    """
+    t = str(t)
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return t
+
+
 def norm(v):
     if v is None:
         return None
@@ -39,6 +61,22 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 
+    # one-shot wide-type audit across ALL oracles — planner-only (lazy
+    # relation, nothing executes), so it runs even for entries whose spark
+    # dump is missing from this (possibly partial) Verify run
+    audit_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            trel = con.sql(sql)
+        except Exception:
+            continue  # surfaced as ORACLE-ERROR by the main loop
+        w = [f"{c}:{t}" for c, t in zip(trel.columns, trel.types)
+             if any(str(t).startswith(f) for f in FORBIDDEN_TYPES)]
+        if w:
+            audit_bad += 1
+            print(f"AUDIT {name}: wide oracle type {w} — cast to BIGINT/DOUBLE")
+    print(f"== wide-type audit: {audit_bad}/{len(oracle)} oracles flagged")
+
     results = {}
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{OUT_DIR}/{name}/*.parquet"))
@@ -46,9 +84,11 @@ def main():
             results[name] = "MISSING-SPARK-OUTPUT"
             continue
         try:
-            mine = con.sql(
-                f"SELECT * FROM read_parquet({files!r})").df()
-            theirs = con.sql(oracle[name]).df()
+            mrel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            trel = con.sql(oracle[name])
+            mtypes = {c: norm_type(t) for c, t in zip(mrel.columns, mrel.types)}
+            ttypes = {c: norm_type(t) for c, t in zip(trel.columns, trel.types)}
+            mine, theirs = mrel.df(), trel.df()
         except Exception as e:
             results[name] = f"ORACLE-ERROR: {e}"
             continue
@@ -56,6 +96,19 @@ def main():
         mc, tc = sorted(mine.columns), sorted(theirs.columns)
         if mc != tc:
             results[name] = f"COLS mine={mc} oracle={tc}"
+            continue
+        # forbidden-wide-type audit: no Spark plan emits these, so an
+        # oracle producing one is wrong even if values agree today
+        wide = [f"{c}:{ttypes[c]}" for c in tc
+                if any(ttypes[c].startswith(f) for f in FORBIDDEN_TYPES)]
+        if wide:
+            results[name] = f"ORACLE-WIDE-TYPE {wide} (cast to BIGINT/DOUBLE)"
+            continue
+        # strict dtype compare — the driver's hash is dtype-sensitive
+        dt = [f"{c}: mine={mtypes[c]} oracle={ttypes[c]}"
+              for c in tc if mtypes[c] != ttypes[c]]
+        if dt:
+            results[name] = f"DTYPE {'; '.join(dt)}"
             continue
         if len(mine) != len(theirs):
             results[name] = f"ROWS mine={len(mine)} oracle={len(theirs)}"
@@ -83,7 +136,7 @@ def main():
     if no_oracle:
         print(f"-- rows-only (no oracle): {sorted(no_oracle)}")
     print(f"== {n_ok}/{len(results)} oracle-checked OK")
-    return 0 if n_ok == len(results) else 1
+    return 0 if n_ok == len(results) and audit_bad == 0 else 1
 
 
 def compare(mine, theirs):
