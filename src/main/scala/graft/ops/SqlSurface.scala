@@ -109,23 +109,34 @@ object SqlSurface {
     * join against a bounded frame; unbounded-frontier graph work at
     * 100 TB belongs to the dedicated CC operator
     * ([[graft.ops.Clustering]]), which checkpoints between rounds. */
-  val sqlRecursive: Q = q("events")(
-    """WITH RECURSIVE edges AS (
-      |  SELECT DISTINCT prev_type AS src, event_type AS dst
-      |  FROM (SELECT event_type,
-      |          lag(event_type) OVER (PARTITION BY user_id
-      |                                ORDER BY ts, event_id) AS prev_type
-      |        FROM events)
-      |  WHERE prev_type IS NOT NULL),
-      |hops(node, lvl) AS (
-      |  SELECT 'signup', 0
-      |  UNION ALL
-      |  SELECT e.dst, h.lvl + 1
-      |  FROM hops h JOIN edges e ON e.src = h.node
-      |  WHERE h.lvl < 4)
-      |SELECT node, CAST(min(lvl) AS INTEGER) AS min_hops,
-      |       CAST(count(*) AS BIGINT) AS n_walks
-      |FROM hops GROUP BY node ORDER BY node""".stripMargin)
+  val sqlRecursive: Q = (s, d) => {
+    // Materialize the type-transition edge list ONCE before recursing:
+    // inlined as a plain CTE, Spark re-derives it (a full lag-window
+    // over events) on EVERY recursion round — 4 extra corpus scans for
+    // an edge list that is event-type-graph-grain (tens of rows). At
+    // 100 TB that materialize-then-iterate split is the only viable
+    // shape for any iterative query whose seed frame is corpus-derived.
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT DISTINCT prev_type AS src, event_type AS dst
+        |FROM (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("rec_edges")
+    s.sql(
+      """WITH RECURSIVE hops(node, lvl) AS (
+        |  SELECT 'signup', 0
+        |  UNION ALL
+        |  SELECT e.dst, h.lvl + 1
+        |  FROM hops h JOIN rec_edges e ON e.src = h.node
+        |  WHERE h.lvl < 4)
+        |SELECT node, CAST(min(lvl) AS INTEGER) AS min_hops,
+        |       CAST(count(*) AS BIGINT) AS n_walks
+        |FROM hops GROUP BY node ORDER BY node""".stripMargin)
+  }
 
   val queries: Map[String, Q] = Map(
     "sql_pricing_summary" -> sqlPricingSummary,

@@ -8,6 +8,22 @@ import org.scalatest.matchers.should.Matchers._
   * punctuation-free lowercase, so edge behavior needs synthetic rows). */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("bm25 plan carries exactly one shuffle: the 1-row corpus-stats aggregate") {
+    // the r5 explode+groupBy spelling re-derived the tokenize lineage six
+    // times and shuffled twice; this pins the respelled shape — map-only
+    // per-doc tf, a single Exchange SinglePartition for the stats agg,
+    // broadcast back, TakeOrdered. A regression re-introducing a per-doc
+    // shuffle (groupBy doc_id) trips this count.
+    val df = SparkEntry.queries("ext_bm25")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(plan).length
+    shuffles shouldBe 1
+    // and the only join is the broadcast of that 1-row frame
+    plan.contains("SortMergeJoin") shouldBe false
+  }
+
   test("normalization collapses case/punctuation/whitespace variants to one form") {
     import spark.implicits._
     val variants = Seq(
