@@ -13,9 +13,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") // nanos column; see events() below
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // nanos column; see events() below. The legacy flag stays set ONLY
+      // when the file really is the nanos layout (the frame's execution
+      // needs it); for native-micros generations it is restored so it
+      // cannot silently re-type later parquet reads on the shared session
+      // (same discipline as the streaming-side layout probe).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      df
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) in some

@@ -545,8 +545,13 @@ object Aggregates {
           .as("zc"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-           (sum(round(col("zc"), 6).cast("decimal(28,6)")).cast("double") /
-             count(lit(1)) / 100.0).as("winsorized_mean"))
+           // final round(6): the decimal sum is order-free, but the clamp
+           // cutoffs are interpolated-percentile DOUBLES whose last ulp
+           // can differ cross-engine; unrounded, that ulp surfaces in the
+           // quotient at 10× data (seen at sf0.1, invisible at sf0.01)
+           round(sum(round(col("zc"), 6).cast("decimal(28,6)"))
+                   .cast("double") /
+             count(lit(1)) / 100.0, 6).as("winsorized_mean"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -1105,9 +1110,9 @@ object Aggregates {
         |    quantile_cont(z, 0.05) AS lo, quantile_cont(z, 0.95) AS hi
         |  FROM o GROUP BY 1)
         |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(round(greatest(least(CAST(z AS DOUBLE), hi), lo), 6)
+        |  round(CAST(SUM(CAST(round(greatest(least(CAST(z AS DOUBLE), hi), lo), 6)
         |                AS DECIMAL(28,6))) AS DOUBLE)
-        |    / count(*) / 100.0 AS winsorized_mean
+        |    / count(*) / 100.0, 6) AS winsorized_mean
         |FROM o JOIN c USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // dow convention: Spark dayofweek() is 1=Sunday..7=Saturday;

@@ -229,10 +229,16 @@ object Curation {
     val stats = broadcast(
       lm.agg(sum(col("cnt")).as("n_total"),
              count(lit(1)).as("v_size")))
-    val logp = round(
+    // Integer micro-nat quantization, NOT round(ln, 9): Spark's round on
+    // a double is exact-decimal HALF_UP while DuckDB's is float-multiply
+    // rounding — they disagree ~1e-6 per value, which at sf0.1's ~2.5M
+    // distinct (doc,trigram) pairs produced real last-digit mismatches.
+    // floor(x·1e6) is IEEE-exact on both engines given the same ln
+    // input, and everything downstream is pure BIGINT until one final
+    // per-doc round (boundary risk per DOC ~1e-9, vs per TRIGRAM before).
+    val logp = floor(
       log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-          (col("n_total") + col("v_size")).cast("double")), 9)
-      .cast("decimal(18,9)")
+          (col("n_total") + col("v_size")).cast("double")) * lit(1000000.0))
     perDoc.join(lm, Seq("t"), "left")
       .crossJoin(stats)
       .select(col("doc_id"), col("c"), logp.as("lp"))
@@ -240,7 +246,8 @@ object Curation {
       .agg(sum(col("c")).as("n_tri"),
            sum(col("c") * col("lp")).as("slp"))
       .select(col("doc_id"), col("n_tri"),
-              round(col("slp").cast("double") / col("n_tri"), 6)
+              round(col("slp").cast("double") / lit(1000000.0) /
+                      col("n_tri"), 6)
                 .as("mean_logp"))
       .orderBy(col("doc_id"))
   }
@@ -737,11 +744,12 @@ object Curation {
         |  FROM lm),
         |sc AS (
         |  SELECT doc_id,
-        |    CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) /
-        |      CAST(n_total + v_size AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+        |    CAST(floor(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE) /
+        |      CAST(n_total + v_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
         |  FROM tri LEFT JOIN lm USING (t) CROSS JOIN stats)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logp
+        |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    / count(*), 6) AS mean_logp
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_oov_rate" ->
       """WITH tok AS (
