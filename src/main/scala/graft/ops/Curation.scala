@@ -564,7 +564,58 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** E51 — per-source drop-reason attribution across the curation
+    * funnel: every document is assigned the FIRST stage that would drop
+    * it — `low_quality` (composite score < 0.5, the
+    * [[TextAnalysis.qualityExpr]] gate) → `non_english`
+    * (stopword-marker ratio < 0.05, the [[TextAnalysis.extLangId]]
+    * gate) → `exact_dup` (not the min-doc_id keeper of its normalized
+    * sha256 among funnel SURVIVORS) → `kept` — then rolled up to
+    * (source, reason) with doc and token counts. This is the
+    * operational report behind "why did 100 TB become 40 TB": token-
+    * weighted loss per stage per source, the first artifact a curation
+    * run ships (cf. the reference's `check_data_quality` gate that
+    * pass/fails a run on row-level predicates,
+    * `/root/reference/airflow/dags/ml_pipeline_dag.py:45` — here the
+    * per-row failure reason itself is the product).
+    *
+    * Scale shape: one corpus scan computes score/ratio/digest (map-only,
+    * two-projection so the tokenizer runs once per row); keeper election
+    * is a sha-grain aggregate over survivors (64-hex digest shuffle,
+    * never text); reason assignment joins back at sha grain; the rollup
+    * is (source × reason)-grain. No all-pairs anywhere. The threshold
+    * compares see bit-identical doubles on both engines (same expression
+    * tree, IEEE ops), so the branch taken — and the hash — agree. */
+  val extDropReasons: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+              toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        TextAnalysis.qualityExpr(col("text"), col("tk")).as("q"),
+        (TextAnalysis.stopHits(col("tk")).cast("double") / size(col("tk")))
+          .as("er"),
+        sha2(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")), 256).as("sha"))
+    val keepers = base
+      .filter(col("q") >= 0.5 && col("er") >= 0.05)
+      .groupBy(col("sha")).agg(min(col("doc_id")).as("keep_id"))
+    base.join(keepers, Seq("sha"), "left")
+      .select(col("source"), col("n_tok"),
+        when(col("q") < 0.5, lit("low_quality"))
+          .when(col("er") < 0.05, lit("non_english"))
+          .when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .otherwise(lit("kept")).as("reason"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("reason"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_drop_reasons" -> extDropReasons,
     "ext_url_dedup" -> extUrlDedup,
     "ext_boilerplate_lines" -> extBoilerplateLines,
     "ext_mv_merge" -> extMvMerge,
@@ -598,6 +649,32 @@ object Curation {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // funnel gates replay the proven quality/lang-id/normalize oracle
+    // fragments; thresholds compare IEEE-identical doubles, rollup is
+    // pure integer
+    "ext_drop_reasons" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ${TextAnalysis.qualityExprSql("text")} AS q,
+         |    CAST(${TextAnalysis.hitsSql("text")} AS DOUBLE) /
+         |      len(string_split(lower(text), ' ')) AS er,
+         |    sha256(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS sha
+         |  FROM documents),
+         |k AS (
+         |  SELECT sha, min(doc_id) AS keep_id FROM t
+         |  WHERE q >= 0.5 AND er >= 0.05 GROUP BY 1),
+         |r AS (
+         |  SELECT source, n_tok,
+         |    CASE WHEN q < 0.5 THEN 'low_quality'
+         |         WHEN er < 0.05 THEN 'non_english'
+         |         WHEN doc_id <> keep_id THEN 'exact_dup'
+         |         ELSE 'kept' END AS reason
+         |  FROM t LEFT JOIN k USING (sha))
+         |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical synthetic URLs and normalization chain; dup accounting
     // is pure integer arithmetic, the ratio ONE IEEE division
     "ext_url_dedup" ->

@@ -792,7 +792,71 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** E52 — MinHash estimator calibration: over the LSH band-candidate
+    * pairs, compare the signature-estimated Jaccard (matching components
+    * / 16) against the EXACT distinct-3-shingle Jaccard, and report the
+    * global error profile — the measured-accuracy row for the lexical
+    * dedup family, mirroring what [[extNeardupEval]]/`ext_ann_recall` do
+    * for the embedding family. This is the calibration a deployment runs
+    * BEFORE trusting a signature threshold on 100 TB: if
+    * mean_abs_err_ppm is high, you need more permutations, not a lower
+    * threshold.
+    *
+    * Scale shape: candidate-bounded everywhere — signature compare joins
+    * the 16-long sig arrays at pair grain; exact intersection joins
+    * shingle postings THROUGH the pair list (pairs×~doclen rows), never
+    * doc×doc; all arithmetic integer ppm (estimate quantum 1/16 =
+    * exactly 62 500 ppm, floor-divides elsewhere), so the single output
+    * row hash-matches bit-exact. */
+  val extMinhashEst: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // (A/B'd: materializing sigs via localCheckpoint does NOT help here —
+    // the md5 signature kernel is cheap next to the pair joins, and the
+    // checkpoint write costs what the recompute saves. Declarative wins.)
+    val sigs = docs.select(col("doc_id"),
+      minhashSig(shingles3(col("text"))).as("sig"))
+    val pairs = minhashBandPairs(sigs)
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")),
+            Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")),
+            Seq("b"))
+      .select(col("a"), col("b"),
+        (aggregate(
+           zip_with(col("siga"), col("sigb"),
+                    (x, y) => when(x === y, 1L).otherwise(0L)),
+           lit(0L), (acc, v) => acc + v) * lit(62500L)).as("est_ppm"))
+    val posts = docs.select(col("doc_id"),
+      explode(shingles3(col("text"))).as("sh"))
+    val nsh = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(posts.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(posts.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    val tru = pairs
+      .join(inter, Seq("a", "b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(nsh.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(nsh.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("n_common * 1000000 div (na + nb - n_common)").as("true_ppm"))
+    // every aggregate coalesced to 0 so the zero-candidate corpus edge
+    // yields one all-zero row identically on both engines
+    est.join(tru, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           expr("coalesce(sum(est_ppm) div greatest(count(1), 1), 0)")
+             .as("mean_est_ppm"),
+           expr("coalesce(sum(true_ppm) div greatest(count(1), 1), 0)")
+             .as("mean_true_ppm"),
+           expr("coalesce(sum(abs(est_ppm - true_ppm)) div " +
+                "greatest(count(1), 1), 0)")
+             .as("mean_abs_err_ppm"),
+           coalesce(max(abs(col("est_ppm") - col("true_ppm"))), lit(0L))
+             .as("max_abs_err_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_minhash_est" -> extMinhashEst,
     "ext_soft_dedup" -> extSoftDedup,
     "ext_bloom_dedup" -> extBloomDedup,
     "ext_winnowing" -> extWinnowing,
@@ -810,6 +874,71 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // same signature + banding replay as ext_minhash_dedup (distinct
+    // shingles — min is multiset-invariant), then integer-ppm calibration
+    "ext_minhash_est" ->
+      """WITH sets AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [lower(text)] END AS shs
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+        |        FROM documents)),
+        |posts AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+        |nsh AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n FROM sets),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM posts),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k,
+        |  min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.band_key = y.band_key
+        |    AND x.doc_id < y.doc_id),
+        |est AS (SELECT p.da, p.db,
+        |  CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 62500 AS est_ppm
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.da
+        |  JOIN sig sb ON sb.doc_id = p.db AND sb.k = sa.k
+        |  GROUP BY 1, 2),
+        |inter AS (SELECT p.da, p.db, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs p
+        |  JOIN posts x ON x.doc_id = p.da
+        |  JOIN posts y ON y.doc_id = p.db AND y.sh = x.sh
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT p.da, p.db,
+        |  CAST(coalesce(i.n_common, 0) * 1000000
+        |    // (a.n + b.n - coalesce(i.n_common, 0)) AS BIGINT) AS true_ppm
+        |  FROM pairs p
+        |  LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+        |  JOIN nsh a ON a.doc_id = p.da
+        |  JOIN nsh b ON b.doc_id = p.db)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(CAST(sum(est_ppm) AS BIGINT)
+        |    // greatest(count(*), 1), 0) AS BIGINT) AS mean_est_ppm,
+        |  CAST(coalesce(CAST(sum(true_ppm) AS BIGINT)
+        |    // greatest(count(*), 1), 0) AS BIGINT) AS mean_true_ppm,
+        |  CAST(coalesce(CAST(sum(abs(est_ppm - true_ppm)) AS BIGINT)
+        |    // greatest(count(*), 1), 0) AS BIGINT) AS mean_abs_err_ppm,
+        |  CAST(coalesce(max(abs(est_ppm - true_ppm)), 0) AS BIGINT)
+        |    AS max_abs_err_ppm
+        |FROM est JOIN tr ON tr.da = est.da AND tr.db = est.db""".stripMargin,
     // same fingerprint-window program; 1/k rounded to 9 decimals and
     // decimal-summed so the effective count is order-free on both engines
     "ext_soft_dedup" ->

@@ -22,7 +22,7 @@ object TextAnalysis {
 
   private def tokens(c: Column): Column = split(lower(c), " ")
 
-  private def stopHits(toks: Column): Column =
+  private[ops] def stopHits(toks: Column): Column =
     size(filter(toks, t => stopwords.map(t === _).reduce(_ || _)))
 
   /** E4 — corpus stats per language: doc counts, token counts, char-length
@@ -377,7 +377,7 @@ object TextAnalysis {
     "ext_text_normalize" -> extTextNormalize)
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
-  private def hitsSql(arg: String) =
+  private[ops] def hitsSql(arg: String) =
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
   val oracles: Map[String, String] = Map(

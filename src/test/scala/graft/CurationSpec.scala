@@ -105,4 +105,24 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("tok") -> r.getAs[Double]("score")).toMap
     logScores("the") should be > logScores("quark")
   }
+
+  test("drop reasons: each crafted doc lands on its funnel stage, counts conserve") {
+    val passing = Array.fill(30)("the quantum computer performs").mkString(" ")
+    val dir = writeDocs("dropreasons", Seq(
+      (1L, "the a of", "en", "s"),            // 3 tokens -> low_quality
+      (2L, Array.fill(100)("zzzzzzzzz").mkString(" "), "xx", "s"), // q=1, no stopwords -> non_english
+      (10L, passing, "en", "s"),              // keeper (min doc_id of sha)
+      (11L, passing.toUpperCase + "!", "en", "s"), // normalizes to same sha -> exact_dup
+      (12L, Array.fill(40)("a distinct passing document").mkString(" "), "en", "s"))) // kept
+    val rows = Curation.extDropReasons(spark, dir)
+      .collect().map(r => r.getAs[String]("reason") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    rows.keySet shouldBe Set("low_quality", "non_english", "exact_dup", "kept")
+    rows("low_quality")._1 shouldBe 1L
+    rows("non_english")._1 shouldBe 1L
+    rows("exact_dup")._1 shouldBe 1L
+    rows("kept")._1 shouldBe 2L
+    // conservation: every doc is attributed exactly once
+    rows.values.map(_._1).sum shouldBe 5L
+  }
 }

@@ -111,4 +111,37 @@ class DedupSpec extends SparkSpec {
     Seq("one two").toDF("t").select(shingles3(col("t")))
       .first().getSeq[String](0) shouldBe Seq("one two")
   }
+
+  test("minhash estimator calibration: identical pair scores exact 1e6 ppm with zero error") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/dedup_mhest"
+    Seq((0L, base), (1L, base), (2L, unrelated))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // identical docs share every band -> exactly the (0,1) candidate pair;
+    // 16/16 matching components and |∩|=|∪| make both ppm columns exactly
+    // 1e6 and the error exactly 0 — the estimator's fixed point
+    val r = extMinhashEst(spark, dir).first()
+    r.getAs[Long]("n_pairs") shouldBe 1L
+    r.getAs[Long]("mean_est_ppm") shouldBe 1000000L
+    r.getAs[Long]("mean_true_ppm") shouldBe 1000000L
+    r.getAs[Long]("mean_abs_err_ppm") shouldBe 0L
+    r.getAs[Long]("max_abs_err_ppm") shouldBe 0L
+  }
+
+  test("minhash estimator calibration: corpus-level error profile is sane at sf0.001") {
+    val r = extMinhashEst(spark, sf("sf0.001")).first()
+    r.getAs[Long]("n_pairs") should be > 0L
+    // estimate quantum is 1/16 -> every per-pair estimate is a multiple
+    // of 62500; means live in [0, 1e6]
+    r.getAs[Long]("mean_est_ppm") should (be >= 0L and be <= 1000000L)
+    r.getAs[Long]("mean_true_ppm") should (be >= 0L and be <= 1000000L)
+    r.getAs[Long]("max_abs_err_ppm") should
+      be >= r.getAs[Long]("mean_abs_err_ppm")
+    // 16 permutations -> sampling std ~ sqrt(j(1-j)/16) <= 125000 ppm;
+    // a mean absolute error beyond 4x that bound means the estimator or
+    // the banding broke, not noise
+    r.getAs[Long]("mean_abs_err_ppm") should be <= 500000L
+  }
 }
