@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{FloatVecDot, MaskAndCount, SortedIntersectCount}
+import graft.expressions.{CdcBoundaries, FloatVecDot, MaskAndCount, SortedIntersectCount}
 
 /** `SparkSessionExtensions` injection point — the deployment-grade way to
   * ship this library's custom expressions to a cluster:
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       SortedIntersectCount.builder))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_bounds"),
+      CdcBoundaries.builder))
   }
 }

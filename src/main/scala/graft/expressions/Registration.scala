@@ -10,6 +10,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * boilerplate exist once. */
 private[graft] object Registration {
 
+  def arityOneBuilder(name: String, ctor: Expression => Expression)
+      : Seq[Expression] => Expression = children => {
+    if (children.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> "1",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    ctor(children.head)
+  }
+
   def arityTwoBuilder(name: String,
                       ctor: (Expression, Expression) => Expression)
       : Seq[Expression] => Expression = children => {

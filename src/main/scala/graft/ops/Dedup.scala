@@ -855,7 +855,66 @@ object Dedup {
              .as("max_abs_err_ppm"))
   }
 
+  /** E53 — content-defined chunking (CDC) census: chunk boundaries
+    * wherever the 8-char polynomial window hash ≡ 0 (mod 64) — the
+    * insertion-robust chunking behind storage- and corpus-level dedup
+    * (Rabin-style CDC; the window hash reuses [[extFingerprint]]'s
+    * cross-engine ascii-fold contract, base 31 mod 1e9+7). Unlike the
+    * fixed-width chunks of `ext_chunk_dedup`, an edit only perturbs the
+    * chunk containing it: every downstream chunk re-aligns on the same
+    * content-derived boundaries and keeps hashing identically — the
+    * property that makes chunk-grain dedup survive crawl re-snapshots.
+    * Output: per-source chunk census — counts, distinct digests,
+    * duplicate ppm, mean chunk length, total chars (conservation:
+    * Σ chunk lens == Σ doc lens).
+    *
+    * Scale shape: boundary detection + chunk digesting is pure per-row
+    * array/codegen work, O(8·len) per doc with no UDF; the only
+    * shuffles are the digest-distinct and the source rollup. Never
+    * doc×doc; expected chunk length is the modulus (64 chars), tunable
+    * without changing shape. */
+  /** Content-defined chunk list of a text column — see [[extCdcChunks]].
+    * Exposed for the re-alignment spec. Requires
+    * [[graft.expressions.CdcBoundaries]] registered on the session.
+    *
+    * Boundary detection is the custom native expression `cdc_bounds`
+    * (hash60-of-8-char-window ≡ 0 mod 64, one tight Java md5 loop per
+    * row). The declarative HOF spelling — one interpreted
+    * `hash60(substr)` lambda per corpus CHARACTER — measured 10 s at
+    * sf0.1, and an 8-way ascii-fold variant 39 s; the native kernel is
+    * the tier-(b) answer, identical output (see CdcBoundariesSpec's
+    * cross-check). Chunk extraction from the bounds array stays
+    * declarative: slice/zip_with/substr are cheap at chunk grain. */
+  private[graft] def cdcChunks(text: Column): Column =
+    bindOnce(text) { t =>
+      val bounds = call_function("cdc_bounds", t)
+      // slice length must be exact: start+length overflows Int.MaxValue
+      val ends = concat(
+        slice(bounds, lit(2), greatest(size(bounds) - 1, lit(0))),
+        array(length(t) + 1))
+      zip_with(bounds, ends, (b, e) => t.substr(b, e - b))
+    }
+
+  val extCdcChunks: Q = (s, d) => {
+    graft.expressions.CdcBoundaries.register(s)
+    Tables.documents(s, d)
+      .select(col("source"), explode(cdcChunks(col("text"))).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("dig"),
+              length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("dig")).as("n_distinct"),
+           sum(col("clen")).as("total_chunk_chars"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+              expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+                .as("dup_ppm"),
+              expr("total_chunk_chars div n_chunks").as("mean_chunk_len"),
+              col("total_chunk_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_cdc_chunks" -> extCdcChunks,
     "ext_minhash_est" -> extMinhashEst,
     "ext_soft_dedup" -> extSoftDedup,
     "ext_bloom_dedup" -> extBloomDedup,
@@ -874,6 +933,35 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // same md5-prefix window hash as the hash60 contract; chunk
+    // extraction replayed via 1-based list indexing (bs[k+1]
+    // past-the-end is NULL → coalesce to len+1, mirroring the Spark
+    // slice+append)
+    "ext_cdc_chunks" ->
+      """WITH b AS (
+        |  SELECT source, text, length(text) AS n,
+        |    list_filter(range(1, greatest(length(text) - 7, 1) + 1),
+        |      i -> i = 1 OR list_reduce(list_transform(range(1, 16),
+        |             q -> CAST(strpos('0123456789abcdef',
+        |                    substr(md5(substr(text, CAST(i AS INTEGER), 8)),
+        |                           CAST(q AS INTEGER), 1)) - 1 AS BIGINT)),
+        |             (a, x) -> a * 16 + x) % 64 = 0) AS bs
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(bs) + 1),
+        |      k -> substr(text, CAST(bs[k] AS INTEGER),
+        |             CAST(coalesce(bs[CAST(k + 1 AS INTEGER)], n + 1)
+        |                  - bs[k] AS INTEGER)))) AS chunk
+        |  FROM b)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct,
+        |  CAST((count(*) - count(DISTINCT md5(chunk))) * 1000000
+        |    // count(*) AS BIGINT) AS dup_ppm,
+        |  CAST(CAST(sum(length(chunk)) AS BIGINT) // count(*) AS BIGINT)
+        |    AS mean_chunk_len,
+        |  CAST(sum(length(chunk)) AS BIGINT) AS total_chunk_chars
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // same signature + banding replay as ext_minhash_dedup (distinct
     // shingles — min is multiset-invariant), then integer-ppm calibration
     "ext_minhash_est" ->

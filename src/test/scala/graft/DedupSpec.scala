@@ -112,6 +112,33 @@ class DedupSpec extends SparkSpec {
       .first().getSeq[String](0) shouldBe Seq("one two")
   }
 
+  test("cdc chunking: boundaries re-align after a prefix insertion; chars conserve") {
+    import spark.implicits._
+    graft.expressions.CdcBoundaries.register(spark)
+    // index-salted sections so chunks don't collapse to repeats
+    val t1 = (1 to 6).map(i => s"section$i " + base).mkString(" ")
+    val t2 = "freshly inserted prefix words " + t1
+    def digs(t: String): Set[String] =
+      spark.range(1).select(explode(cdcChunks(lit(t))).as("c"))
+        .select(md5(col("c"))).collect().map(_.getString(0)).toSet
+    val d1 = digs(t1)
+    d1.size should be >= 3 // several content-defined chunks
+    // the insertion perturbs only the leading chunk(s): once the window
+    // hash re-enters copied content, every later boundary — and digest —
+    // re-aligns. Fixed-width chunking would shift ALL of them.
+    val shared = d1.intersect(digs(t2)).size
+    shared.toDouble / d1.size should be >= 0.6
+    // census conservation: chunk chars partition doc chars per source
+    val census = extCdcChunks(spark, sf("sf0.001"))
+    val expect = graft.Tables.documents(spark, sf("sf0.001"))
+      .groupBy(col("source"))
+      .agg(sum(org.apache.spark.sql.functions.length(col("text"))
+        .cast("long")).as("chars"))
+    census.join(expect, "source")
+      .filter(col("total_chunk_chars") =!= col("chars"))
+      .count() shouldBe 0L
+  }
+
   test("minhash estimator calibration: identical pair scores exact 1e6 ppm with zero error") {
     import spark.implicits._
     val dir = "/root/repo/target/scratch/dedup_mhest"
