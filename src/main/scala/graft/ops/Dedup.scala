@@ -913,7 +913,51 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** E54 — CDC chunk-sharing dedup: the detection stage the
+    * [[extCdcChunks]] census calibrates — document pairs sharing ≥ 2
+    * content-defined chunk digests, scored by containment against the
+    * smaller side's informative-chunk count. Because boundaries are
+    * content-derived, a doc that re-crawls with an inserted banner still
+    * shares every chunk after the edit point — the case fixed-width
+    * chunk dedup (`ext_chunk_dedup`) structurally misses.
+    *
+    * Scale shape: per-doc DISTINCT digests → document-frequency cap
+    * (df ≤ 50) drops boilerplate chunks BEFORE the digest-grain
+    * self-join — simultaneously the skew guard (no posting list exceeds
+    * the cap, the join cannot produce a hot key, same discipline as
+    * `ext_contamination`); pair aggregation at (a,b) grain; counts
+    * joined back at doc grain. Never doc×doc on raw text. */
+  val extCdcDedup: Q = (s, d) => {
+    graft.expressions.CdcBoundaries.register(s)
+    val digs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(cdcChunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("dig"))
+      .distinct()
+    val informative = digs
+      .groupBy(col("dig")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+      .select(col("dig"))
+    val p = digs.join(informative, Seq("dig"))
+    val counts = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    p.as("x").join(p.as("y"),
+        col("x.dig") === col("y.dig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(counts.select(col("doc_id").as("a"), col("n_chunks").as("a_chunks")),
+            Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_chunks").as("b_chunks")),
+            Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"),
+              col("a_chunks"), col("b_chunks"),
+              expr("n_shared * 1000000 div least(a_chunks, b_chunks)")
+                .as("containment_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_cdc_dedup" -> extCdcDedup,
     "ext_cdc_chunks" -> extCdcChunks,
     "ext_minhash_est" -> extMinhashEst,
     "ext_soft_dedup" -> extSoftDedup,
@@ -933,6 +977,41 @@ object Dedup {
     "ext_neardup_eval" -> extNeardupEval)
 
   val oracles: Map[String, String] = Map(
+    // chunk digests replayed from the same boundary formula as
+    // ext_cdc_chunks; df-cap, pair grain, and containment all integer
+    "ext_cdc_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_filter(range(1, greatest(length(text) - 7, 1) + 1),
+        |      i -> i = 1 OR list_reduce(list_transform(range(1, 16),
+        |             q -> CAST(strpos('0123456789abcdef',
+        |                    substr(md5(substr(text, CAST(i AS INTEGER), 8)),
+        |                           CAST(q AS INTEGER), 1)) - 1 AS BIGINT)),
+        |             (a, x) -> a * 16 + x) % 64 = 0) AS bs
+        |  FROM documents),
+        |digs AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(unnest(list_transform(range(1, len(bs) + 1),
+        |      k -> substr(text, CAST(bs[k] AS INTEGER),
+        |             CAST(coalesce(bs[CAST(k + 1 AS INTEGER)], n + 1)
+        |                  - bs[k] AS INTEGER))))) AS dig
+        |  FROM b),
+        |informative AS (
+        |  SELECT dig FROM digs GROUP BY 1 HAVING count(*) <= 50),
+        |p AS (SELECT doc_id, dig FROM digs JOIN informative USING (dig)),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |        FROM p GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM p x JOIN p y ON x.dig = y.dig AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, n_shared, ca.n_chunks AS a_chunks,
+        |  cb.n_chunks AS b_chunks,
+        |  CAST(n_shared * 1000000 // least(ca.n_chunks, cb.n_chunks)
+        |    AS BIGINT) AS containment_ppm
+        |FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        |ORDER BY a, b""".stripMargin,
     // same md5-prefix window hash as the hash60 contract; chunk
     // extraction replayed via 1-based list indexing (bs[k+1]
     // past-the-end is NULL → coalesce to len+1, mirroring the Spark

@@ -139,6 +139,23 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("cdc dedup: re-crawled doc with an inserted banner is caught with high containment") {
+    import spark.implicits._
+    graft.expressions.CdcBoundaries.register(spark)
+    val dir = "/root/repo/target/scratch/dedup_cdcdedup"
+    val article = (1 to 8).map(i => s"paragraph$i " + base).mkString(" ")
+    val recrawl = "new cookie banner text appended by the site template " + article
+    Seq((0L, article), (1L, recrawl), (2L, unrelated))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.extCdcDedup(spark, dir).collect()
+    rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq shouldBe Seq((0L, 1L))
+    // everything after the banner re-aligns: most of the smaller doc's
+    // chunks are shared — fixed-width chunking would shift every chunk
+    rows.head.getAs[Long]("containment_ppm") should be >= 600000L
+  }
+
   test("minhash estimator calibration: identical pair scores exact 1e6 ppm with zero error") {
     import spark.implicits._
     val dir = "/root/repo/target/scratch/dedup_mhest"
