@@ -480,7 +480,43 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** E55 — differentially-private count release (two-sided geometric /
+    * discrete-Laplace mechanism, Ghosh–Roughgarden–Sundararajan): per-
+    * source doc counts perturbed by `g1 − g2` where each `gᵢ` is a
+    * geometric(½) draw — ε = ln 2 per count. The privacy-ledger
+    * primitive a training-data pipeline needs when corpus composition
+    * stats leave the trust boundary (dataset cards, public dashboards).
+    *
+    * Determinism contract: the draws are seeded from the md5 hash
+    * contract, and the geometric inverse-CDF is PURE INTEGER —
+    * `g = 20 − bitlength(m)` for `m` uniform on [1, 2²⁰], with
+    * `bitlength = length(bin(m))` identical on both engines — so unlike
+    * float-based Laplace there is NO cross-engine ln/rounding surface
+    * at all (the round-6 lm_score lesson applied preemptively). True
+    * count, both draws, and the ε label are all released so the spec
+    * and oracle can audit the mechanism; a production release would
+    * emit only `noisy_count`.
+    *
+    * Scale shape: one source-grain aggregate; noise derivation is
+    * per-group expression work. Nothing leaves executors. */
+  val extDpCount: Q = (s, d) => {
+    def geom(tag: String): Column = {
+      val m = pmod(graft.ops.Dedup.hash60(
+        concat(lit(tag + "|"), col("source"))), lit(1048576L)) + 1
+      greatest(lit(0L), lit(20L) - length(bin(m)).cast("long"))
+    }
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+              geom("dp1").as("g1"), geom("dp2").as("g2"),
+              (col("n_docs") + geom("dp1") - geom("dp2")).as("noisy_count"),
+              lit(693L).as("epsilon_x1000")) // ln 2 ≈ 0.693
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_dp_count" -> extDpCount,
     "ext_domain_reweight" -> extDomainReweight,
     "ext_rag_pack" -> extRagPack,
     "ext_epoch_plan" -> extEpochPlan,
@@ -506,6 +542,24 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // geometric draws replayed from the h60 contract; inverse CDF is
+    // pure integer (bitlength via bin()), so zero float surface
+    "ext_dp_count" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |g AS (
+         |  SELECT source, n_docs,
+         |    greatest(0, 20 - length(bin(
+         |      ${h60("'dp1|' || source")} % 1048576 + 1))) AS g1,
+         |    greatest(0, 20 - length(bin(
+         |      ${h60("'dp2|' || source")} % 1048576 + 1))) AS g2
+         |  FROM c)
+         |SELECT source, n_docs, CAST(g1 AS BIGINT) AS g1,
+         |  CAST(g2 AS BIGINT) AS g2,
+         |  CAST(n_docs + g1 - g2 AS BIGINT) AS noisy_count,
+         |  CAST(693 AS BIGINT) AS epsilon_x1000
+         |FROM g ORDER BY source""".stripMargin,
     // same 5-group aggregate × 1-row total; ppm/epochs are BIGINT
     // floor-divides, identical on both engines
     "ext_domain_reweight" ->

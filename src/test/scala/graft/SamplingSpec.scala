@@ -100,4 +100,18 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("dp count: integer geometric noise, bounded, deterministic, mechanism audit") {
+    val run1 = graft.ops.Sampling.extDpCount(spark, sf("sf0.001")).collect()
+    val run2 = graft.ops.Sampling.extDpCount(spark, sf("sf0.001")).collect()
+    run1.map(_.toString).toSeq shouldBe run2.map(_.toString).toSeq // seeded, not PRNG
+    run1.length should be > 0
+    run1.foreach { r =>
+      val (g1, g2) = (r.getAs[Long]("g1"), r.getAs[Long]("g2"))
+      g1 should (be >= 0L and be <= 19L)
+      g2 should (be >= 0L and be <= 19L)
+      // the released count is exactly the audited mechanism output
+      r.getAs[Long]("noisy_count") shouldBe r.getAs[Long]("n_docs") + g1 - g2
+    }
+  }
 }
