@@ -956,7 +956,79 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** E56 — LSH parameter planner: the calibration a dedup owner runs
+    * BEFORE committing band/row constants for a full-corpus pass. One
+    * MinHash signature computation (k=16, the [[minhashSig]] contract),
+    * then every (bands × rows-per-band) split of the signature —
+    * (16,1), (8,2), (4,4), (2,8) — banded in a SINGLE exploded frame
+    * and self-joined ONCE on (config, band, key), so adding a config
+    * costs rows in one shuffle, not an extra join. Per config the
+    * output reports the analytic S-curve midpoint s* = (1/b)^(1/r)
+    * (the Jaccard threshold at which a pair has ~50% candidate
+    * probability — Leskovec–Rajaraman–Ullman, MMDS ch.3) next to the
+    * MEASURED candidate volume on this corpus: candidate pairs and
+    * flagged docs. Reading the table top-down is the planner's
+    * trade-off: r=1 fires on any single shared minimum (s*≈0.06,
+    * floods the pair join), r=8 only on half the signature agreeing
+    * (s*≈0.92, near-exact dups only). The production (4,4) choice used
+    * by [[extMinhashDedup]] sits where measured volume stops falling
+    * off a cliff.
+    *
+    * The s* constants are computed OFFLINE and inlined as integer ppm
+    * literals in both engines (zero runtime float surface — the
+    * round-6 lm_score discipline).
+    *
+    * Scale shape: signature work is one map stage; the multi-config
+    * band frame is 30 rows/doc (Σ 16/r); ONE self-join keyed by
+    * (config, band, key) — bucketed, never doc×doc; everything after
+    * is config-grain (4 rows). At 100 TB this is exactly the dry-run
+    * you pay for once so the real dedup's pair join is sized right. */
+  val extLshPlan: Q = (s, d) => {
+    import s.implicits._
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), minhashSig(shingles3(col("text"))).as("sig"))
+    val bandStructs = Seq(1, 2, 4, 8).flatMap { r =>
+      (0 until 16 / r).map { b =>
+        struct(
+          lit(r.toLong).as("rpb"), lit(b.toLong).as("band"),
+          concat_ws(":", (0 until r).map(i =>
+            element_at(col("sig"), b * r + i + 1)): _*).as("bkey"))
+      }
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("c"))
+      .select(col("doc_id"), col("c.rpb").as("rpb"), col("c.band").as("band"),
+              col("c.bkey").as("bkey"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.rpb") === col("y.rpb") && col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rpb").as("rpb"), col("x.doc_id").as("a"),
+              col("y.doc_id").as("b"))
+      .distinct()
+    val pairCounts = pairs.groupBy(col("rpb"))
+      .agg(count(lit(1)).as("n_cand_pairs"))
+    val flagged = pairs
+      .select(col("rpb"), explode(array(col("a"), col("b"))).as("doc"))
+      .distinct()
+      .groupBy(col("rpb")).agg(count(lit(1)).as("n_flagged_docs"))
+    // s* = (1/b)^(1/r) in ppm, floor — offline constants, mirrored in
+    // the oracle VALUES verbatim
+    val base = Seq((16L, 1L, 62500L), (8L, 2L, 353553L),
+                   (4L, 4L, 707106L), (2L, 8L, 917004L))
+      .toDF("n_bands", "rows_per_band", "thresh_ppm")
+    base
+      .join(pairCounts.withColumnRenamed("rpb", "rows_per_band"),
+            Seq("rows_per_band"), "left")
+      .join(flagged.withColumnRenamed("rpb", "rows_per_band"),
+            Seq("rows_per_band"), "left")
+      .select(col("n_bands"), col("rows_per_band"), col("thresh_ppm"),
+              coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+              coalesce(col("n_flagged_docs"), lit(0L)).as("n_flagged_docs"))
+      .orderBy(col("rows_per_band"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_lsh_plan" -> extLshPlan,
     "ext_cdc_dedup" -> extCdcDedup,
     "ext_cdc_chunks" -> extCdcChunks,
     "ext_minhash_est" -> extMinhashEst,
@@ -1352,6 +1424,56 @@ object Dedup {
         |  CAST(count(*) AS BIGINT) AS dup_occurrences
         |FROM sh s JOIN dup USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same signature replay as ext_minhash_dedup, banded at every
+    // (bands, rows-per-band) config via a cross join; s* ppm literals
+    // mirror the Scala side verbatim
+    "ext_lsh_plan" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k, min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |cfg(rpb) AS (SELECT * FROM (VALUES (1), (2), (4), (8)) v(rpb)),
+        |bk AS (SELECT doc_id, rpb, k // rpb AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS bkey
+        |  FROM sig CROSS JOIN cfg GROUP BY 1, 2, 3),
+        |pairs AS (SELECT DISTINCT x.rpb, x.doc_id AS a, y.doc_id AS b
+        |  FROM bk x JOIN bk y ON x.rpb = y.rpb AND x.band = y.band
+        |    AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |pc AS (SELECT rpb, CAST(count(*) AS BIGINT) AS n_cand_pairs
+        |  FROM pairs GROUP BY 1),
+        |fl AS (SELECT rpb, CAST(count(*) AS BIGINT) AS n_flagged_docs FROM
+        |  (SELECT DISTINCT rpb, doc FROM
+        |    (SELECT rpb, a AS doc FROM pairs
+        |     UNION ALL SELECT rpb, b AS doc FROM pairs))
+        |  GROUP BY 1),
+        |base(n_bands, rows_per_band, thresh_ppm) AS (SELECT * FROM (VALUES
+        |  (16, 1, 62500), (8, 2, 353553),
+        |  (4, 4, 707106), (2, 8, 917004)) v(n_bands, rows_per_band, thresh_ppm))
+        |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+        |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        |  CAST(thresh_ppm AS BIGINT) AS thresh_ppm,
+        |  CAST(COALESCE(n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+        |  CAST(COALESCE(n_flagged_docs, 0) AS BIGINT) AS n_flagged_docs
+        |FROM base LEFT JOIN pc ON pc.rpb = base.rows_per_band
+        |LEFT JOIN fl ON fl.rpb = base.rows_per_band
+        |ORDER BY rows_per_band""".stripMargin,
     // full signature/banding/candidate replay — possible because hash60 is
     // md5-based (the perm constants are permConsts(16), hard-coded here)
     "ext_minhash_dedup" ->

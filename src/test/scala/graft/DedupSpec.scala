@@ -174,6 +174,32 @@ class DedupSpec extends SparkSpec {
     r.getAs[Long]("max_abs_err_ppm") shouldBe 0L
   }
 
+  test("lsh plan: candidate volume is monotone non-increasing in rows-per-band; " +
+       "exact dups flagged in every config") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/dedup_lshplan"
+    Seq((0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.extLshPlan(spark, dir).collect()
+    rows.length shouldBe 4
+    // agreement on an r-row band implies agreement on its sub-bands, so
+    // candidates at larger r are a subset of those at smaller r
+    val byR = rows.map(r => r.getAs[Long]("rows_per_band") ->
+      (r.getAs[Long]("n_cand_pairs"), r.getAs[Long]("n_flagged_docs"))).toMap
+    Seq(1L, 2L, 4L).zip(Seq(2L, 4L, 8L)).foreach { case (lo, hi) =>
+      byR(hi)._1 should be <= byR(lo)._1
+      byR(hi)._2 should be <= byR(lo)._2
+    }
+    // identical docs agree on the whole signature -> candidate pair in
+    // every config, including the strictest (2 bands of 8)
+    byR(8L)._1 should be >= 1L
+    // analytic S-curve midpoints rise with r (and match the inlined ppm)
+    rows.map(r => r.getAs[Long]("rows_per_band") -> r.getAs[Long]("thresh_ppm"))
+      .toMap shouldBe Map(1L -> 62500L, 2L -> 353553L, 4L -> 707106L, 8L -> 917004L)
+  }
+
   test("minhash estimator calibration: corpus-level error profile is sane at sf0.001") {
     val r = extMinhashEst(spark, sf("sf0.001")).first()
     r.getAs[Long]("n_pairs") should be > 0L
