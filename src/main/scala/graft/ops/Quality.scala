@@ -217,7 +217,73 @@ object Quality {
       .orderBy(col("filter"))
   }
 
+  /** E57 — dataset attestation: a Merkle-style commitment tree over the
+    * frozen corpus — per-doc digest → 64-digest SEGMENT roots →
+    * per-shard roots → one dataset root — the reproducibility artifact
+    * a training run records so "trained on corpus X" is verifiable
+    * (and any later mutation is detectable down to the shard that
+    * changed, without re-hashing the other shards).
+    *
+    * Determinism: doc digest = md5(doc_id || '|' || text); shard =
+    * hash60 mod 8; within-shard order is (digest, doc_id) — content-
+    * derived, so the tree is invariant to partitioning, file order,
+    * and ingestion history. Tamper evidence is hierarchical by
+    * construction: editing one doc flips exactly one segment root, one
+    * shard root, and the dataset root (spec'd).
+    *
+    * Scale shape: digesting is map-only; the tree aggregates at
+    * BOUNDED fan-in — ≤64 digests per segment group (collect_list is
+    * capped by construction), then segment-grain and shard-grain
+    * rollups. At 100 TB the segment level keeps every group's state
+    * O(64·32 B) regardless of corpus size; deeper corpora add tree
+    * LEVELS (segments-of-segments), not group width. The dataset root
+    * is an 8-row broadcast. */
+  val extMerkleShards: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("text")))
+          .as("dig"),
+        pmod(Dedup.hash60(concat(lit("ms|"), col("doc_id").cast("string"))),
+             lit(8L)).as("shard"))
+    val ranked = docs.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("dig"), col("doc_id"))))
+    val segRoots = ranked
+      .withColumn("seg", expr("(rn - 1) div 64"))
+      .groupBy(col("shard"), col("seg"))
+      .agg(count(lit(1)).as("nd"),
+           md5(array_join(transform(
+             array_sort(collect_list(struct(col("rn"), col("dig")))),
+             x => x.getField("dig")), "")).as("segroot"))
+    val shardRoots = segRoots
+      .groupBy(col("shard"))
+      .agg(sum(col("nd")).as("n_docs"),
+           count(lit(1)).as("n_segments"),
+           md5(array_join(transform(
+             array_sort(collect_list(struct(col("seg"), col("segroot")))),
+             x => x.getField("segroot")), "")).as("shard_root"))
+    // dataset root via a whole-frame window over the 8-row shard frame
+    // (a crossJoin agg would re-derive the whole tree lineage a second
+    // time and plan a BroadcastNestedLoopJoin — the extDomainReweight
+    // lesson; the unpartitioned window sorts shard-count rows only)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    shardRoots
+      .withColumn("dataset_root",
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("shard"), col("shard_root")))
+            .over(wAll)),
+          x => x.getField("shard_root")), "")))
+      .select(col("shard"), col("n_docs"), col("n_segments"),
+              col("shard_root"), col("dataset_root"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_merkle_shards" -> extMerkleShards,
     "ext_quality_ablation" -> extQualityAblation,
     "ext_data_build" -> extDataBuild,
     "ext_key_skew" -> extKeySkew,
@@ -232,6 +298,34 @@ object Quality {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // tree replay: same digest, hash-mod shard, (digest, doc_id) rank,
+    // 64-fan-in segment roots, ordered string_agg at every level
+    "ext_merkle_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || '|' || text) AS dig,
+         |    ${h60q("'ms|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents),
+         |r AS (
+         |  SELECT shard, dig,
+         |    row_number() OVER (PARTITION BY shard ORDER BY dig, doc_id)
+         |      AS rn
+         |  FROM d),
+         |seg AS (
+         |  SELECT shard, (rn - 1) // 64 AS seg,
+         |    CAST(count(*) AS BIGINT) AS nd,
+         |    md5(string_agg(dig, '' ORDER BY rn)) AS segroot
+         |  FROM r GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_segments,
+         |    md5(string_agg(segroot, '' ORDER BY seg)) AS shard_root
+         |  FROM seg GROUP BY 1)
+         |SELECT shard, n_docs, n_segments, shard_root, dr.dataset_root
+         |FROM sh CROSS JOIN (
+         |  SELECT md5(string_agg(shard_root, '' ORDER BY shard))
+         |    AS dataset_root FROM sh) dr
+         |ORDER BY shard""".stripMargin,
     "ext_quality_ablation" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,

@@ -1378,6 +1378,32 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("merkle shards: editing one doc flips exactly its shard root and the dataset root") {
+    import spark.implicits._
+    def corpus(edit: Boolean) = (0L until 24L).map { id =>
+      val t = if (edit && id == 7L) "tampered payload" else s"document body number $id"
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def tree(edit: Boolean): Map[Long, (Long, String, String)] = {
+      val dir = s"/root/repo/target/scratch/merkle_${if (edit) "b" else "a"}"
+      corpus(edit).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      graft.ops.Quality.extMerkleShards(spark, dir).collect()
+        .map(r => r.getAs[Long]("shard") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[String]("shard_root"),
+            r.getAs[String]("dataset_root")))).toMap
+    }
+    val a = tree(edit = false); val b = tree(edit = true)
+    a.keySet shouldBe b.keySet // same shard layout (shard keyed by doc_id)
+    a.values.map(_._1).sum shouldBe 24L
+    val changed = a.keySet.filter(k => a(k)._2 != b(k)._2)
+    changed.size shouldBe 1 // tamper evidence localizes to one shard
+    // the dataset root changes, and is identical across rows within a run
+    a.values.map(_._3).toSet.size shouldBe 1
+    b.values.map(_._3).toSet.size shouldBe 1
+    (a.values.head._3 == b.values.head._3) shouldBe false
+  }
+
   test("regex extract: counts and first match agree with a Scala replay") {
     val rows = graft.ops.Scalars.queries("fn_regex_extract")(
       spark, sf("sf0.001")).limit(100).collect()
