@@ -515,7 +515,45 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** E58 — differentially-private HISTOGRAM release with threshold
+    * suppression: per-(source × 100-char length bucket) doc counts,
+    * each perturbed by the same integer-exact two-sided-geometric
+    * mechanism as [[extDpCount]] (ε = ln 2 per cell; cells are
+    * disjoint, so parallel composition keeps the whole histogram at
+    * ε = ln 2), then cells whose NOISY count falls below τ = 3 are
+    * suppressed — the rare-bucket guard a public release needs, since
+    * a 1-doc cell's very existence can identify the doc. True count
+    * and both draws are released alongside so the spec and oracle
+    * audit the mechanism; a production release would emit
+    * (source, bucket, noisy_count) only.
+    *
+    * Same determinism contract as dp_count: draws seeded from the md5
+    * contract, pure-integer inverse CDF via bitlength — zero
+    * cross-engine float surface.
+    *
+    * Scale shape: one (source × bucket)-grain aggregate; bucket count
+    * is bounded by max doc length / 100, so the frame stays tiny no
+    * matter the corpus. */
+  val extDpHistogram: Q = (s, d) => {
+    def geom(tag: String): Column = {
+      val m = pmod(graft.ops.Dedup.hash60(
+        concat(lit(tag + "|"), col("source"), lit("|"),
+               col("len_bucket").cast("string"))), lit(1048576L)) + 1
+      greatest(lit(0L), lit(20L) - length(bin(m)).cast("long"))
+    }
+    Tables.documents(s, d)
+      .select(col("source"), expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+              geom("dph1").as("g1"), geom("dph2").as("g2"),
+              (col("n_docs") + geom("dph1") - geom("dph2")).as("noisy_count"))
+      .filter(col("noisy_count") >= 3)
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_dp_histogram" -> extDpHistogram,
     "ext_dp_count" -> extDpCount,
     "ext_domain_reweight" -> extDomainReweight,
     "ext_rag_pack" -> extRagPack,
@@ -542,6 +580,27 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // dp_count's geometric mechanism at (source, length-bucket) grain
+    // plus the tau=3 suppression filter on the NOISY count
+    "ext_dp_histogram" ->
+      s"""WITH c AS (
+         |  SELECT source, n_chars // 100 AS len_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket, n_docs,
+         |    greatest(0, 20 - length(bin(
+         |      ${h60("'dph1|' || source || '|' || CAST(len_bucket AS VARCHAR)")}
+         |      % 1048576 + 1))) AS g1,
+         |    greatest(0, 20 - length(bin(
+         |      ${h60("'dph2|' || source || '|' || CAST(len_bucket AS VARCHAR)")}
+         |      % 1048576 + 1))) AS g2
+         |  FROM c)
+         |SELECT source, len_bucket, n_docs, CAST(g1 AS BIGINT) AS g1,
+         |  CAST(g2 AS BIGINT) AS g2,
+         |  CAST(n_docs + g1 - g2 AS BIGINT) AS noisy_count
+         |FROM g WHERE n_docs + g1 - g2 >= 3
+         |ORDER BY source, len_bucket""".stripMargin,
     // geometric draws replayed from the h60 contract; inverse CDF is
     // pure integer (bitlength via bin()), so zero float surface
     "ext_dp_count" ->

@@ -114,4 +114,23 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("noisy_count") shouldBe r.getAs[Long]("n_docs") + g1 - g2
     }
   }
+
+  test("dp histogram: every released cell clears the suppression threshold, " +
+       "mechanism audited, deterministic") {
+    val run1 = graft.ops.Sampling.extDpHistogram(spark, sf("sf0.001")).collect()
+    val run2 = graft.ops.Sampling.extDpHistogram(spark, sf("sf0.001")).collect()
+    run1.map(_.toString).toSeq shouldBe run2.map(_.toString).toSeq
+    run1.length should be > 0
+    run1.foreach { r =>
+      val (g1, g2) = (r.getAs[Long]("g1"), r.getAs[Long]("g2"))
+      g1 should (be >= 0L and be <= 19L)
+      g2 should (be >= 0L and be <= 19L)
+      r.getAs[Long]("noisy_count") shouldBe r.getAs[Long]("n_docs") + g1 - g2
+      // tau = 3 suppression: no released cell has a sub-threshold noisy count
+      r.getAs[Long]("noisy_count") should be >= 3L
+    }
+    // cells are disjoint (source, bucket) groups -> parallel composition
+    val keys = run1.map(r => (r.getAs[String]("source"), r.getAs[Long]("len_bucket")))
+    keys.distinct.length shouldBe keys.length
+  }
 }
