@@ -552,7 +552,56 @@ object Sampling {
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  /** E59 — exponentiated-gradient mixture step (the DoReMi-family
+    * update): re-weight the domain mixture multiplicatively by each
+    * domain's excess loss, w_i ∝ exp(η·ℓ_i), renormalized to ppm. The
+    * proxy loss here is the domain's mean tokens-per-doc excess over
+    * the corpus mean (production plugs per-domain eval losses into the
+    * same frame); one step of the update, which is what a mixture
+    * tuner materializes per round.
+    *
+    * Integer-exactness: the exponential is QUANTIZED to base-2 steps —
+    * excess_step = clamp(mean·4 div corpus_mean − 4, −8, 8), weight =
+    * 1 << (step + 8) — so the whole update is BIGINT shifts and
+    * floor-divides with zero float surface (the lm_score lesson;
+    * a float exp() would differ in the last ulp across engines).
+    * Caveat encoded deliberately: every floor-divide keeps its
+    * numerator NON-NEGATIVE, because Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors — they disagree on negatives.
+    *
+    * Scale shape: one scan → source-grain aggregate → whole-frame
+    * window over the mixture-grain frame (a handful of rows regardless
+    * of corpus size — same spelling as [[extDomainReweight]]). */
+  val extMixtureEgd: Q = (s, d) => {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .withColumn("tot_docs", sum(col("n_docs")).over(wAll))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
+      .withColumn("mean_tok_x1000", expr("n_tokens * 1000 div n_docs"))
+      .withColumn("corpus_x1000", expr("tot_tokens * 1000 div tot_docs"))
+      // non-negative numerator, then recenter: mean*4 div corpus in
+      // [0, ..], minus 4 centers at 0; clamp to [-8, 8]
+      .withColumn("excess_step",
+        greatest(lit(-8L), least(lit(8L),
+          expr("mean_tok_x1000 * 4 div corpus_x1000") - 4L)))
+      .withColumn("weight",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(excess_step + 8 AS INT))"))
+      .withColumn("sum_w", sum(col("weight")).over(wAll))
+      .select(col("source"), col("n_docs"), col("mean_tok_x1000"),
+              col("excess_step"), col("weight"),
+              expr("weight * 1000000 div sum_w").as("mix_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_mixture_egd" -> extMixtureEgd,
     "ext_dp_histogram" -> extDpHistogram,
     "ext_dp_count" -> extDpCount,
     "ext_domain_reweight" -> extDomainReweight,
@@ -580,6 +629,38 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // base-2-quantized EGD step: BIGINT shifts + non-negative floor
+    // divides only (Spark div truncates, DuckDB // floors — they agree
+    // iff numerators stay >= 0)
+    "ext_mixture_egd" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_docs,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot_tokens
+        |  FROM s),
+        |e AS (
+        |  SELECT source, n_docs,
+        |    CAST(n_tokens * 1000 // n_docs AS BIGINT) AS mean_tok_x1000,
+        |    CAST(tot_tokens * 1000 // tot_docs AS BIGINT) AS corpus_x1000
+        |  FROM t),
+        |w AS (
+        |  SELECT source, n_docs, mean_tok_x1000,
+        |    greatest(-8, least(8,
+        |      CAST(mean_tok_x1000 * 4 // corpus_x1000 AS BIGINT) - 4))
+        |      AS excess_step
+        |  FROM e),
+        |v AS (
+        |  SELECT source, n_docs, mean_tok_x1000,
+        |    CAST(excess_step AS BIGINT) AS excess_step,
+        |    CAST(CAST(1 AS BIGINT) << (excess_step + 8) AS BIGINT) AS weight
+        |  FROM w)
+        |SELECT source, n_docs, mean_tok_x1000, excess_step, weight,
+        |  CAST(weight * 1000000 // (SUM(weight) OVER ()) AS BIGINT)
+        |    AS mix_ppm
+        |FROM v ORDER BY source""".stripMargin,
     // dp_count's geometric mechanism at (source, length-bucket) grain
     // plus the tau=3 suppression filter on the NOISY count
     "ext_dp_histogram" ->

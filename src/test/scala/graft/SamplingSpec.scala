@@ -133,4 +133,22 @@ class SamplingSpec extends SparkSpec {
     val keys = run1.map(r => (r.getAs[String]("source"), r.getAs[Long]("len_bucket")))
     keys.distinct.length shouldBe keys.length
   }
+
+  test("mixture egd: weights are exact powers of two of the clamped step, " +
+       "mixture normalizes, update is monotone in the proxy loss") {
+    val rows = graft.ops.Sampling.extMixtureEgd(spark, sf("sf0.001")).collect()
+    rows.length should be > 1
+    rows.foreach { r =>
+      val step = r.getAs[Long]("excess_step")
+      step should (be >= -8L and be <= 8L)
+      r.getAs[Long]("weight") shouldBe (1L << (step + 8)).toLong
+    }
+    // floor-divide normalization: sum within nsrc ulps of 1e6, never over
+    val total = rows.map(_.getAs[Long]("mix_ppm")).sum
+    total should be <= 1000000L
+    total should be > 1000000L - rows.length.toLong
+    // multiplicative update preserves the proxy-loss order
+    rows.sortBy(_.getAs[Long]("mean_tok_x1000")).map(_.getAs[Long]("weight"))
+      .sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
+  }
 }
