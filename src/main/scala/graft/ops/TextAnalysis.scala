@@ -361,7 +361,87 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** E60 — BPE tokenizer TRAINING: [[extBpePairs]] is one pair-count
+    * pass; this runs the actual merge loop — 6 rounds of (count
+    * adjacent symbol pairs, weighted by word frequency) → (argmax
+    * winner, total order (count DESC, left, right)) → (apply the merge
+    * greedily left-to-right to every word) — emitting the learned
+    * merge table, which IS a trained BPE vocabulary prefix.
+    *
+    * Greedy non-overlapping application, declaratively: candidates =
+    * positions where (sym, next) equals the winner; for a≠b
+    * candidates can never be adjacent, and for a=b they form runs
+    * where greedy BPE takes every other from the run head — computed
+    * with the gaps-and-islands idiom (run id = pos − running-candidate
+    * count; keep odd ranks within the run), then consumed followers
+    * drop and positions renumber. Identical window SQL replays in the
+    * oracle (generated from the same round constant).
+    *
+    * Scale shape: the working frame is WORD-grain (distinct word ×
+    * count), Heaps-law bounded (~10⁶–10⁷ at 100 TB) — never
+    * corpus-grain after the one counting scan; each round is two
+    * word-partitioned windows + a bounded-domain pair aggregate. Both
+    * the per-round winner (1 row, broadcast) and the re-segmented
+    * frame are localCheckpointed — without that the reused lineage
+    * doubles per round (the round-6 recursive-CTE-seed lesson, applied
+    * to a loop whose reuse is exponential, not linear). */
+  val extBpeTrain: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val R = 6
+    val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val wRun = Window.partitionBy(col("word")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = Tables.documents(s, d)
+      .select(explode(filter(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+        w => length(w) >= 2)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var syms = words
+      .select(col("word"), col("cnt"),
+        posexplode(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))))
+      .toDF("word", "cnt", "p0", "sym")
+      .select(col("word"), col("cnt"), (col("p0") + 1).cast("long").as("pos"),
+              col("sym"))
+      .localCheckpoint()
+    val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    for (t <- 1 to R) {
+      val win = syms
+        .select(col("cnt"), col("sym").as("a"),
+                lead(col("sym"), 1).over(wWord).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      winners += win.select(lit(t.toLong).as("round"),
+        col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"), col("n").as("pair_count"))
+      syms = syms
+        .crossJoin(broadcast(win.select(col("a").as("wa"), col("b").as("wb"))))
+        .withColumn("cand", coalesce(
+          col("sym") === col("wa") &&
+            lead(col("sym"), 1).over(wWord) === col("wb"), lit(false)))
+        .withColumn("rnc",
+          sum(when(col("cand"), 1L).otherwise(0L)).over(wRun))
+        .withColumn("grp", col("pos") - col("rnc"))
+        .withColumn("rir", row_number().over(
+          Window.partitionBy(col("word"), col("cand"), col("grp"))
+            .orderBy(col("pos"))))
+        .withColumn("keep", col("cand") && col("rir") % 2 === 1)
+        .withColumn("consumed",
+          coalesce(lag(col("keep"), 1).over(wWord), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("word"), col("cnt"),
+                row_number().over(wWord).cast("long").as("pos"),
+                when(col("keep"), concat(col("wa"), col("wb")))
+                  .otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+    }
+    winners.result().reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_bpe_train" -> extBpeTrain,
     "ext_bpe_pairs" -> extBpePairs,
     "ext_token_fertility" -> extTokenFertility,
     "ext_hapax_rate" -> extHapaxRate,
@@ -380,7 +460,60 @@ object TextAnalysis {
   private[ops] def hitsSql(arg: String) =
     s"len(list_filter(string_split(lower($arg), ' '), t -> t IN ($stopList)))"
 
+  /** Chained-CTE replay of the [[extBpeTrain]] merge loop — one block
+    * per round, generated from the same round constant as the Spark
+    * side so the two can't drift. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      val prev = s"s${t - 1}"
+      s"""p$t AS (SELECT cnt, sym AS a,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b FROM $prev),
+         |win$t AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM p$t
+         |  WHERE b IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |m$t AS (SELECT s.word, s.cnt, s.pos, s.sym, w.a AS wa, w.b AS wb,
+         |    coalesce(s.sym = w.a AND
+         |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = w.b,
+         |      false) AS cand
+         |  FROM $prev s CROSS JOIN win$t w),
+         |g$t AS (SELECT *, SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY word ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnc
+         |  FROM m$t),
+         |k$t AS (SELECT *, pos - rnc AS grp FROM g$t),
+         |r$t AS (SELECT *, row_number()
+         |    OVER (PARTITION BY word, cand, grp ORDER BY pos) AS rir
+         |  FROM k$t),
+         |q$t AS (SELECT *, cand AND rir % 2 = 1 AS keep FROM r$t),
+         |d$t AS (SELECT *, coalesce(
+         |    lag(keep) OVER (PARTITION BY word ORDER BY pos), false)
+         |    AS consumed FROM q$t),
+         |s$t AS (SELECT word, cnt,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+         |      AS BIGINT) AS pos,
+         |    CASE WHEN keep THEN wa || wb ELSE sym END AS sym
+         |  FROM d$t WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, n AS pair_count FROM win$t""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY 1),
+       |s0 AS (
+       |  SELECT word, cnt, CAST(i AS BIGINT) AS pos,
+       |    substr(word, CAST(i AS INTEGER), 1) AS sym
+       |  FROM w0, unnest(generate_series(1, length(word))) AS t(i)),
+       |$roundCtes
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ext_bpe_train" -> bpeTrainOracle(6),
     // (count DESC, pair ASC) is a total order -> deterministic top-50
     "ext_bpe_pairs" ->
       """WITH w AS (

@@ -245,4 +245,30 @@ class TextAnalysisSpec extends SparkSpec {
     val q = out.collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
     q(1L) should be > q(0L) // stopword-free text scores higher
   }
+
+  test("bpe train: hand-computed merge table, greedy non-overlapping runs, " +
+       "loop drains when no pairs remain") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/textspec_bpe"
+    // 10x "aaaa" + 5x "bc" + 3x "aaa":
+    //  r1 (a,a)  n = 10*3 + 3*2 = 36 -> aaaa=[aa,aa], aaa=[aa,a] (greedy
+    //     takes odd ranks of the candidate run: 3 a's give ONE merge)
+    //  r2 (aa,aa) n = 10           -> aaaa=[aaaa]
+    //  r3 (b,c)   n = 5            -> bc=[bc]
+    //  r4 (aa,a)  n = 3            -> aaa=[aaa]
+    //  r5+ no pairs left -> no further rows
+    val text = ("aaaa " * 10 + "bc " * 5 + "aaa " * 3).trim
+    Seq((0L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.extBpeTrain(spark, dir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("left_sym"),
+                 r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+                 r.getAs[Long]("pair_count"))).toSeq
+    rows shouldBe Seq(
+      (1L, "a", "a", "aa", 36L),
+      (2L, "aa", "aa", "aaaa", 10L),
+      (3L, "b", "c", "bc", 5L),
+      (4L, "aa", "a", "aaa", 3L))
+  }
 }
