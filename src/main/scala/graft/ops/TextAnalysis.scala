@@ -385,9 +385,15 @@ object TextAnalysis {
     * frame are localCheckpointed — without that the reused lineage
     * doubles per round (the round-6 recursive-CTE-seed lesson, applied
     * to a loop whose reuse is exponential, not linear). */
-  val extBpeTrain: Q = (s, d) => {
+  /** The shared merge loop behind [[extBpeTrain]] and [[extBpeApply]]:
+    * returns (per-round 1-row winner frames, per-round segmentation
+    * frames indexed 0..rounds). Every intermediate is
+    * localCheckpointed — see extBpeTrain's scaladoc for why. */
+  private def bpeRounds(s: org.apache.spark.sql.SparkSession, d: String,
+                        rounds: Int)
+      : (Seq[org.apache.spark.sql.DataFrame],
+         Seq[org.apache.spark.sql.DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    val R = 6
     val wWord = Window.partitionBy(col("word")).orderBy(col("pos"))
     val wRun = Window.partitionBy(col("word")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -405,7 +411,9 @@ object TextAnalysis {
               col("sym"))
       .localCheckpoint()
     val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-    for (t <- 1 to R) {
+    val segs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    segs += syms
+    for (t <- 1 to rounds) {
       val win = syms
         .select(col("cnt"), col("sym").as("a"),
                 lead(col("sym"), 1).over(wWord).as("b"))
@@ -436,12 +444,46 @@ object TextAnalysis {
                 when(col("keep"), concat(col("wa"), col("wb")))
                   .otherwise(col("sym")).as("sym"))
         .localCheckpoint()
+      segs += syms
     }
-    winners.result().reduce(_ unionAll _).orderBy(col("round"))
+    (winners.result(), segs.result())
+  }
+
+  val extBpeTrain: Q = (s, d) =>
+    bpeRounds(s, d, 6)._1.reduce(_ unionAll _).orderBy(col("round"))
+
+  /** E61 — the APPLY + MEASURE half of tokenizer training: tokenize
+    * the corpus with the merges [[extBpeTrain]] learns and report the
+    * compression trajectory — token mass after each merge round and
+    * chars-per-token — the curve a tokenizer owner reads to decide how
+    * many merges are worth training. Token mass is Σ(symbols per word
+    * × word frequency), so the measurement stays on the word-grain
+    * frame; round 0 is the character baseline, and the curve is
+    * non-increasing by construction (each merge can only shrink
+    * segmentations — spec'd). chars_per_token is an integer x1000
+    * ratio against the round-0 mass, computed with a whole-frame
+    * window over the (rounds+1)-row result. */
+  val extBpeApply: Q = (s, d) => {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val (_, segs) = bpeRounds(s, d, 6)
+    segs.zipWithIndex.map { case (seg, t) =>
+      seg.agg(sum(col("cnt")).as("n_tokens"))
+        .select(lit(t.toLong).as("round"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+      .filter(col("n_tokens").isNotNull)
+      .withColumn("max_tokens", max(col("n_tokens")).over(wAll))
+      .select(col("round"), col("n_tokens"),
+              expr("max_tokens * 1000 div n_tokens")
+                .as("chars_per_token_x1000"))
+      .orderBy(col("round"))
   }
 
   val queries: Map[String, Q] = Map(
     "ext_bpe_train" -> extBpeTrain,
+    "ext_bpe_apply" -> extBpeApply,
     "ext_bpe_pairs" -> extBpePairs,
     "ext_token_fertility" -> extTokenFertility,
     "ext_hapax_rate" -> extHapaxRate,
@@ -464,6 +506,33 @@ object TextAnalysis {
     * per round, generated from the same round constant as the Spark
     * side so the two can't drift. */
   private def bpeTrainOracle(rounds: Int): String = {
+    val unions = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, n AS pair_count FROM win$t""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtePrefix(rounds)}
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Same CTE chain as [[bpeTrainOracle]], reduced to the per-round
+    * token-mass curve instead of the winner table. */
+  private def bpeApplyOracle(rounds: Int): String = {
+    val unions = (0 to rounds).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS round, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM s$t"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtePrefix(rounds)},
+       |toks AS (
+       |  $unions)
+       |SELECT round, n_tokens,
+       |  CAST(MAX(n_tokens) OVER () * 1000 // n_tokens AS BIGINT)
+       |    AS chars_per_token_x1000
+       |FROM toks WHERE n_tokens IS NOT NULL
+       |ORDER BY round""".stripMargin
+  }
+
+  private def bpeCtePrefix(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { t =>
       val prev = s"s${t - 1}"
       s"""p$t AS (SELECT cnt, sym AS a,
@@ -493,11 +562,7 @@ object TextAnalysis {
          |    CASE WHEN keep THEN wa || wb ELSE sym END AS sym
          |  FROM d$t WHERE NOT consumed)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds).map { t =>
-      s"""SELECT CAST($t AS BIGINT) AS round, a AS left_sym, b AS right_sym,
-         |  a || b AS merged, n AS pair_count FROM win$t""".stripMargin
-    }.mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |    FROM documents)
@@ -506,14 +571,12 @@ object TextAnalysis {
        |  SELECT word, cnt, CAST(i AS BIGINT) AS pos,
        |    substr(word, CAST(i AS INTEGER), 1) AS sym
        |  FROM w0, unnest(generate_series(1, length(word))) AS t(i)),
-       |$roundCtes
-       |SELECT * FROM (
-       |  $unions)
-       |ORDER BY round""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "ext_bpe_train" -> bpeTrainOracle(6),
+    "ext_bpe_apply" -> bpeApplyOracle(6),
     // (count DESC, pair ASC) is a total order -> deterministic top-50
     "ext_bpe_pairs" ->
       """WITH w AS (

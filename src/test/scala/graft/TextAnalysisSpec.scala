@@ -270,5 +270,20 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "aa", "aa", "aaaa", 10L),
       (3L, "b", "c", "bc", 5L),
       (4L, "aa", "a", "aaa", 3L))
+
+    // apply: hand-computed token-mass curve over the same corpus —
+    // 59 chars; r1 greedy (a,a) leaves 36 symbols; r5+ drained
+    val curve = TextAnalysis.extBpeApply(spark, dir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_tokens"),
+                 r.getAs[Long]("chars_per_token_x1000"))).toSeq
+    curve shouldBe Seq(
+      (0L, 59L, 1000L),
+      (1L, 36L, 59L * 1000 / 36),
+      (2L, 26L, 59L * 1000 / 26),
+      (3L, 21L, 59L * 1000 / 21),
+      (4L, 18L, 59L * 1000 / 18))
+    // compression is monotone: each merge can only shrink segmentations
+    curve.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => b should be <= a; case _ => }
   }
 }
