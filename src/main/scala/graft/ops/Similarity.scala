@@ -251,6 +251,56 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** E62 — embedding-space DRIFT monitor: two corpus snapshots (vec_id
+    * parity as the deterministic stand-in for "last crawl / this
+    * crawl") are assigned to the same 16-cell IVF quantizer, and the
+    * per-cell occupancy shares are compared — per-cell share delta in
+    * ppm plus the total-variation distance between the two snapshot
+    * distributions. A rising TVD is the canary that the embedding
+    * distribution (or the upstream encoder) shifted and the ANN index
+    * / centroids need re-training — the monitoring row an embedding
+    * pipeline publishes per ingest.
+    *
+    * Scale shape: assignment is the [[extAnnIvf]] broadcast-argmin (one
+    * map-side pass, bit-exact float→double cosine fold); everything
+    * after is CELL-grain (16 rows) — counts, ppm shares (BIGINT
+    * floor-divides, non-negative by construction), |Δ| and a
+    * whole-frame TVD window. Cell count is the quantizer's, never the
+    * corpus's. */
+  val extEmbeddingDrift: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("seed_id"),
+              cosine(col("embedding"), col("se")).as("seed_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("list_id"))
+    assigned
+      .groupBy(col("list_id"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(wAll))
+      .withColumn("tot_b", sum(col("n_b")).over(wAll))
+      .withColumn("share_a_ppm", expr("n_a * 1000000 div tot_a"))
+      .withColumn("share_b_ppm", expr("n_b * 1000000 div tot_b"))
+      .withColumn("abs_diff_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+      .withColumn("sum_diff", sum(col("abs_diff_ppm")).over(wAll))
+      .withColumn("tvd_ppm", expr("sum_diff div 2"))
+      .select(col("list_id"), col("n_a"), col("n_b"),
+              col("share_a_ppm"), col("share_b_ppm"), col("abs_diff_ppm"),
+              col("tvd_ppm"))
+      .orderBy(col("list_id"))
+  }
+
   /** One Lloyd iteration refining the IVF seeds: assign → per-list mean →
     * re-normalized centroids (as float arrays, ready for another
     * assignment pass). Library-only (not oracle-bound: the per-dim mean
@@ -737,6 +787,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_embedding_drift" -> extEmbeddingDrift,
     "ext_ndcg" -> extNdcg,
     "ext_hard_negatives" -> extHardNegatives,
     "ext_knn_cosine" -> extKnnCosine,
@@ -1088,6 +1139,38 @@ object Similarity {
          |    CAST(sum(b * a) AS DOUBLE) / CAST(sum(b) AS DOUBLE)
          |  END AS recall_at_5
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ann_ivf's assignment replay reduced to cell-grain snapshot
+    // occupancy (vec_id parity = snapshot id) + TVD window
+    "ext_embedding_drift" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, seed_id AS list_id FROM (
+         |    SELECT e.vec_id, s.vec_id AS seed_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.embedding", "s.embedding")} DESC, s.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN
+         |      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s)
+         |  WHERE rn = 1),
+         |c AS (
+         |  SELECT list_id,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM assigned GROUP BY 1),
+         |t AS (
+         |  SELECT *, CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+         |    CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+         |  FROM c),
+         |v AS (
+         |  SELECT list_id, n_a, n_b,
+         |    CAST(n_a * 1000000 // tot_a AS BIGINT) AS share_a_ppm,
+         |    CAST(n_b * 1000000 // tot_b AS BIGINT) AS share_b_ppm
+         |  FROM t)
+         |SELECT list_id, n_a, n_b, share_a_ppm, share_b_ppm,
+         |  CAST(abs(share_a_ppm - share_b_ppm) AS BIGINT) AS abs_diff_ppm,
+         |  CAST(SUM(abs(share_a_ppm - share_b_ppm)) OVER () // 2 AS BIGINT)
+         |    AS tvd_ppm
+         |FROM v ORDER BY list_id""".stripMargin,
     "ext_ann_ivf" ->
       s"""WITH assigned AS (
          |  SELECT vec_id, embedding, seed_id AS list_id FROM (

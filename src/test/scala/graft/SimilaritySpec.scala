@@ -257,4 +257,34 @@ class SimilaritySpec extends SparkSpec {
       cosines shouldBe cosines.sorted.reverse
     }
   }
+
+  test("embedding drift: identical snapshots give zero TVD; real-data shares " +
+       "normalize and TVD is the half-sum of cell deltas") {
+    import spark.implicits._
+    // planted fixture: every (even, odd) id pair shares one embedding ->
+    // the two parity snapshots are identical multisets -> zero drift
+    val dir = "/root/repo/target/scratch/sim_drift"
+    (0L until 48L).map { id =>
+      val k = id / 2
+      (id, Array.tabulate(8)(j => (((k * 7 + j * 3) % 11) - 5 + (if (j == 0) 7 else 0)).toFloat))
+    }.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = graft.ops.Similarity.extEmbeddingDrift(spark, dir).collect()
+    planted.length should be > 0
+    planted.foreach { r =>
+      r.getAs[Long]("n_a") shouldBe r.getAs[Long]("n_b")
+      r.getAs[Long]("abs_diff_ppm") shouldBe 0L
+      r.getAs[Long]("tvd_ppm") shouldBe 0L
+    }
+    // real data: shares floor-normalize to 1e6 within cell-count ulps,
+    // and the published TVD is exactly half the delta sum
+    val rows = graft.ops.Similarity.extEmbeddingDrift(spark, sf("sf0.001")).collect()
+    val sa = rows.map(_.getAs[Long]("share_a_ppm")).sum
+    val sb = rows.map(_.getAs[Long]("share_b_ppm")).sum
+    sa should (be <= 1000000L and be > 1000000L - rows.length)
+    sb should (be <= 1000000L and be > 1000000L - rows.length)
+    val tvd = rows.map(_.getAs[Long]("abs_diff_ppm")).sum / 2
+    rows.map(_.getAs[Long]("tvd_ppm")).distinct.toSeq shouldBe Seq(tvd)
+  }
 }
