@@ -692,6 +692,83 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** E63 — IVF probe-count TUNING CURVE: recall@5 and candidate cost
+    * at nprobe ∈ {1,2,3,4}, in one query — the query-time sibling of
+    * [[Dedup.extLshPlan]] (which sizes the index build; this sizes the
+    * search). Reading the curve is the ANN owner's dial: more probes
+    * scan more candidates (n_cand, the cost column) for monotonically
+    * more recall; ship the knee.
+    *
+    * One assignment pass and ONE candidate join serve all four
+    * configs: a data vector lives in exactly one list and a query's
+    * probe lists are distinct, so each (q, c) pair joins with a unique
+    * probe_rank and "config p" is just the filter probe_rank ≤ p —
+    * the pair frame is exploded ≤4× (bounded), never re-joined.
+    * Recall's denominator is the measured brute-force truth size
+    * (n_bf), the [[extAnnRecall]] discipline.
+    *
+    * Scale shape: broadcast-argmin assignment (16-row quantizer),
+    * list-bucketed candidate equi-join, per-(config, query) top-5 via
+    * WindowGroupLimit, config-grain output (4 rows). */
+  val extProbeCurve: Q = (s, d) => {
+    import s.implicits._
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
+    val ranked = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("seed_id"),
+              cosine(col("embedding"), col("se")).as("seed_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+    val c = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+              col("seed_id").as("list_id"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .filter(col("qid") < 10)
+    val qprobe = ranked.filter(col("vec_id") < 10 && col("rn") <= 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+              col("seed_id").as("plist"), col("rn").as("probe_rank"))
+    val scored = broadcast(qprobe)
+      .join(c, col("plist") === col("list_id") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("probe_rank"),
+              cosine(col("qe"), col("ce")).as("cos"))
+    val perConfig = scored
+      .join(broadcast((1 to 4).toDF("probes").select(col("probes")
+        .cast("long").as("probes"))), col("probe_rank") <= col("probes"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probes"), col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val ann = perConfig.withColumn("trn", row_number().over(wTop))
+      .filter(col("trn") <= 5).select(col("probes"), col("qid"), col("cid"))
+    val wBf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val bf = broadcast(q).join(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("trn", row_number().over(wBf))
+      .filter(col("trn") <= 5).select(col("qid"), col("cid"))
+      .crossJoin(broadcast((1 to 4).toDF("probes").select(col("probes")
+        .cast("long").as("probes"))))
+    val overlap = bf.withColumn("b", lit(1))
+      .join(ann.withColumn("a", lit(1)), Seq("probes", "qid", "cid"),
+            "full_outer")
+      .groupBy(col("probes"))
+      .agg(sum(coalesce(col("b"), lit(0))).cast("long").as("n_truth"),
+           sum(coalesce(col("b"), lit(0)) * coalesce(col("a"), lit(0)))
+             .cast("long").as("n_overlap"))
+    val cost = perConfig.groupBy(col("probes"))
+      .agg(count(lit(1)).as("n_cand"))
+    overlap.join(cost, Seq("probes"))
+      .select(col("probes"), col("n_cand"), col("n_truth"), col("n_overlap"),
+              when(col("n_truth") > 0,
+                   col("n_overlap").cast("double") /
+                     col("n_truth").cast("double")).as("recall_at_5"))
+      .orderBy(col("probes"))
+  }
+
   /** E3f — HARD-NEGATIVE MINING for contrastive training (the
     * batch-retrieval step behind DPR/SimCSE-style data builds): for each
     * query vector, the top-3 most-similar vectors whose LABEL DIFFERS —
@@ -787,6 +864,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_probe_curve" -> extProbeCurve,
     "ext_embedding_drift" -> extEmbeddingDrift,
     "ext_ndcg" -> extNdcg,
     "ext_hard_negatives" -> extHardNegatives,
@@ -1139,6 +1217,55 @@ object Similarity {
          |    CAST(sum(b * a) AS DOUBLE) / CAST(sum(b) AS DOUBLE)
          |  END AS recall_at_5
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ann_ivf's assignment replay, probed at rn<=4, one candidate join
+    // fanned to the four configs by the probe_rank <= probes filter
+    "ext_probe_curve" ->
+      s"""WITH ranked AS (
+         |  SELECT e.vec_id, e.embedding, s.vec_id AS seed_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("e.embedding", "s.embedding")} DESC, s.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s),
+         |c AS (SELECT vec_id AS cid, embedding AS ce, seed_id AS list_id
+         |      FROM ranked WHERE rn = 1),
+         |qp AS (SELECT vec_id AS qid, embedding AS qe, seed_id AS plist,
+         |         rn AS probe_rank
+         |       FROM ranked WHERE vec_id < 10 AND rn <= 4),
+         |scored AS (
+         |  SELECT qp.qid, c.cid, qp.probe_rank,
+         |    ${cosSql("qp.qe", "c.ce")} AS cos
+         |  FROM qp JOIN c ON qp.plist = c.list_id AND qp.qid <> c.cid),
+         |cfg(probes) AS (SELECT * FROM (VALUES (1), (2), (3), (4)) v(p)),
+         |pc AS (SELECT CAST(probes AS BIGINT) AS probes, qid, cid, cos
+         |       FROM scored JOIN cfg ON probe_rank <= probes),
+         |ann AS (SELECT probes, qid, cid FROM (
+         |    SELECT probes, qid, cid, row_number() OVER (
+         |      PARTITION BY probes, qid ORDER BY cos DESC, cid) AS trn
+         |    FROM pc) WHERE trn <= 5),
+         |bf0 AS (SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c2.vec_id AS cid, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c2.embedding")} DESC, c2.vec_id)
+         |      AS trn
+         |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+         |    JOIN embeddings c2 ON q.vec_id <> c2.vec_id) WHERE trn <= 5),
+         |bf AS (SELECT CAST(probes AS BIGINT) AS probes, qid, cid
+         |       FROM bf0 CROSS JOIN cfg),
+         |j AS (SELECT probes, coalesce(b.flag, 0) AS b, coalesce(a.flag, 0) AS a
+         |  FROM (SELECT probes, qid, cid, 1 AS flag FROM bf) b
+         |  FULL OUTER JOIN (SELECT probes, qid, cid, 1 AS flag FROM ann) a
+         |    USING (probes, qid, cid)),
+         |ov AS (SELECT probes, CAST(SUM(b) AS BIGINT) AS n_truth,
+         |         CAST(SUM(b * a) AS BIGINT) AS n_overlap
+         |       FROM j GROUP BY 1),
+         |cost AS (SELECT probes, CAST(count(*) AS BIGINT) AS n_cand
+         |         FROM pc GROUP BY 1)
+         |SELECT ov.probes AS probes, n_cand, n_truth, n_overlap,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST(n_overlap AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |  END AS recall_at_5
+         |FROM ov JOIN cost ON ov.probes = cost.probes
+         |ORDER BY probes""".stripMargin,
     // ann_ivf's assignment replay reduced to cell-grain snapshot
     // occupancy (vec_id parity = snapshot id) + TVD window
     "ext_embedding_drift" ->

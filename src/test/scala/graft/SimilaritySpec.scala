@@ -287,4 +287,21 @@ class SimilaritySpec extends SparkSpec {
     val tvd = rows.map(_.getAs[Long]("abs_diff_ppm")).sum / 2
     rows.map(_.getAs[Long]("tvd_ppm")).distinct.toSeq shouldBe Seq(tvd)
   }
+
+  test("probe curve: cost and recall are monotone in probe count against a " +
+       "fixed ground truth") {
+    val rows = graft.ops.Similarity.extProbeCurve(spark, sf("sf0.001"))
+      .collect().sortBy(_.getAs[Long]("probes"))
+    rows.map(_.getAs[Long]("probes")).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    // same brute-force truth for every config
+    rows.map(_.getAs[Long]("n_truth")).distinct.length shouldBe 1
+    rows.head.getAs[Long]("n_truth") should be > 0L
+    // widening the probe set only adds candidates and recalled truth
+    rows.map(_.getAs[Long]("n_cand")).sliding(2).foreach {
+      case Array(a, b) => a should be <= b; case _ => }
+    rows.map(_.getAs[Long]("n_overlap")).sliding(2).foreach {
+      case Array(a, b) => a should be <= b; case _ => }
+    rows.foreach { r =>
+      r.getAs[Double]("recall_at_5") should (be >= 0.0 and be <= 1.0) }
+  }
 }
