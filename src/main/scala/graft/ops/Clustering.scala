@@ -140,6 +140,71 @@ object Clustering {
       .orderBy(col("doc_id"))
   }
 
+  /** E64 — cluster DILUTION audit: transitive closure is what makes
+    * dedup clusters (A~B, B~C ⇒ {A,B,C}), and chaining is its failure
+    * mode — pairs like (A,C) that were never direct candidates get
+    * deduped against each other anyway. This measures the damage on
+    * the real cluster graph: over clusters of size 2–20 (larger ones
+    * reported as excluded — the same boundedness guard as the df
+    * caps), every within-cluster pair is classified direct (was an LSH
+    * candidate) or chained (transitively joined only), with the
+    * MinHash-agreement similarity estimate ([[Dedup.extMinhashEst]]'s
+    * 1/16-quantum ppm) averaged per class. mean_direct ≥ mean_chained
+    * is the expected signature; a small gap says chaining is benign
+    * here, a large one says the threshold or banding needs tightening
+    * before the next full run.
+    *
+    * Scale shape: pair generation and the CC loop are the shipped
+    * dedup path; the audit adds a size-capped within-cluster self-join
+    * (≤ C(20,2) pairs per cluster, never corpus-quadratic) and
+    * signature joins at pair grain. Output is one summary row. */
+  val extClusterDilution: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+              Dedup.minhashSig(Dedup.shingles3(col("text"))).as("sig"))
+      .localCheckpoint()
+    val pairs = Dedup.minhashBandPairs(docs).localCheckpoint()
+    val labels = connectedComponents(pairs, docs.select(col("doc_id")))
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("csize"))
+    val audited = labels.join(sizes, Seq("label"))
+      .filter(col("csize").between(2, 20))
+      .select(col("label"), col("node"))
+    val wp = audited.select(col("label"), col("node").as("a"))
+      .join(audited.select(col("label").as("l2"), col("node").as("b")),
+            col("label") === col("l2") && col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val est = wp
+      .join(docs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .join(pairs.withColumn("direct", lit(1L)), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("direct"), lit(0L)).as("direct"),
+        (aggregate(
+           zip_with(col("siga"), col("sigb"),
+                    (x, y) => when(x === y, 1L).otherwise(0L)),
+           lit(0L), (acc, v) => acc + v) * lit(62500L)).as("est_ppm"))
+    val pairStats = est.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("direct")), lit(0L)).as("n_direct"),
+      (count(lit(1)) - coalesce(sum(col("direct")), lit(0L))).as("n_chained"),
+      expr("coalesce((count(1) - sum(direct)) * 1000000 div " +
+           "greatest(count(1), 1), 0)").as("chained_ppm"),
+      expr("coalesce(sum(CASE WHEN direct = 1 THEN est_ppm END) div " +
+           "greatest(sum(direct), 1), 0)").as("mean_direct_est_ppm"),
+      expr("coalesce(sum(CASE WHEN direct = 0 THEN est_ppm END) div " +
+           "greatest(count(1) - sum(direct), 1), 0)")
+        .as("mean_chained_est_ppm"))
+    val clusterStats = sizes.agg(
+      sum(when(col("csize").between(2, 20), 1L).otherwise(0L))
+        .as("n_clusters_audited"),
+      sum(when(col("csize") > 20, 1L).otherwise(0L)).as("n_clusters_large"))
+    clusterStats.crossJoin(pairStats)
+      .select(col("n_clusters_audited"), col("n_clusters_large"),
+              col("n_pairs"), col("n_direct"), col("n_chained"),
+              col("chained_ppm"), col("mean_direct_est_ppm"),
+              col("mean_chained_est_ppm"))
+  }
+
   /** E12b — embedding-space near-dup clusters: the same component
     * resolution over the EXACT cosine pair graph (block-pair grid,
     * threshold 0.35) — semantic-duplicate families rather than lexical
@@ -220,6 +285,7 @@ object Clustering {
   val queries: Map[String, Q] = Map(
     "ext_triangle_count" -> extTriangleCount,
     "ext_dedup_clusters" -> extDedupClusters,
+    "ext_cluster_dilution" -> extClusterDilution,
     "ext_embed_clusters" -> extEmbedClusters)
 
   // The oracle replays the minhash banding bit-for-bit (same md5/perm
@@ -301,6 +367,80 @@ object Clustering {
         |  node = cluster_id AS is_representative
         |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
+    // dedup_clusters' closure replay + size-capped within-cluster pair
+    // audit: direct = LSH candidate, chained = transitively joined only;
+    // similarity estimate = 1/16-quantum signature agreement
+    "ext_cluster_dilution" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [lower(text)] END) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+        |hs AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) % 2147483647 AS h
+        |  FROM sh),
+        |perms(k, a, b) AS (SELECT * FROM (VALUES
+        |  (0, 414281673, 1412461474), (1, 779796209, 608464424),
+        |  (2, 2057138611, 371426352), (3, 636929129, 1051709367),
+        |  (4, 148700537, 556582936), (5, 280017523, 1049994530),
+        |  (6, 1225570701, 1482240542), (7, 531732645, 453882425),
+        |  (8, 653258605, 199196378), (9, 2024089755, 1542891919),
+        |  (10, 219612255, 1948470694), (11, 2004763803, 1426709303),
+        |  (12, 347532637, 1392420289), (13, 1523061221, 1369392366),
+        |  (14, 430040917, 1109423241), (15, 1822934603, 410969165)) v(k, a, b)),
+        |sig AS (SELECT doc_id, k, min((CAST(a AS BIGINT) * h + b) % 2147483647) AS v
+        |  FROM hs CROSS JOIN perms GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, k // 4 AS band,
+        |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY k) AS band_key
+        |  FROM sig GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |e AS (SELECT da AS u, db AS v FROM pairs
+        |      UNION ALL SELECT db, da FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u),
+        |cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+        |       FROM cl GROUP BY 1),
+        |wa AS (SELECT cl.cluster_id, cl.node FROM cl JOIN sz USING (cluster_id)
+        |       WHERE csize BETWEEN 2 AND 20),
+        |wp AS (SELECT x.node AS a, y.node AS b FROM wa x JOIN wa y
+        |       ON x.cluster_id = y.cluster_id AND x.node < y.node),
+        |agr AS (SELECT wp.a, wp.b,
+        |    CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) * 62500
+        |      AS BIGINT) AS est_ppm
+        |  FROM wp JOIN sig sa ON sa.doc_id = wp.a
+        |    JOIN sig sb ON sb.doc_id = wp.b AND sb.k = sa.k
+        |  GROUP BY 1, 2),
+        |base AS (SELECT agr.a, agr.b,
+        |    CASE WHEN pairs.da IS NULL THEN 0 ELSE 1 END AS direct, est_ppm
+        |  FROM agr LEFT JOIN pairs ON pairs.da = agr.a AND pairs.db = agr.b),
+        |ps AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(SUM(direct), 0) AS BIGINT) AS n_direct,
+        |    CAST(count(*) - coalesce(SUM(direct), 0) AS BIGINT) AS n_chained,
+        |    CAST(coalesce((count(*) - coalesce(SUM(direct), 0)) * 1000000
+        |      // greatest(count(*), 1), 0) AS BIGINT) AS chained_ppm,
+        |    CAST(coalesce(SUM(CASE WHEN direct = 1 THEN est_ppm END)
+        |      // greatest(SUM(direct), 1), 0) AS BIGINT)
+        |      AS mean_direct_est_ppm,
+        |    CAST(coalesce(SUM(CASE WHEN direct = 0 THEN est_ppm END)
+        |      // greatest(count(*) - coalesce(SUM(direct), 0), 1), 0)
+        |      AS BIGINT) AS mean_chained_est_ppm
+        |  FROM base),
+        |cs AS (SELECT
+        |    CAST(SUM(CASE WHEN csize BETWEEN 2 AND 20 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clusters_audited,
+        |    CAST(SUM(CASE WHEN csize > 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clusters_large
+        |  FROM sz)
+        |SELECT n_clusters_audited, n_clusters_large, n_pairs, n_direct,
+        |  n_chained, chained_ppm, mean_direct_est_ppm, mean_chained_est_ppm
+        |FROM cs, ps""".stripMargin,
     "ext_embed_clusters" -> {
       val cos = "list_aggregate(list_transform(list_zip(a.embedding, b.embedding), " +
         "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), 'sum') / " +

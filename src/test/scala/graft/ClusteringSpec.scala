@@ -113,4 +113,35 @@ class ClusteringSpec extends SparkSpec {
     row.getAs[Long]("n_triangles") shouldBe nTri
     nTri should be > 0L
   }
+
+  test("cluster dilution: planted chain classifies the transitively-joined " +
+       "pair as chained with a lower similarity estimate") {
+    import spark.implicits._
+    // overlapping 30-token windows at stride 7: consecutive docs share a
+    // MinHash band (direct candidates), the ends do not — yet transitive
+    // closure puts all three in one cluster, so (0,2) is CHAINED
+    val words = (0 until 44).map(i => s"tok$i")
+    val texts = (0 until 3).map(i => words.slice(7 * i, 7 * i + 30).mkString(" "))
+    val dir = "/root/repo/target/scratch/clust_dilution"
+    (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (3L, "entirely unrelated singleton document about nothing shared"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.ops.Clustering.extClusterDilution(spark, dir).first()
+    r.getAs[Long]("n_clusters_audited") shouldBe 1L
+    r.getAs[Long]("n_clusters_large") shouldBe 0L
+    r.getAs[Long]("n_pairs") shouldBe 3L
+    r.getAs[Long]("n_direct") shouldBe 2L
+    r.getAs[Long]("n_chained") shouldBe 1L
+    r.getAs[Long]("chained_ppm") shouldBe 333333L
+    // the chained pair is the weaker one — the dilution the audit exists
+    // to expose; both means live on the 1/16 estimate grid
+    val dMean = r.getAs[Long]("mean_direct_est_ppm")
+    val cMean = r.getAs[Long]("mean_chained_est_ppm")
+    dMean should be > cMean
+    cMean should be > 0L
+    dMean % 31250 shouldBe 0L // avg of two 62500-quantum values
+    cMean % 62500 shouldBe 0L
+  }
 }
