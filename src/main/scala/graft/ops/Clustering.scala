@@ -125,10 +125,19 @@ object Clustering {
     * graph: every document labeled with its duplicate-cluster id (min
     * doc_id reachable through band-sharing pairs), the cluster size, and
     * whether it is the elected representative. */
-  val extDedupClusters: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** The shipped lexical-dedup projection (doc_id, MinHash sig) — the
+    * ONE definition both [[extDedupClusters]] (production clustering)
+    * and [[extClusterDilution]] (its audit) build their graphs from,
+    * so the audit can never drift onto a different graph than the one
+    * production dedups. */
+  private def dedupDocsSigs(s: org.apache.spark.sql.SparkSession,
+                            d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
               Dedup.minhashSig(Dedup.shingles3(col("text"))).as("sig"))
+
+  val extDedupClusters: Q = (s, d) => {
+    val docs = dedupDocsSigs(s, d)
     val pairs = Dedup.minhashBandPairs(docs)
     val labels = connectedComponents(pairs, docs.select(col("doc_id")))
     val sizes = labels.groupBy(col("label"))
@@ -159,10 +168,9 @@ object Clustering {
     * (≤ C(20,2) pairs per cluster, never corpus-quadratic) and
     * signature joins at pair grain. Output is one summary row. */
   val extClusterDilution: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-              Dedup.minhashSig(Dedup.shingles3(col("text"))).as("sig"))
-      .localCheckpoint()
+    // same projection as the production path; checkpointed because the
+    // audit reuses it for two signature joins plus pair generation
+    val docs = dedupDocsSigs(s, d).localCheckpoint()
     val pairs = Dedup.minhashBandPairs(docs).localCheckpoint()
     val labels = connectedComponents(pairs, docs.select(col("doc_id")))
     val sizes = labels.groupBy(col("label"))

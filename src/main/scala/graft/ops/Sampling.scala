@@ -500,11 +500,7 @@ object Sampling {
     * Scale shape: one source-grain aggregate; noise derivation is
     * per-group expression work. Nothing leaves executors. */
   val extDpCount: Q = (s, d) => {
-    def geom(tag: String): Column = {
-      val m = pmod(graft.ops.Dedup.hash60(
-        concat(lit(tag + "|"), col("source"))), lit(1048576L)) + 1
-      greatest(lit(0L), lit(20L) - length(bin(m)).cast("long"))
-    }
+    def geom(tag: String): Column = geomDraw(tag, col("source"))
     Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -534,13 +530,20 @@ object Sampling {
     * Scale shape: one (source × bucket)-grain aggregate; bucket count
     * is bounded by max doc length / 100, so the frame stays tiny no
     * matter the corpus. */
+  /** Integer-exact two-sided-geometric half: one geometric(1/2) draw
+    * seeded from the md5 contract — THE mechanism shared by every DP
+    * release here ([[extDpCount]], [[extDpHistogram]]); change it in
+    * one place or not at all (both oracles replay it verbatim). */
+  private def geomDraw(tag: String, key: Column): Column = {
+    val m = pmod(graft.ops.Dedup.hash60(concat(lit(tag + "|"), key)),
+                 lit(1048576L)) + 1
+    greatest(lit(0L), lit(20L) - length(bin(m)).cast("long"))
+  }
+
   val extDpHistogram: Q = (s, d) => {
-    def geom(tag: String): Column = {
-      val m = pmod(graft.ops.Dedup.hash60(
-        concat(lit(tag + "|"), col("source"), lit("|"),
-               col("len_bucket").cast("string"))), lit(1048576L)) + 1
-      greatest(lit(0L), lit(20L) - length(bin(m)).cast("long"))
-    }
+    def geom(tag: String): Column =
+      geomDraw(tag, concat(col("source"), lit("|"),
+                           col("len_bucket").cast("string")))
     Tables.documents(s, d)
       .select(col("source"), expr("n_chars div 100").as("len_bucket"))
       .groupBy(col("source"), col("len_bucket"))
@@ -561,7 +564,7 @@ object Sampling {
     * tuner materializes per round.
     *
     * Integer-exactness: the exponential is QUANTIZED to base-2 steps —
-    * excess_step = clamp(mean·4 div corpus_mean − 4, −8, 8), weight =
+    * excess_step = clamp(mean·8 div corpus_mean − 8, −8, 8), weight =
     * 1 << (step + 8) — so the whole update is BIGINT shifts and
     * floor-divides with zero float surface (the lm_score lesson;
     * a float exp() would differ in the last ulp across engines).
@@ -586,11 +589,14 @@ object Sampling {
       .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
       .withColumn("mean_tok_x1000", expr("n_tokens * 1000 div n_docs"))
       .withColumn("corpus_x1000", expr("tot_tokens * 1000 div tot_docs"))
-      // non-negative numerator, then recenter: mean*4 div corpus in
-      // [0, ..], minus 4 centers at 0; clamp to [-8, 8]
+      // non-negative numerator, then recenter: mean*8 div corpus in
+      // [0, ..], minus 8 centers at 0 — a domain at zero mean reaches
+      // the -8 floor and one at 2x the corpus mean the +8 cap, so the
+      // clamp is reachable on BOTH sides (a *4 scaling made the lower
+      // clamp dead: the step could never go below -4)
       .withColumn("excess_step",
         greatest(lit(-8L), least(lit(8L),
-          expr("mean_tok_x1000 * 4 div corpus_x1000") - 4L)))
+          expr("mean_tok_x1000 * 8 div corpus_x1000") - 8L)))
       .withColumn("weight",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(excess_step + 8 AS INT))"))
       .withColumn("sum_w", sum(col("weight")).over(wAll))
@@ -649,7 +655,7 @@ object Sampling {
         |w AS (
         |  SELECT source, n_docs, mean_tok_x1000,
         |    greatest(-8, least(8,
-        |      CAST(mean_tok_x1000 * 4 // corpus_x1000 AS BIGINT) - 4))
+        |      CAST(mean_tok_x1000 * 8 // corpus_x1000 AS BIGINT) - 8))
         |      AS excess_step
         |  FROM e),
         |v AS (

@@ -223,19 +223,37 @@ object Similarity {
     * as LSH but with data-adaptive buckets. All distance math is the
     * exact fold-ordered double arithmetic, so assignments and rankings
     * are oracle-checkable. */
-  val extAnnIvf: Q = (s, d) => {
+  /** Shared IVF quantizer ranking: every vector scored against the
+    * deterministic 16-seed codebook (vec_id < 16) via a bounded
+    * broadcast crossJoin + argmin window. rn = 1 is a vector's home
+    * list; rn ≤ p are a query's p probe lists. This contract (seed
+    * set, cosine, (seed_cos DESC, seed_id) tie-break) is load-bearing
+    * for oracle bit-exactness — every IVF-family entry
+    * ([[extAnnIvf]], [[lloydRefine]], [[extIvfRecall]],
+    * [[extEmbeddingDrift]], [[extProbeCurve]]) and its oracle replay
+    * MUST use this one definition. */
+  private def ivfRanked(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     graft.expressions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, d)
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
-    val assigned = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("embedding"), col("seed_id"),
               cosine(col("embedding"), col("se")).as("seed_cos"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+  }
+
+  /** [[ivfRanked]] reduced to the home-list assignment. */
+  private def ivfAssigned(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    ivfRanked(s, d).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("seed_id").as("list_id"))
+
+  val extAnnIvf: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
     val q = assigned.select(col("vec_id").as("qid"), col("embedding").as("qe"),
                             col("list_id").as("qlist")).filter(col("qid") < 10)
     val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -268,23 +286,12 @@ object Similarity {
     * whole-frame TVD window. Cell count is the quantizer's, never the
     * corpus's. */
   val extEmbeddingDrift: Q = (s, d) => {
-    graft.expressions.FloatVecDot.register(s)
-    val e = Tables.embeddings(s, d)
-    val seeds = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("seed_id"),
-              cosine(col("embedding"), col("se")).as("seed_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("seed_id").as("list_id"))
-    assigned
+    ivfAssigned(s, d)
+      .select(col("vec_id"), col("list_id"))
       .groupBy(col("list_id"))
       .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
            sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
@@ -309,18 +316,7 @@ object Similarity {
     * is the distributed k-means step: assignment is a broadcast-join
     * argmin, the update a groupBy mean — both scale-free of N². */
   def lloydRefine(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.FloatVecDot.register(s)
-    val e = Tables.embeddings(s, d)
-    val seeds = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("seed_id"),
-              cosine(col("embedding"), col("se")).as("seed_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("list_id"))
+    val assigned = ivfAssigned(s, d)
     // update step: element-wise mean per list → new centroid (float)
     assigned
       .select(col("list_id"), posexplode(col("embedding")))
@@ -643,16 +639,8 @@ object Similarity {
     * variant (LSH single/multi-probe, IVF) now publishes its recall@5
     * against the same brute-force ground truth. */
   val extIvfRecall: Q = (s, d) => {
-    graft.expressions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, d)
-    val seeds = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
-    val ranked = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("seed_id"),
-              cosine(col("embedding"), col("se")).as("seed_cos"))
-      .withColumn("rn", row_number().over(wAssign))
+    val ranked = ivfRanked(s, d)
     val c = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
               col("seed_id").as("list_id"))
@@ -712,16 +700,8 @@ object Similarity {
     * WindowGroupLimit, config-grain output (4 rows). */
   val extProbeCurve: Q = (s, d) => {
     import s.implicits._
-    graft.expressions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, d)
-    val seeds = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("seed_cos").desc, col("seed_id"))
-    val ranked = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("seed_id"),
-              cosine(col("embedding"), col("se")).as("seed_cos"))
-      .withColumn("rn", row_number().over(wAssign))
+    val ranked = ivfRanked(s, d)
     val c = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
               col("seed_id").as("list_id"))
@@ -761,9 +741,17 @@ object Similarity {
              .cast("long").as("n_overlap"))
     val cost = perConfig.groupBy(col("probes"))
       .agg(count(lit(1)).as("n_cand"))
-    overlap.join(cost, Seq("probes"))
-      .select(col("probes"), col("n_cand"), col("n_truth"), col("n_overlap"),
-              when(col("n_truth") > 0,
+    // base from the config literals (the extLshPlan discipline): a
+    // config with zero candidates must still report its row, not vanish
+    // through an inner join
+    (1 to 4).toDF("probes").select(col("probes").cast("long").as("probes"))
+      .join(overlap, Seq("probes"), "left")
+      .join(cost, Seq("probes"), "left")
+      .select(col("probes"),
+              coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+              coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+              when(coalesce(col("n_truth"), lit(0L)) > 0,
                    col("n_overlap").cast("double") /
                      col("n_truth").cast("double")).as("recall_at_5"))
       .orderBy(col("probes"))
@@ -1260,11 +1248,15 @@ object Similarity {
          |       FROM j GROUP BY 1),
          |cost AS (SELECT probes, CAST(count(*) AS BIGINT) AS n_cand
          |         FROM pc GROUP BY 1)
-         |SELECT ov.probes AS probes, n_cand, n_truth, n_overlap,
-         |  CASE WHEN n_truth > 0
+         |SELECT CAST(cfg.probes AS BIGINT) AS probes,
+         |  CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(COALESCE(n_truth, 0) AS BIGINT) AS n_truth,
+         |  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN COALESCE(n_truth, 0) > 0
          |    THEN CAST(n_overlap AS DOUBLE) / CAST(n_truth AS DOUBLE)
          |  END AS recall_at_5
-         |FROM ov JOIN cost ON ov.probes = cost.probes
+         |FROM cfg LEFT JOIN ov ON ov.probes = cfg.probes
+         |LEFT JOIN cost ON cost.probes = cfg.probes
          |ORDER BY probes""".stripMargin,
     // ann_ivf's assignment replay reduced to cell-grain snapshot
     // occupancy (vec_id parity = snapshot id) + TVD window

@@ -389,8 +389,12 @@ object TextAnalysis {
     * returns (per-round 1-row winner frames, per-round segmentation
     * frames indexed 0..rounds). Every intermediate is
     * localCheckpointed — see extBpeTrain's scaladoc for why. */
+  /** When `needSegs` is false the FINAL round's merge application (an
+    * eager crossJoin + four window passes + checkpoint job) is skipped
+    * — the winner table only needs segmentations up to rounds−1; only
+    * [[extBpeApply]]'s compression curve reads the last frame. */
   private def bpeRounds(s: org.apache.spark.sql.SparkSession, d: String,
-                        rounds: Int)
+                        rounds: Int, needSegs: Boolean)
       : (Seq[org.apache.spark.sql.DataFrame],
          Seq[org.apache.spark.sql.DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
@@ -424,6 +428,9 @@ object TextAnalysis {
       winners += win.select(lit(t.toLong).as("round"),
         col("a").as("left_sym"), col("b").as("right_sym"),
         concat(col("a"), col("b")).as("merged"), col("n").as("pair_count"))
+      if (t == rounds && !needSegs) {
+        return (winners.result(), segs.result())
+      }
       syms = syms
         .crossJoin(broadcast(win.select(col("a").as("wa"), col("b").as("wb"))))
         .withColumn("cand", coalesce(
@@ -450,7 +457,8 @@ object TextAnalysis {
   }
 
   val extBpeTrain: Q = (s, d) =>
-    bpeRounds(s, d, 6)._1.reduce(_ unionAll _).orderBy(col("round"))
+    bpeRounds(s, d, 6, needSegs = false)._1
+      .reduce(_ unionAll _).orderBy(col("round"))
 
   /** E61 — the APPLY + MEASURE half of tokenizer training: tokenize
     * the corpus with the merges [[extBpeTrain]] learns and report the
@@ -468,7 +476,7 @@ object TextAnalysis {
       .partitionBy(lit(1))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val (_, segs) = bpeRounds(s, d, 6)
+    val (_, segs) = bpeRounds(s, d, 6, needSegs = true)
     segs.zipWithIndex.map { case (seg, t) =>
       seg.agg(sum(col("cnt")).as("n_tokens"))
         .select(lit(t.toLong).as("round"), col("n_tokens"))
