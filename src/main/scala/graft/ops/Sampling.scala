@@ -540,6 +540,41 @@ object Sampling {
     greatest(lit(0L), lit(20L) - length(bin(m)).cast("long"))
   }
 
+  /** E65 — k-ANONYMITY audit over the release quasi-identifiers: the
+    * check that runs BEFORE any per-group stats leave the trust
+    * boundary. Groups documents by the quasi-identifier tuple a
+    * release would expose — (source, lang, 100-char length bucket) —
+    * and reports every equivalence class below k = 5: those classes
+    * are re-identification risk (a 1-doc class IS the document), and
+    * the [[extDpHistogram]] τ-suppression exists precisely to keep
+    * them out of releases. Also publishes the corpus-level floor
+    * (min class size) and the risk mass (docs in sub-k classes, ppm).
+    *
+    * Scale shape: one aggregate at quasi-identifier grain (bounded:
+    * sources × langs × length buckets), then a whole-frame window
+    * over that bounded frame. Integer-exact throughout. */
+  val extKAnon: Q = (s, d) => {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+              expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("min_class", min(col("class_size")).over(wAll))
+      .withColumn("total", sum(col("class_size")).over(wAll))
+      .withColumn("risk_docs",
+        sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+          .over(wAll))
+      .filter(col("class_size") < 5)
+      .select(col("source"), col("lang"), col("len_bucket"),
+              col("class_size"), col("min_class"),
+              expr("risk_docs * 1000000 div total").as("risk_ppm"))
+      .orderBy(col("source"), col("lang"), col("len_bucket"))
+  }
+
   val extDpHistogram: Q = (s, d) => {
     def geom(tag: String): Column =
       geomDraw(tag, concat(col("source"), lit("|"),
@@ -607,6 +642,7 @@ object Sampling {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_k_anon" -> extKAnon,
     "ext_mixture_egd" -> extMixtureEgd,
     "ext_dp_histogram" -> extDpHistogram,
     "ext_dp_count" -> extDpCount,
@@ -635,6 +671,25 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // quasi-identifier classes below k=5 + corpus floor and risk mass;
+    // whole-frame windows over the bounded class-grain frame
+    "ext_k_anon" ->
+      """WITH c AS (
+        |  SELECT source, lang, n_chars // 100 AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT source, lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+        |    class_size,
+        |    CAST(MIN(class_size) OVER () AS BIGINT) AS min_class,
+        |    CAST(SUM(class_size) OVER () AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |      OVER () AS BIGINT) AS risk_docs
+        |  FROM c)
+        |SELECT source, lang, len_bucket, class_size, min_class,
+        |  CAST(risk_docs * 1000000 // total AS BIGINT) AS risk_ppm
+        |FROM t WHERE class_size < 5
+        |ORDER BY source, lang, len_bucket""".stripMargin,
     // base-2-quantized EGD step: BIGINT shifts + non-negative floor
     // divides only (Spark div truncates, DuckDB // floors — they agree
     // iff numerators stay >= 0)

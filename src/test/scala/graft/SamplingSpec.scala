@@ -151,4 +151,23 @@ class SamplingSpec extends SparkSpec {
     rows.sortBy(_.getAs[Long]("mean_tok_x1000")).map(_.getAs[Long]("weight"))
       .sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
   }
+
+  test("k-anonymity audit: only sub-k classes surface, and the risk mass " +
+       "reconciles with a direct replay") {
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val rows = graft.ops.Sampling.extKAnon(spark, d).collect()
+    rows.length should be > 0
+    rows.foreach(_.getAs[Long]("class_size") should be < 5L)
+    // direct replay of the class histogram
+    val classes = Tables.documents(spark, d)
+      .groupBy(col("source"), col("lang"), expr("n_chars div 100"))
+      .count().collect().map(_.getAs[Long]("count"))
+    rows.map(_.getAs[Long]("min_class")).distinct.toSeq shouldBe
+      Seq(classes.min)
+    val riskPpm = classes.filter(_ < 5).sum * 1000000L / classes.sum
+    rows.map(_.getAs[Long]("risk_ppm")).distinct.toSeq shouldBe Seq(riskPpm)
+    // one output row per sub-k class
+    rows.length shouldBe classes.count(_ < 5)
+  }
 }
