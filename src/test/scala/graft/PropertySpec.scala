@@ -174,4 +174,53 @@ class PropertySpec extends SparkSpec {
       est shouldBe trueJ +- 0.45 // 16 permutations: coarse but correlated
     }
   }
+
+  test("merkle attestation is invariant to input row order and partitioning") {
+    import spark.implicits._
+    // the tree orders by content digest, never by arrival: any shuffle of
+    // the rows (and any partition count) must reproduce every root
+    val base = (0L until 40L).map { id =>
+      val t = s"stable document body $id"
+      (id, t, "en", "s", t.length.toLong)
+    }
+    def roots(rows: Seq[(Long, String, String, String, Long)],
+              parts: Int, tag: String): Seq[(Long, String, String)] = {
+      val dir = s"/root/repo/target/scratch/prop_merkle_$tag"
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.ops.Quality.extMerkleShards(spark, dir).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[String]("shard_root"),
+                   r.getAs[String]("dataset_root"))).toSeq.sortBy(_._1)
+    }
+    val orig = roots(base, 1, "a")
+    val shuffled = roots(rng.shuffle(base), 7, "b")
+    shuffled shouldBe orig
+  }
+
+  test("lsh plan candidate monotonicity holds on random near-dup corpora") {
+    import spark.implicits._
+    val words = Vector("alpha","beta","gamma","delta","epsilon","zeta","eta",
+      "theta","iota","kappa","lambda","mu","nu","xi","omicron","pi")
+    for (trial <- 1 to 3) {
+      // random docs + planted near-dups: band agreement on a coarser
+      // split implies agreement on its refinement, for ANY corpus
+      val docs = (0 until 12).map { i =>
+        val toks = (0 until 14).map(_ => words(rng.nextInt(words.size)))
+        (i.toLong, toks.mkString(" "))
+      } ++ Seq((12L, "planted dup " + words.mkString(" ")),
+               (13L, "planted dup " + words.mkString(" ")))
+      val dir = s"/root/repo/target/scratch/prop_lsh_$trial"
+      docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val byR = Dedup.extLshPlan(spark, dir).collect()
+        .map(r => r.getAs[Long]("rows_per_band") ->
+          r.getAs[Long]("n_cand_pairs")).toMap
+      byR(2L) should be <= byR(1L)
+      byR(4L) should be <= byR(2L)
+      byR(8L) should be <= byR(4L)
+      byR(8L) should be >= 1L // the exact planted pair survives every config
+    }
+  }
 }
