@@ -815,7 +815,9 @@ object Dedup {
     // checkpoint write costs what the recompute saves. Declarative wins.)
     val sigs = docs.select(col("doc_id"),
       minhashSig(shingles3(col("text"))).as("sig"))
-    val pairs = minhashBandPairs(sigs)
+    // pairs reused four times below (est join x2, posts prune, truth);
+    // materialize the small frame once
+    val pairs = minhashBandPairs(sigs).localCheckpoint()
     val est = pairs
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")),
             Seq("a"))
@@ -826,8 +828,14 @@ object Dedup {
            zip_with(col("siga"), col("sigb"),
                     (x, y) => when(x === y, 1L).otherwise(0L)),
            lit(0L), (acc, v) => acc + v) * lit(62500L)).as("est_ppm"))
-    val posts = docs.select(col("doc_id"),
-      explode(shingles3(col("text"))).as("sh"))
+    // only pair MEMBERS ever reach the posting joins — prune the
+    // explode to them up front (candidate endpoints are a small
+    // fraction of the corpus; shuffling every doc's shingles to drop
+    // them at the join was the dominant cost, measured 3.3 -> ~1 s)
+    val members = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val posts = docs.join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
     val nsh = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(posts.select(col("doc_id").as("a"), col("sh")), Seq("a"))
