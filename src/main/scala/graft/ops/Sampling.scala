@@ -575,6 +575,42 @@ object Sampling {
       .orderBy(col("source"), col("lang"), col("len_bucket"))
   }
 
+  /** E66 — differentially-private MEAN release (clipped-sum
+    * mechanism): per-source mean doc length with each contribution
+    * CLIPPED to [0, C] (C = 1000 chars) so one document's influence on
+    * the sum is bounded by C — the sensitivity argument counts and
+    * histograms get for free but sums must buy with clipping. Release
+    * = (sum + C·(g₁−g₂)) / (count + g₁'−g₂') with independent
+    * geometric draws on numerator and denominator (ε = ln 2 each;
+    * sequential composition 2·ln 2 per source), denominator floored at
+    * 1. Completes the count → histogram → mean mechanism ladder;
+    * clipped/true sums are both released so spec and oracle audit the
+    * clipping and the mechanism identity.
+    *
+    * Integer-exact: clipping is least(), draws are [[geomDraw]], the
+    * mean is one BIGINT floor-divide with a non-negative numerator
+    * (noisy sum ≥ −20·C is floored at 0 — recorded caveat, the same
+    * truncate-vs-floor guard as everywhere else). */
+  val extDpMean: Q = (s, d) => {
+    def geom(tag: String): Column = geomDraw(tag, col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), least(col("n_chars"), lit(1000L)).as("clipped"),
+              col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("clipped")).as("clipped_sum"),
+           sum(col("n_chars")).as("true_sum"))
+      .select(col("source"), col("n_docs"), col("clipped_sum"),
+              col("true_sum"),
+              greatest(lit(0L),
+                col("clipped_sum") + lit(1000L) * (geom("dpm1") - geom("dpm2")))
+                .as("noisy_sum"),
+              greatest(lit(1L),
+                col("n_docs") + geom("dpm3") - geom("dpm4")).as("noisy_n"))
+      .withColumn("dp_mean_chars", expr("noisy_sum div noisy_n"))
+      .orderBy(col("source"))
+  }
+
   val extDpHistogram: Q = (s, d) => {
     def geom(tag: String): Column =
       geomDraw(tag, concat(col("source"), lit("|"),
@@ -642,6 +678,7 @@ object Sampling {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_dp_mean" -> extDpMean,
     "ext_k_anon" -> extKAnon,
     "ext_mixture_egd" -> extMixtureEgd,
     "ext_dp_histogram" -> extDpHistogram,
@@ -671,6 +708,35 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // clipped-sum DP mean: least() clip, geometric draws on numerator
+    // (scaled by the clip bound) and denominator, floor guards keeping
+    // both divide operands non-negative/positive
+    "ext_dp_mean" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(least(n_chars, 1000)) AS BIGINT) AS clipped_sum,
+         |    CAST(SUM(n_chars) AS BIGINT) AS true_sum
+         |  FROM documents GROUP BY 1),
+         |g AS (
+         |  SELECT source, n_docs, clipped_sum, true_sum,
+         |    greatest(0, clipped_sum + 1000 * (
+         |      greatest(0, 20 - length(bin(
+         |        ${h60("'dpm1|' || source")} % 1048576 + 1))) -
+         |      greatest(0, 20 - length(bin(
+         |        ${h60("'dpm2|' || source")} % 1048576 + 1)))))
+         |      AS noisy_sum,
+         |    greatest(1, n_docs +
+         |      greatest(0, 20 - length(bin(
+         |        ${h60("'dpm3|' || source")} % 1048576 + 1))) -
+         |      greatest(0, 20 - length(bin(
+         |        ${h60("'dpm4|' || source")} % 1048576 + 1))))
+         |      AS noisy_n
+         |  FROM c)
+         |SELECT source, n_docs, clipped_sum, true_sum,
+         |  CAST(noisy_sum AS BIGINT) AS noisy_sum,
+         |  CAST(noisy_n AS BIGINT) AS noisy_n,
+         |  CAST(noisy_sum // noisy_n AS BIGINT) AS dp_mean_chars
+         |FROM g ORDER BY source""".stripMargin,
     // quasi-identifier classes below k=5 + corpus floor and risk mass;
     // whole-frame windows over the bounded class-grain frame
     "ext_k_anon" ->

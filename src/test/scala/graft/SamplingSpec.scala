@@ -152,6 +152,28 @@ class SamplingSpec extends SparkSpec {
       .sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
   }
 
+  test("dp mean: clipping bounds the sum, mechanism identity holds, " +
+       "deterministic") {
+    val run1 = graft.ops.Sampling.extDpMean(spark, sf("sf0.001")).collect()
+    val run2 = graft.ops.Sampling.extDpMean(spark, sf("sf0.001")).collect()
+    run1.map(_.toString).toSeq shouldBe run2.map(_.toString).toSeq
+    run1.length should be > 0
+    run1.foreach { r =>
+      val (n, cs, ts) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("clipped_sum"), r.getAs[Long]("true_sum"))
+      cs should be <= ts        // clipping only shrinks
+      cs should be <= n * 1000L // sensitivity bound actually enforced
+      // released mean is exactly noisy_sum div noisy_n, floors applied
+      val (ns, nn) = (r.getAs[Long]("noisy_sum"), r.getAs[Long]("noisy_n"))
+      ns should be >= 0L
+      nn should be >= 1L
+      r.getAs[Long]("dp_mean_chars") shouldBe ns / nn
+      // geometric noise is bounded: |noise| <= 19 steps of the scale
+      math.abs(ns - cs) should be <= 19000L
+      math.abs(nn - n) should be <= 19L
+    }
+  }
+
   test("k-anonymity audit: only sub-k classes surface, and the risk mass " +
        "reconciles with a direct replay") {
     import org.apache.spark.sql.functions._
