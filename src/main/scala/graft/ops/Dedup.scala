@@ -224,6 +224,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** E67 — SimHash HAMMING-DISTANCE histogram over the band
+    * candidates: the radius-cutoff dial for the simhash family,
+    * completing the per-index planner set ([[extLshPlan]] sizes
+    * MinHash banding, `ext_probe_curve` sizes IVF probes; this sizes
+    * the Hamming radius). Every band-candidate pair is scored with its
+    * EXACT signature distance (bit_count of the XOR — engine-portable
+    * on the 60-bit longs) and bucketed: distances 0–3 individually
+    * (the 4×15-bit banding's pigeonhole guarantee covers ≤ 3 — any
+    * such pair MUST agree on one band, so within candidates these
+    * buckets are complete), then 4–7 / 8–15 / 16+ best-effort tails.
+    * Reading the cumulative column against a radius cutoff says how
+    * many pairs a given threshold admits BEFORE committing the
+    * full-corpus pass.
+    *
+    * Scale shape: candidate-bounded — the banding self-join is the
+    * shipped [[extSimhashDedup]] path; scoring is one bit_count per
+    * pair; output is bucket-grain (≤7 rows). */
+  val extHammingHist: Q = (s, d) => {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hamming_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash60(col("text")).as("simhash"))
+      .localCheckpoint()
+    val bands = docs.select(col("doc_id"), posexplode(array((0 until 4).map {
+        k => shiftrightunsigned(col("simhash"), 15 * k).bitwiseAND(0x7FFFL)
+      }: _*)))
+      .toDF("doc_id", "band", "band_val")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("a"), col("simhash").as("ha")),
+            Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("simhash").as("hb")),
+            Seq("b"))
+      .select(expr("bit_count(ha ^ hb)").cast("long").as("dist"))
+      .select(when(col("dist") <= 3, col("dist"))
+        .when(col("dist") <= 7, lit(4L))
+        .when(col("dist") <= 15, lit(8L))
+        .otherwise(lit(16L)).as("hamming_bucket"))
+      .groupBy(col("hamming_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(wCum))
+      .orderBy(col("hamming_bucket"))
+  }
+
   // ---- exact pairwise Jaccard (adaptive physical strategy) ---------------
 
   /** Small-vocab probe: Some(sorted vocab) iff the corpus' distinct-token
@@ -1036,6 +1086,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_hamming_hist" -> extHammingHist,
     "ext_lsh_plan" -> extLshPlan,
     "ext_cdc_dedup" -> extCdcDedup,
     "ext_cdc_chunks" -> extCdcChunks,
@@ -1555,6 +1606,45 @@ object Dedup {
         |  COALESCE(n_old_matches, 0) = 0 AS kept
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
         |LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // simhash_dedup's signature+banding replay, candidates scored with
+    // exact bit_count(xor) and bucketed; cumulative over bucket order
+    "ext_hamming_hist" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+        |  FROM documents),
+        |hv AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 16), i ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hv CROSS JOIN range(0, 60) r(b) GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, b AS band, (simhash >> CAST(15 * b AS INTEGER)) & 32767 AS band_val
+        |  FROM sim CROSS JOIN range(0, 4) r(b)),
+        |partners AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.band_val = y.band_val
+        |    AND x.doc_id < y.doc_id),
+        |dist AS (
+        |  SELECT bit_count(xor(sa.simhash, sb.simhash)) AS dist
+        |  FROM partners
+        |  JOIN sim sa ON sa.doc_id = partners.da
+        |  JOIN sim sb ON sb.doc_id = partners.db),
+        |bkt AS (
+        |  SELECT CAST(CASE WHEN dist <= 3 THEN dist WHEN dist <= 7 THEN 4
+        |    WHEN dist <= 15 THEN 8 ELSE 16 END AS BIGINT) AS hamming_bucket
+        |  FROM dist),
+        |g AS (SELECT hamming_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM bkt GROUP BY 1)
+        |SELECT hamming_bucket, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY hamming_bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs
+        |FROM g ORDER BY hamming_bucket""".stripMargin,
     "ext_simhash_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t

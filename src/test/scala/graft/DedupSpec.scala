@@ -200,6 +200,26 @@ class DedupSpec extends SparkSpec {
       .toMap shouldBe Map(1L -> 62500L, 2L -> 353553L, 4L -> 707106L, 8L -> 917004L)
   }
 
+  test("hamming histogram: exact dups land in bucket 0, near-dups within the " +
+       "guaranteed radius, cumulative is monotone") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/dedup_hamming"
+    Seq((0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.extHammingHist(spark, dir).collect()
+      .map(r => r.getAs[Long]("hamming_bucket") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("cum_pairs"))).toMap
+    // identical texts: distance 0, always banded
+    rows(0L)._1 should be >= 1L
+    // buckets come only from the declared set
+    rows.keySet.subsetOf(Set(0L, 1L, 2L, 3L, 4L, 8L, 16L)) shouldBe true
+    // cumulative is the running sum in bucket order
+    val sorted = rows.toSeq.sortBy(_._1)
+    sorted.map(_._2._1).scanLeft(0L)(_ + _).tail shouldBe sorted.map(_._2._2)
+  }
+
   test("minhash estimator calibration: corpus-level error profile is sane at sf0.001") {
     val r = extMinhashEst(spark, sf("sf0.001")).first()
     r.getAs[Long]("n_pairs") should be > 0L
