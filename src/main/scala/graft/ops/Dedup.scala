@@ -202,19 +202,32 @@ object Dedup {
   /** E2b — SimHash near-dup: 60-bit signature + 15-bit-band partner
     * counts (4 bands; docs within hamming distance 3 are guaranteed to
     * share a band). */
-  val extSimhashDedup: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash60(col("text")).as("simhash"))
+  /** DISTINCT (a, b) SimHash band-candidate pairs over a
+    * (doc_id, simhash) frame — the 4×15-bit banding contract shared by
+    * [[extSimhashDedup]] and [[extHammingHist]] (and replayed verbatim
+    * by both oracles): change it in one place or not at all. Returns
+    * ids only, mirroring [[minhashBandPairs]] — carrying the
+    * signatures through the exploded self-join A/B'd 1.7× SLOWER (the
+    * distinct's shuffle doubles over the ~4× pre-distinct fan-out);
+    * consumers needing signatures re-join them at pair grain. */
+  def simhashBandPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { k =>
         shiftrightunsigned(col("simhash"), 15 * k).bitwiseAND(0x7FFFL)
       }: _*)))
       .toDF("doc_id", "simhash", "band", "band_val")
-    val partners = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  val extSimhashDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash60(col("text")).as("simhash"))
+    val partners = simhashBandPairs(docs)
     val counts = partners.select(col("a").as("doc_id"))
       .union(partners.select(col("b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_band_partners"))
@@ -248,17 +261,8 @@ object Dedup {
                    org.apache.spark.sql.expressions.Window.currentRow)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), simhash60(col("text")).as("simhash"))
-      .localCheckpoint()
-    val bands = docs.select(col("doc_id"), posexplode(array((0 until 4).map {
-        k => shiftrightunsigned(col("simhash"), 15 * k).bitwiseAND(0x7FFFL)
-      }: _*)))
-      .toDF("doc_id", "band", "band_val")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_val") === col("y.band_val") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    pairs
+      .localCheckpoint() // reused: band join (both sides) + 2 sig joins
+    simhashBandPairs(docs)
       .join(docs.select(col("doc_id").as("a"), col("simhash").as("ha")),
             Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("simhash").as("hb")),
