@@ -175,6 +175,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpe training agrees with a sequential reference trainer on random corpora") {
+    import spark.implicits._
+    // reference: greedy BPE exactly as documented — count ALL adjacent
+    // pairs weighted by word frequency, argmax by (count desc, a, b),
+    // apply left-to-right non-overlapping, repeat until no pairs
+    def reference(words: Map[String, Long], rounds: Int)
+        : Seq[(String, String, Long)] = {
+      var segs: Map[Vector[String], Long] =
+        words.map { case (w, c) => w.toVector.map(_.toString) -> c }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var t = 0
+      var done = false
+      while (t < rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((seg, c) <- segs; i <- 0 until seg.length - 1)
+          counts((seg(i), seg(i + 1))) =
+            counts.getOrElse((seg(i), seg(i + 1)), 0L) + c
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), n) = counts.toSeq
+            .sortBy { case ((x, y), m) => (-m, x, y) }.head
+          out += ((a, b, n))
+          segs = segs.groupMapReduce { case (seg, _) =>
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < seg.length) {
+              if (i + 1 < seg.length && seg(i) == a && seg(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += seg(i); i += 1 }
+            }
+            buf.result()
+          } { case (_, c) => c }(_ + _)
+          t += 1
+        }
+      }
+      out.result()
+    }
+    val alphabet = "abcd"
+    for (trial <- 1 to 3) {
+      // short random words over a 4-letter alphabet: dense pair
+      // collisions, identical-symbol runs, ties — the hard cases
+      val words = (0 until 15).map { _ =>
+        (0 until (2 + rng.nextInt(5)))
+          .map(_ => alphabet(rng.nextInt(4))).mkString
+      }
+      val text = rng.shuffle(words.flatMap(w =>
+        Seq.fill(1 + rng.nextInt(4))(w))).mkString(" ")
+      val dir = s"/root/repo/target/scratch/prop_bpe_$trial"
+      Seq((0L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val wordCounts = text.split(" ").filter(_.length >= 2)
+        .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val expected = reference(wordCounts, 6)
+      val got = graft.ops.TextAnalysis.extBpeTrain(spark, dir).collect()
+        .sortBy(_.getAs[Long]("round"))
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+                   r.getAs[Long]("pair_count"))).toSeq
+      got shouldBe expected
+    }
+  }
+
   test("merkle attestation is invariant to input row order and partitioning") {
     import spark.implicits._
     // the tree orders by content digest, never by arrival: any shuffle of
