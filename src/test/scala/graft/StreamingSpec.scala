@@ -33,6 +33,36 @@ class StreamingSpec extends SparkSpec {
       .count(_.startsWith("day=")) should be > 20 // ~30 days of events
   }
 
+  test("incremental ingest picks up ONLY the newly-arrived file on a " +
+       "checkpoint re-run (delta, not re-ingest)") {
+    import java.nio.file.{Files, Paths}
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val stage = tmp("stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(dest))
+    }
+    val srcSf = tmp("delta_sf") // fake sfDir with a fresh identity
+    val ckpt = tmp("ckpt_delta"); val out = tmp("out_delta")
+    val base = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+    // batch 1: 4/5 of the events arrive before the stream starts
+    writeOneFile(base.filter(col("event_id") % 5 =!= 0),
+                 s"$srcSf/events.parquet")
+    val r1 = EventsStream.incrementalDaily(spark, srcSf, ckpt, out)
+      .agg(sum("n_events")).first().getLong(0)
+    r1 shouldBe 800L
+    // batch 2: the remaining 1/5 lands as a NEW file in the source dir
+    writeOneFile(base.filter(col("event_id") % 5 === 0),
+      EventsStream.eventsSourceDir(srcSf) + "/delta.parquet")
+    val r2 = EventsStream.incrementalDaily(spark, srcSf, ckpt, out)
+      .agg(sum("n_events")).first().getLong(0)
+    // exactly the delta was appended: 800 + 200, not 800 re-ingested
+    r2 shouldBe 1000L
+  }
+
   test("incrementalDailyQuery is idempotent within a JVM and GCs only safe dirs") {
     val r1 = EventsStream.incrementalDailyQuery(spark, sf("sf0.001"))
       .agg(sum("n_events")).first().getLong(0)
