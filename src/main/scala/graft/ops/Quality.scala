@@ -184,19 +184,30 @@ object Quality {
     * integer inequalities — `letters*10 >= chars*6`, never a double
     * division), so the ablation is bit-portable. One scan, one 4-row
     * explode per doc, one 4-group aggregate; no shuffle of text. */
-  val extQualityAblation: Q = (s, d) => {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+  /** Per-doc quality-filter signal columns (p1–p4, the four
+    * integer-exact predicates) — the ONE definition behind
+    * [[extQualityAblation]] and [[extQualityDupProfile]]; both oracles
+    * replay the identical cross-multiplied inequalities. */
+  private def qualitySignals(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+              col("n_chars").cast("long").as("n_chars"),
               split(col("text"), " ").as("tk"),
               length(regexp_replace(col("text"), "[^A-Za-z]", ""))
                 .cast("long").as("letters"))
-      .select(col("doc_id"), col("n_chars"), col("letters"),
+      .select(col("doc_id"), col("text"), col("n_chars"), col("letters"),
               size(col("tk")).cast("long").as("n_tok"),
               size(array_distinct(col("tk"))).cast("long").as("n_dtok"))
-    val p1 = col("n_chars") >= 150L && col("n_chars") <= 450L
-    val p2 = col("letters") * 10L >= col("n_chars") * 6L
-    val p3 = col("n_dtok") * 10L >= col("n_tok") * 3L
-    val p4 = col("n_chars") - col("n_tok") + 1L <= col("n_tok") * 12L
+      .withColumn("p1", col("n_chars") >= 150L && col("n_chars") <= 450L)
+      .withColumn("p2", col("letters") * 10L >= col("n_chars") * 6L)
+      .withColumn("p3", col("n_dtok") * 10L >= col("n_tok") * 3L)
+      .withColumn("p4", col("n_chars") - col("n_tok") + 1L <= col("n_tok") * 12L)
+
+  val extQualityAblation: Q = (s, d) => {
+    val base = qualitySignals(s, d)
+    val p1 = col("p1"); val p2 = col("p2"); val p3 = col("p3")
+    val p4 = col("p4")
     base
       .select(explode(array(
           struct(lit("alpha").as("f"), p2.as("pass"),
@@ -215,6 +226,43 @@ object Quality {
              .as("n_unique_fail"),
            sum(when(col("all_pass"), 1L).otherwise(0L)).as("n_pass_all"))
       .orderBy(col("filter"))
+  }
+
+  /** E68 — quality × duplication cross-profile: are the duplicates
+    * concentrated in low-quality content? Per quality GRADE (0–4 = how
+    * many of the four filters a doc passes), the doc count, exact-dup
+    * incidence (docs whose text appears ≥ 2×), and token mass with its
+    * duplicated share — the report that decides whether dedup and
+    * quality filtering overlap (dups live in junk grades → either pass
+    * alone removes them) or are independent axes (dups spread across
+    * grades → you need both). Reuses [[qualitySignals]] verbatim so
+    * the grade here IS the ablation's filter stack.
+    *
+    * Scale shape: grade is map-side; dup incidence aggregates at
+    * CONTENT-FINGERPRINT grain (sha-256 — the soft-dedup discipline:
+    * the shuffle carries 64-hex keys, never text... except the dup
+    * join key itself; fingerprint both sides), then a 5-row
+    * grade-grain rollup. Integer ppm floor-divides, non-negative. */
+  val extQualityDupProfile: Q = (s, d) => {
+    val sig = qualitySignals(s, d)
+      .select(col("doc_id"), col("n_tok"),
+              sha2(col("text"), 256).as("fp"),
+              (col("p1").cast("long") + col("p2").cast("long") +
+               col("p3").cast("long") + col("p4").cast("long")).as("grade"))
+    val copies = sig.groupBy(col("fp")).agg(count(lit(1)).as("k"))
+    sig.join(copies, Seq("fp"))
+      .groupBy(col("grade"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           sum(when(col("k") > 1, col("n_tok")).otherwise(0L))
+             .as("dup_tokens"))
+      .select(col("grade"), col("n_docs"), col("n_dup_docs"),
+              expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"),
+              col("n_tokens"),
+              expr("dup_tokens * 1000000 div greatest(n_tokens, 1)")
+                .as("dup_tok_ppm"))
+      .orderBy(col("grade"))
   }
 
   /** E57 — dataset attestation: a Merkle-style commitment tree over the
@@ -283,6 +331,7 @@ object Quality {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext_quality_dup_profile" -> extQualityDupProfile,
     "ext_merkle_shards" -> extMerkleShards,
     "ext_quality_ablation" -> extQualityAblation,
     "ext_data_build" -> extDataBuild,
@@ -298,6 +347,43 @@ object Quality {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same four cross-multiplied predicates as the ablation oracle,
+    // summed to a grade; dup incidence via text-grain copy counts
+    "ext_quality_dup_profile" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_dtok,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS letters
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, n_tok,
+        |    CAST(
+        |      CASE WHEN n_chars >= 150 AND n_chars <= 450 THEN 1 ELSE 0 END +
+        |      CASE WHEN letters * 10 >= n_chars * 6 THEN 1 ELSE 0 END +
+        |      CASE WHEN n_dtok * 10 >= n_tok * 3 THEN 1 ELSE 0 END +
+        |      CASE WHEN n_chars - n_tok + 1 <= n_tok * 12 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS grade
+        |  FROM b),
+        |cp AS (SELECT text, CAST(count(*) AS BIGINT) AS k
+        |       FROM documents GROUP BY 1),
+        |j AS (SELECT grade, n_tok, k FROM g JOIN cp USING (text)),
+        |r AS (
+        |  SELECT grade, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN k > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+        |      AS dup_tokens
+        |  FROM j GROUP BY 1)
+        |SELECT grade, n_docs, n_dup_docs,
+        |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        |  n_tokens,
+        |  CAST(dup_tokens * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+        |    AS dup_tok_ppm
+        |FROM r ORDER BY grade""".stripMargin,
     // tree replay: same digest, hash-mod shard, (digest, doc_id) rank,
     // 64-fan-in segment roots, ordered string_agg at every level
     "ext_merkle_shards" ->

@@ -1378,6 +1378,53 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("quality-dup profile: planted dups land in the replayed grades with " +
+       "exact incidence") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen other animals watch from a nearby hill in the warm " +
+      "afternoon sunshine of a quiet rural summer day outside town"
+    val junk = (1 to 40).map(_ => "0000").mkString(" ")
+    val texts = Seq(good, good, good, junk, junk,
+      "one short unique line", good + " with a unique tail marker")
+    val dir = "/root/repo/target/scratch/quality_dup"
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Scala replay of the four predicates -> expected per-grade profile
+    def grade(t: String): Long = {
+      val nChars = t.length.toLong
+      val tk = t.split(" ", -1); val nTok = tk.length.toLong
+      val nDtok = tk.distinct.length.toLong
+      val letters = t.count(_.isLetter).toLong
+      Seq(nChars >= 150 && nChars <= 450,
+          letters * 10 >= nChars * 6,
+          nDtok * 10 >= nTok * 3,
+          nChars - nTok + 1 <= nTok * 12).count(identity).toLong
+    }
+    val copies = texts.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = texts.map(t => (grade(t), t)).groupBy(_._1).map {
+      case (g, docs) =>
+        val nTokOf = (t: String) => t.split(" ", -1).length.toLong
+        val nDocs = docs.size.toLong
+        val dups = docs.count { case (_, t) => copies(t) > 1 }.toLong
+        val toks = docs.map { case (_, t) => nTokOf(t) }.sum
+        val dupToks = docs.collect {
+          case (_, t) if copies(t) > 1 => nTokOf(t) }.sum
+        g -> ((nDocs, dups, dups * 1000000L / nDocs, toks,
+               dupToks * 1000000L / math.max(toks, 1L)))
+    }
+    val got = graft.ops.Quality.extQualityDupProfile(spark, dir).collect()
+      .map(r => r.getAs[Long]("grade") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("dup_ppm"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("dup_tok_ppm")))).toMap
+    got shouldBe expected
+    // the planted corpus genuinely exercises the dup path
+    got.values.map(_._2).sum should be >= 5L
+  }
+
   test("merkle shards: editing one doc flips exactly its shard root and the dataset root") {
     import spark.implicits._
     def corpus(edit: Boolean) = (0L until 24L).map { id =>
