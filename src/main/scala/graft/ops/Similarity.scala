@@ -879,7 +879,7 @@ object Similarity {
     s"sqrt(list_aggregate(list_transform($a, " +
       s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   private def planeSqlLit(p: Array[Double]): String =

@@ -22,9 +22,25 @@ object Streaming {
     "stream_interval_join" -> ((s, d) => EventsStream.intervalJoin(s, d)),
     "stream_interval_left_join" ->
       ((s, d) => EventsStream.intervalLeftJoin(s, d)),
-    "stream_upsert_merge" -> ((s, d) => EventsStream.upsertMerge(s, d)))
+    "stream_upsert_merge" -> ((s, d) => EventsStream.upsertMerge(s, d)),
+    "stream_embedding_drift" ->
+      ((s, d) => EventsStream.embeddingDriftStream(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // micro-batched IVF-cell occupancy drained to completion == the
+    // batch assignment's cell histogram (ann_ivf's replay, cell grain)
+    "stream_embedding_drift" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, seed_id AS list_id FROM (
+         |    SELECT e.vec_id, s.vec_id AS seed_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${Similarity.cosSql("e.embedding", "s.embedding")} DESC,
+         |        s.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN
+         |      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s)
+         |  WHERE rn = 1)
+         |SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM assigned GROUP BY 1 ORDER BY list_id""".stripMargin,
     "stream_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -660,6 +660,75 @@ object EventsStream {
     * `DATE(actual_arrival) > last_feature_date` guard. File sink (memory
     * sink cannot recover a checkpoint). Returns per-day counts of
     * everything ingested so far. */
+  /** ST9 — streaming EMBEDDING-DRIFT monitor: arriving vector
+    * micro-batches are quantized against the STATIC 16-seed IVF
+    * codebook (a stream-static broadcast, the production shape: the
+    * codebook is versioned and pinned while streams flow) and each
+    * batch's per-cell occupancy lands in a file sink via foreachBatch;
+    * reading the sink back and summing per cell gives the running
+    * drift histogram — drained, it equals the batch assignment's cell
+    * histogram, which IS the oracle (`ext_embedding_drift`'s batch
+    * sibling, continuous form). The source is a deterministic 2-file
+    * split of the embeddings table with maxFilesPerTrigger=1, so
+    * AvailableNow genuinely pushes TWO micro-batches through the merge
+    * path rather than one degenerate batch.
+    *
+    * Scale shape: per batch — bounded broadcast (16 rows) × batch
+    * rows, argmin window keyed by vec_id, then a ≤16-row append. State
+    * is zero (stateless map + per-batch agg); sink growth is
+    * cells × batches. Checkpoint/GC scoping mirrors
+    * [[incrementalDailyQuery]]. */
+  def embeddingDriftStream(s: SparkSession, sfDir: String): DataFrame = {
+    graft.expressions.FloatVecDot.register(s)
+    val srcFile = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
+    val root = java.nio.file.Paths.get("/root/repo/target/scratch")
+    java.nio.file.Files.createDirectories(root)
+    val prefix = s"stream_embdrift_${pathKey(sfDir)}_p"
+    val mine = s"$prefix${pid}_m$mtime"
+    gcSiblings(root, prefix, keep = mine)
+    val base = root.resolve(mine).toString
+    val srcDir = s"$base/src"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(srcDir)))
+      graft.Tables.embeddings(s, sfDir)
+        .repartitionByRange(2, col("vec_id"))
+        .write.mode("overwrite").parquet(srcDir)
+    val seeds = graft.Tables.embeddings(s, sfDir)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+    val schema = s.read.parquet(srcDir).schema
+    val cos = {
+      import graft.ops.Similarity.{dotD, normD}
+      dotD(col("embedding"), col("se")) /
+        (normD(col("embedding")) * normD(col("se")))
+    }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("seed_cos").desc, col("seed_id"))
+        batch.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("seed_id"), cos.as("seed_cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("seed_id").as("list_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$base/out")
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy(col("list_id"))
+      .agg(sum(col("n")).as("n_vecs"))
+      .orderBy(col("list_id"))
+  }
+
   def incrementalDaily(s: SparkSession, sfDir: String, ckptDir: String,
                        outDir: String): DataFrame = {
     val q = readEvents(s, sfDir)

@@ -63,6 +63,25 @@ class StreamingSpec extends SparkSpec {
     r2 shouldBe 1000L
   }
 
+  test("embedding drift stream: two genuine micro-batches, exactly-once " +
+       "re-run, totals cover the corpus") {
+    val r1 = EventsStream.embeddingDriftStream(spark, sf("sf0.001")).collect()
+    val total = graft.Tables.embeddings(spark, sf("sf0.001")).count()
+    r1.map(_.getAs[Long]("n_vecs")).sum shouldBe total // every vector assigned once
+    r1.length should (be > 1 and be <= 16) // cell grain
+    // re-run over the same checkpoint: no new files -> identical histogram
+    val r2 = EventsStream.embeddingDriftStream(spark, sf("sf0.001")).collect()
+    r2.map(_.toString).toSeq shouldBe r1.map(_.toString).toSeq
+    // the split source really produced multiple micro-batches: the sink
+    // carries at least two distinct batch ids
+    val sink = new java.io.File("/root/repo/target/scratch").listFiles()
+      .filter(_.getName.startsWith("stream_embdrift_"))
+      .maxBy(_.lastModified)
+    val batchIds = spark.read.parquet(s"${sink.getAbsolutePath}/out")
+      .select("batch_id").distinct().count()
+    batchIds should be >= 2L
+  }
+
   test("incrementalDailyQuery is idempotent within a JVM and GCs only safe dirs") {
     val r1 = EventsStream.incrementalDailyQuery(spark, sf("sf0.001"))
       .agg(sum("n_events")).first().getLong(0)
