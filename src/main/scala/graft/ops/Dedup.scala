@@ -199,9 +199,6 @@ object Dedup {
       .withColumn("kept", col("n_old_matches") === 0L)
   }
 
-  /** E2b — SimHash near-dup: 60-bit signature + 15-bit-band partner
-    * counts (4 bands; docs within hamming distance 3 are guaranteed to
-    * share a band). */
   /** DISTINCT (a, b) SimHash band-candidate pairs over a
     * (doc_id, simhash) frame — the 4×15-bit banding contract shared by
     * [[extSimhashDedup]] and [[extHammingHist]] (and replayed verbatim
@@ -224,6 +221,9 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
   }
 
+  /** E2b — SimHash near-dup: 60-bit signature + 15-bit-band partner
+    * counts (4 bands; docs within hamming distance 3 are guaranteed to
+    * share a band). */
   val extSimhashDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), simhash60(col("text")).as("simhash"))

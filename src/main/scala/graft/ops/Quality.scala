@@ -173,17 +173,6 @@ object Quality {
       .orderBy(col("source"), col("split"))
   }
 
-  /** E47 — quality-filter ablation: per-filter marginal attribution over
-    * a 4-filter curation stack (length band, alpha ratio, token
-    * diversity, mean word length). For each filter: how many docs it
-    * fails, and how many it UNIQUELY fails (all other filters pass) —
-    * the number that tells a curator which filter is actually doing work
-    * and which is redundant before they spend a 100 TB pass re-running
-    * the stack with one knob changed. All four predicates are
-    * integer-exact cross-engine (ratio thresholds as cross-multiplied
-    * integer inequalities — `letters*10 >= chars*6`, never a double
-    * division), so the ablation is bit-portable. One scan, one 4-row
-    * explode per doc, one 4-group aggregate; no shuffle of text. */
   /** Per-doc quality-filter signal columns (p1–p4, the four
     * integer-exact predicates) — the ONE definition behind
     * [[extQualityAblation]] and [[extQualityDupProfile]]; both oracles
@@ -204,6 +193,17 @@ object Quality {
       .withColumn("p3", col("n_dtok") * 10L >= col("n_tok") * 3L)
       .withColumn("p4", col("n_chars") - col("n_tok") + 1L <= col("n_tok") * 12L)
 
+  /** E47 — quality-filter ablation: per-filter marginal attribution over
+    * a 4-filter curation stack (length band, alpha ratio, token
+    * diversity, mean word length). For each filter: how many docs it
+    * fails, and how many it UNIQUELY fails (all other filters pass) —
+    * the number that tells a curator which filter is actually doing work
+    * and which is redundant before they spend a 100 TB pass re-running
+    * the stack with one knob changed. All four predicates are
+    * integer-exact cross-engine (ratio thresholds as cross-multiplied
+    * integer inequalities — `letters*10 >= chars*6`, never a double
+    * division), so the ablation is bit-portable. One scan, one 4-row
+    * explode per doc, one 4-group aggregate; no shuffle of text. */
   val extQualityAblation: Q = (s, d) => {
     val base = qualitySignals(s, d)
     val p1 = col("p1"); val p2 = col("p2"); val p3 = col("p3")

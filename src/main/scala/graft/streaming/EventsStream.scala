@@ -653,18 +653,13 @@ object EventsStream {
     root.resolve(mine).toString
   }
 
-  /** ST1 — high-water-mark incremental append: the checkpoint IS the water
-    * mark. Running AvailableNow twice over the same directory processes
-    * zero new files the second time, so the sink is stable (exactly-once)
-    * — the principled version of the reference's
-    * `DATE(actual_arrival) > last_feature_date` guard. File sink (memory
-    * sink cannot recover a checkpoint). Returns per-day counts of
-    * everything ingested so far. */
   /** ST9 — streaming EMBEDDING-DRIFT monitor: arriving vector
     * micro-batches are quantized against the STATIC 16-seed IVF
-    * codebook (a stream-static broadcast, the production shape: the
-    * codebook is versioned and pinned while streams flow) and each
-    * batch's per-cell occupancy lands in a file sink via foreachBatch;
+    * codebook (cached and materialized ONCE before the stream starts —
+    * the production shape: a pinned, versioned codebook while streams
+    * flow; an uncached frame in the foreachBatch closure would re-scan
+    * the embeddings source every trigger) and each batch's per-cell
+    * occupancy lands in a BATCH-KEYED sink subdir via foreachBatch;
     * reading the sink back and summing per cell gives the running
     * drift histogram — drained, it equals the batch assignment's cell
     * histogram, which IS the oracle (`ext_embedding_drift`'s batch
@@ -673,13 +668,73 @@ object EventsStream {
     * AvailableNow genuinely pushes TWO micro-batches through the merge
     * path rather than one degenerate batch.
     *
+    * Idempotence: foreachBatch is at-least-once — a replayed batch id
+    * OVERWRITES its own `batch=<id>` subdir instead of appending, so a
+    * crash between sink write and offset commit cannot double-count
+    * (the file-sink manifest gives incrementalDaily this for free;
+    * foreachBatch must buy it with batch-keyed writes). The source
+    * split is gated on the `_SUCCESS` marker, not directory existence,
+    * so a partially-written split from a failed earlier attempt is
+    * rewritten rather than streamed truncated.
+    *
     * Scale shape: per batch — bounded broadcast (16 rows) × batch
-    * rows, argmin window keyed by vec_id, then a ≤16-row append. State
+    * rows, argmin window keyed by vec_id, then a ≤16-row write. State
     * is zero (stateless map + per-batch agg); sink growth is
     * cells × batches. Checkpoint/GC scoping mirrors
-    * [[incrementalDailyQuery]]. */
+    * [[incrementalDailyQuery]]; [[embeddingDriftBase]] exposes the
+    * scoped dir so specs can inspect the sink they actually ran. */
   def embeddingDriftStream(s: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVecDot.register(s)
+    val base = embeddingDriftBase(sfDir)
+    val srcDir = s"$base/src"
+    if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(srcDir, "_SUCCESS")))
+      graft.Tables.embeddings(s, sfDir)
+        .repartitionByRange(2, col("vec_id"))
+        .write.mode("overwrite").parquet(srcDir)
+    val seeds = graft.Tables.embeddings(s, sfDir)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
+      .cache()
+    seeds.count() // materialize the pinned codebook once, pre-stream
+    val schema = s.read.parquet(srcDir).schema
+    val cos = {
+      import graft.ops.Similarity.{dotD, normD}
+      dotD(col("embedding"), col("se")) /
+        (normD(col("embedding")) * normD(col("se")))
+    }
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id"))
+            .orderBy(col("seed_cos").desc, col("seed_id"))
+          batch.crossJoin(broadcast(seeds))
+            .select(col("vec_id"), col("seed_id"), cos.as("seed_cos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .groupBy(col("seed_id").as("list_id"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$base/out/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally seeds.unpersist()
+    s.read.parquet(s"$base/out")
+      .groupBy(col("list_id"))
+      .agg(sum(col("n")).as("n_vecs"))
+      .orderBy(col("list_id"))
+  }
+
+  /** The (source path, process, source mtime)-scoped scratch base of
+    * [[embeddingDriftStream]] — same single-writer + GC contract as
+    * [[scopedStreamBase]], keyed on the embeddings file. */
+  private[graft] def embeddingDriftBase(sfDir: String): String = {
     val srcFile = java.nio.file.Paths.get(s"$sfDir/embeddings.parquet")
     val mtime = java.nio.file.Files.getLastModifiedTime(srcFile).toMillis
     val root = java.nio.file.Paths.get("/root/repo/target/scratch")
@@ -687,48 +742,16 @@ object EventsStream {
     val prefix = s"stream_embdrift_${pathKey(sfDir)}_p"
     val mine = s"$prefix${pid}_m$mtime"
     gcSiblings(root, prefix, keep = mine)
-    val base = root.resolve(mine).toString
-    val srcDir = s"$base/src"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(srcDir)))
-      graft.Tables.embeddings(s, sfDir)
-        .repartitionByRange(2, col("vec_id"))
-        .write.mode("overwrite").parquet(srcDir)
-    val seeds = graft.Tables.embeddings(s, sfDir)
-      .filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-    val schema = s.read.parquet(srcDir).schema
-    val cos = {
-      import graft.ops.Similarity.{dotD, normD}
-      dotD(col("embedding"), col("se")) /
-        (normD(col("embedding")) * normD(col("se")))
-    }
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("seed_cos").desc, col("seed_id"))
-        batch.crossJoin(broadcast(seeds))
-          .select(col("vec_id"), col("seed_id"), cos.as("seed_cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy(col("seed_id").as("list_id"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(s"$base/out")
-        ()
-      }
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(s"$base/out")
-      .groupBy(col("list_id"))
-      .agg(sum(col("n")).as("n_vecs"))
-      .orderBy(col("list_id"))
+    root.resolve(mine).toString
   }
 
+  /** ST1 — high-water-mark incremental append: the checkpoint IS the water
+    * mark. Running AvailableNow twice over the same directory processes
+    * zero new files the second time, so the sink is stable (exactly-once)
+    * — the principled version of the reference's
+    * `DATE(actual_arrival) > last_feature_date` guard. File sink (memory
+    * sink cannot recover a checkpoint). Returns per-day counts of
+    * everything ingested so far. */
   def incrementalDaily(s: SparkSession, sfDir: String, ckptDir: String,
                        outDir: String): DataFrame = {
     val q = readEvents(s, sfDir)

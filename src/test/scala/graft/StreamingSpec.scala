@@ -72,13 +72,12 @@ class StreamingSpec extends SparkSpec {
     // re-run over the same checkpoint: no new files -> identical histogram
     val r2 = EventsStream.embeddingDriftStream(spark, sf("sf0.001")).collect()
     r2.map(_.toString).toSeq shouldBe r1.map(_.toString).toSeq
-    // the split source really produced multiple micro-batches: the sink
-    // carries at least two distinct batch ids
-    val sink = new java.io.File("/root/repo/target/scratch").listFiles()
-      .filter(_.getName.startsWith("stream_embdrift_"))
-      .maxBy(_.lastModified)
-    val batchIds = spark.read.parquet(s"${sink.getAbsolutePath}/out")
-      .select("batch_id").distinct().count()
+    // the split source really produced multiple micro-batches: THIS
+    // run's sink (exact scoped dir, not a newest-mtime guess that a
+    // concurrent sibling process could win) carries >= 2 batch subdirs
+    val sink = EventsStream.embeddingDriftBase(sf("sf0.001"))
+    val batchIds = spark.read.parquet(s"$sink/out")
+      .select("batch").distinct().count()
     batchIds should be >= 2L
   }
 

@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""Doc-claim guard: entry counts stated in README/SURVEY/PLANS must match
-the actual driver contract.
+"""Doc-claim guard: entry counts stated in README and SURVEY must match
+the actual driver contract. (PLANS.md is an append-only log whose
+historical per-session tallies are not totals — deliberately excluded.)
 
 Truth source: target/verify_out/oracle_sql.json (written by every full
 `graft.Verify` run) — its key count IS the oracle-bound entry count.
-Scans the three status docs for "<N> oracle-bound/oracle-checked" claims
-and fails if any of them disagrees with the truth. Run after the full
-gate; stale counts were the one finding class two review passes hit.
+Scans both status docs for "<N> oracle-bound/oracle-checked" claims and
+fails if ANY of them disagrees with the truth (every claim in these two
+docs describes current state, so all must match — a last-match-only
+check would let a stale count elsewhere in the doc pass). Run after the
+full gate; stale counts were the finding class two review passes hit.
 """
 import json
 import re
@@ -35,21 +38,17 @@ def main() -> int:
             text = open(doc).read()
         except FileNotFoundError:
             continue
-        # only police the current-state sections: claims carrying a round
-        # marker of an EARLIER round stay historical. Heuristic: check the
-        # LAST claim in each doc (status docs append; the tail is current).
-        claims = CLAIM.findall(text)
-        if not claims:
-            continue
-        last = int(claims[-1])
-        if last != actual:
-            print(f"[check_docs] {doc}: latest claim says {last} "
-                  f"oracle entries, contract has {actual}")
-            bad += 1
+        for m in CLAIM.finditer(text):
+            n = int(m.group(1))
+            if n != actual:
+                line = text.count("\n", 0, m.start()) + 1
+                print(f"[check_docs] {doc}:{line}: claim says {n} "
+                      f"oracle entries, contract has {actual}")
+                bad += 1
     if bad:
         return 1
-    print(f"[check_docs] OK — latest claims in {', '.join(DOCS)} "
-          f"all match the {actual}-entry contract")
+    print(f"[check_docs] OK — every claim in {', '.join(DOCS)} "
+          f"matches the {actual}-entry contract")
     return 0
 
 if __name__ == "__main__":
