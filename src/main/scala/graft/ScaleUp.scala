@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal data generator: builds an N×-sf0.1 corpus from the
+  * driver's read-only testdata by unioning N key-shifted copies — the
+  * standard "data doubling" construction for scaling curves. Usage:
+  *
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/scale/sf0.3 3"
+  *
+  * Faithfulness rules (each copy must look like MORE corpus, not like a
+  * mirror of the old one — a verbatim copy would triple every dedup
+  * family and inflate band-join pair density ×N², which is not what a
+  * 3× crawl looks like):
+  *   - every key column shifts by copy × (max_key + 1), preserving all
+  *     FK joins within a copy;
+  *   - `documents.text` in copy c > 0 gets a per-token suffix (x,c via
+  *     regexp_replace), which preserves token counts, length
+  *     distribution, and the copy's INTERNAL duplicate-family structure
+  *     verbatim while making every cross-copy shingle distinct;
+  *   - `embeddings.embedding` in copy c rotates circularly by c
+  *     positions: norms and all within-copy dot products are exactly
+  *     preserved (same rotation both sides), cross-copy similarity
+  *     decorrelates; IVF seeds (vec_id < 16) stay copy-0-only;
+  *   - `events` keeps its timestamps (a bigger stream is DENSER over
+  *     the same period, not longer);
+  *   - fixed-size dimensions (region, nation) are not multiplied, as in
+  *     TPC-H.
+  * Dev-only harness for PLANS.md scaling exponents; not part of the
+  * query surface.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, copiesS) = args.take(3)
+    val copies = copiesS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(n: String): DataFrame = spark.read.parquet(s"$srcDir/$n.parquet")
+    def keyOffset(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+
+    // passthrough dims
+    for (n <- Seq("region", "nation"))
+      tbl(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+
+    val custOff = keyOffset(tbl("customer"), "c_custkey")
+    val suppOff = keyOffset(tbl("supplier"), "s_suppkey")
+    val partOff = keyOffset(tbl("part"), "p_partkey")
+    val ordOff  = keyOffset(tbl("orders"), "o_orderkey")
+    val evOff   = keyOffset(tbl("events"), "event_id")
+    val userOff = keyOffset(tbl("events"), "user_id")
+    val docOff  = keyOffset(tbl("documents"), "doc_id")
+    val vecOff  = keyOffset(tbl("embeddings"), "vec_id")
+
+    def shifted(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      val src = tbl(name)
+      val out = (0 until copies).map(c => shift(src, c)).reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name -> ${copies}x")
+    }
+
+    shifted("customer", (df, c) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(custOff * c)))
+    shifted("supplier", (df, c) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(suppOff * c)))
+    shifted("part", (df, c) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(partOff * c)))
+    shifted("orders", (df, c) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(ordOff * c))
+      .withColumn("o_custkey", col("o_custkey") + lit(custOff * c)))
+    shifted("lineitem", (df, c) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(ordOff * c))
+      .withColumn("l_partkey", col("l_partkey") + lit(partOff * c))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(suppOff * c)))
+    shifted("events", (df, c) => df
+      .withColumn("event_id", col("event_id") + lit(evOff * c))
+      .withColumn("user_id", col("user_id") + lit(userOff * c)))
+    shifted("documents", (df, c) => {
+      val t = if (c == 0) col("text")
+              else regexp_replace(col("text"), "(\\S+)", "$1x" + c)
+      df.withColumn("doc_id", col("doc_id") + lit(docOff * c))
+        .withColumn("text", t)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    shifted("embeddings", (df, c) => {
+      val e = if (c == 0) col("embedding")
+              else concat(slice(col("embedding"), c + 1, 64 - c),
+                          slice(col("embedding"), 1, c))
+      df.withColumn("vec_id", col("vec_id") + lit(vecOff * c))
+        .withColumn("embedding", e)
+    })
+    spark.stop()
+  }
+}

@@ -551,6 +551,60 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** E24b — VARIABLE-length duplicated-span dedup (the true suffix-grain
+    * pass of the "Deduplicating Training Data Makes Language Models
+    * Better" recipe that [[extSubstringDedup]]'s fixed stride grid
+    * approximates): every maximal cross-document duplicated TOKEN span of
+    * ≥ 20 tokens, with its exact token length. The fixed 32-char/stride-8
+    * grid provably misses any shared region whose two occurrences sit at
+    * char offsets differing by ≢ 0 (mod 8) — no stride-aligned window of
+    * one doc is char-identical to one of the other (DedupSpec plants
+    * exactly this). Stride-1 token windows have no such blind spot, and
+    * merging runs of duplicated windows recovers the true variable span
+    * length the way a suffix array would.
+    *
+    * Shape — the distributed stand-in for a suffix array, in three
+    * corpus-grain stages: (1) every doc emits its 20-token windows at
+    * stride 1 as 60-bit [[hash60]] keys (8 B on the shuffle, never the
+    * window text; ~1 key/token, so the seed frame is token-grain);
+    * (2) aggregate-then-semi-join marks windows seen in ≥ 2 distinct
+    * docs — counts only, a million-doc boilerplate header never
+    * materializes a list; (3) per-doc gaps-and-islands (window-index
+    * minus row_number) merges consecutive duplicated windows into
+    * maximal spans: a run of c windows IS a duplicated span of exactly
+    * 19 + c tokens. Stage 3's window function partitions by doc_id —
+    * doc-grain state, embarrassingly parallel. Production grain is
+    * 50-token spans (Lee et al. §4); 20 matches this corpus's ~50-token
+    * documents so the operator exercises real multi-span output. */
+  val extSuffixDedup: Q = (s, d) => {
+    val L = 20
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(bindOnce(split(lower(col("text")), " ")) { t =>
+          when(size(t) >= L,
+            transform(sequence(lit(1), size(t) - (L - 1)), p =>
+              hash60(concat_ws(" ", slice(t, p, lit(L))))))
+            .otherwise(array().cast("array<long>"))
+        }))
+      .toDF("doc_id", "source", "wpos", "wkey")
+    val dup = w.groupBy(col("wkey"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wkey"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos"))
+    w.join(dup, Seq("wkey"))
+      .withColumn("grp", col("wpos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("source"), col("grp"))
+      .agg((lit(L - 1) + count(lit(1))).as("span_tokens"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("docs_with_dup"),
+           count(lit(1)).as("n_spans"),
+           sum(col("span_tokens")).as("dup_tokens"),
+           max(col("span_tokens")).as("max_span_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** E27 — LSH quality evaluation: precision/recall of the MinHash band
     * candidates against exact trigram-Jaccard ground truth (j ≥ 0.5) on
     * a deterministic ~20% document sample — the "is my dedup actually
@@ -1107,6 +1161,7 @@ object Dedup {
     "ext_incremental_dedup" -> extIncrementalDedup,
     "ext_containment" -> extContainment,
     "ext_substring_dedup" -> extSubstringDedup,
+    "ext_suffix_dedup" -> extSuffixDedup,
     "ext_source_overlap" -> extSourceOverlap,
     "ext_novelty_rate" -> extNoveltyRate,
     "ext_neardup_eval" -> extNeardupEval)
@@ -1487,6 +1542,42 @@ object Dedup {
         |  CAST(count(*) AS BIGINT) AS dup_occurrences
         |FROM sh s JOIN dup USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stride-1 20-token window hashes (hash60 replay), dup keys by
+    // distinct-doc count, gaps-and-islands merge to maximal spans of
+    // exactly 19 + run-length tokens — integer throughout
+    "ext_suffix_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, p AS wpos,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(
+        |        array_to_string(list_slice(t, CAST(p AS INTEGER),
+        |                                   CAST(p + 19 AS INTEGER)), ' ')),
+        |        CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS wkey
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(range(1, len(t) - 18)) AS p
+        |        FROM tk WHERE len(t) >= 20)),
+        |dup AS (
+        |  SELECT wkey FROM w GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (
+        |  SELECT doc_id, source, wpos,
+        |    wpos - row_number() OVER (PARTITION BY doc_id ORDER BY wpos)
+        |      AS grp
+        |  FROM w JOIN dup USING (wkey)),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    CAST(19 + count(*) AS BIGINT) AS span_tokens
+        |  FROM m GROUP BY doc_id, source, grp)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_dup,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+        |  CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     // same signature replay as ext_minhash_dedup, banded at every
     // (bands, rows-per-band) config via a cross join; s* ppm literals
     // mirror the Scala side verbatim

@@ -511,25 +511,6 @@ object Sampling {
       .orderBy(col("source"))
   }
 
-  /** E58 — differentially-private HISTOGRAM release with threshold
-    * suppression: per-(source × 100-char length bucket) doc counts,
-    * each perturbed by the same integer-exact two-sided-geometric
-    * mechanism as [[extDpCount]] (ε = ln 2 per cell; cells are
-    * disjoint, so parallel composition keeps the whole histogram at
-    * ε = ln 2), then cells whose NOISY count falls below τ = 3 are
-    * suppressed — the rare-bucket guard a public release needs, since
-    * a 1-doc cell's very existence can identify the doc. True count
-    * and both draws are released alongside so the spec and oracle
-    * audit the mechanism; a production release would emit
-    * (source, bucket, noisy_count) only.
-    *
-    * Same determinism contract as dp_count: draws seeded from the md5
-    * contract, pure-integer inverse CDF via bitlength — zero
-    * cross-engine float surface.
-    *
-    * Scale shape: one (source × bucket)-grain aggregate; bucket count
-    * is bounded by max doc length / 100, so the frame stays tiny no
-    * matter the corpus. */
   /** Integer-exact two-sided-geometric half: one geometric(1/2) draw
     * seeded from the md5 contract — THE mechanism shared by every DP
     * release here ([[extDpCount]], [[extDpHistogram]]); change it in
@@ -611,6 +592,25 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** E58 — differentially-private HISTOGRAM release with threshold
+    * suppression: per-(source × 100-char length bucket) doc counts,
+    * each perturbed by the same integer-exact two-sided-geometric
+    * mechanism as [[extDpCount]] (ε = ln 2 per cell; cells are
+    * disjoint, so parallel composition keeps the whole histogram at
+    * ε = ln 2), then cells whose NOISY count falls below τ = 3 are
+    * suppressed — the rare-bucket guard a public release needs, since
+    * a 1-doc cell's very existence can identify the doc. True count
+    * and both draws are released alongside so the spec and oracle
+    * audit the mechanism; a production release would emit
+    * (source, bucket, noisy_count) only.
+    *
+    * Same determinism contract as dp_count: draws seeded from the md5
+    * contract, pure-integer inverse CDF via bitlength — zero
+    * cross-engine float surface.
+    *
+    * Scale shape: one (source × bucket)-grain aggregate; bucket count
+    * is bounded by max doc length / 100, so the frame stays tiny no
+    * matter the corpus. */
   val extDpHistogram: Q = (s, d) => {
     def geom(tag: String): Column =
       geomDraw(tag, concat(col("source"), lit("|"),

@@ -297,8 +297,12 @@ object Similarity {
            sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
       .withColumn("tot_a", sum(col("n_a")).over(wAll))
       .withColumn("tot_b", sum(col("n_b")).over(wAll))
-      .withColumn("share_a_ppm", expr("n_a * 1000000 div tot_a"))
-      .withColumn("share_b_ppm", expr("n_b * 1000000 div tot_b"))
+      // greatest(tot,1): an all-one-parity corpus leaves one snapshot
+      // empty; unguarded, Spark's `div` yields NULL while DuckDB's `//`
+      // errors — the same engine-divergence guard every other
+      // floor-divide entry applies.
+      .withColumn("share_a_ppm", expr("n_a * 1000000 div greatest(tot_a, 1)"))
+      .withColumn("share_b_ppm", expr("n_b * 1000000 div greatest(tot_b, 1)"))
       .withColumn("abs_diff_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
       .withColumn("sum_diff", sum(col("abs_diff_ppm")).over(wAll))
       .withColumn("tvd_ppm", expr("sum_diff div 2"))
@@ -1282,8 +1286,10 @@ object Similarity {
          |  FROM c),
          |v AS (
          |  SELECT list_id, n_a, n_b,
-         |    CAST(n_a * 1000000 // tot_a AS BIGINT) AS share_a_ppm,
-         |    CAST(n_b * 1000000 // tot_b AS BIGINT) AS share_b_ppm
+         |    CAST(n_a * 1000000 // greatest(tot_a, 1) AS BIGINT)
+         |      AS share_a_ppm,
+         |    CAST(n_b * 1000000 // greatest(tot_b, 1) AS BIGINT)
+         |      AS share_b_ppm
          |  FROM t)
          |SELECT list_id, n_a, n_b, share_a_ppm, share_b_ppm,
          |  CAST(abs(share_a_ppm - share_b_ppm) AS BIGINT) AS abs_diff_ppm,

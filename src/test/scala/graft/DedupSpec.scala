@@ -234,4 +234,49 @@ class DedupSpec extends SparkSpec {
     // the banding broke, not noise
     r.getAs[Long]("mean_abs_err_ppm") should be <= 500000L
   }
+
+  test("suffix dedup: catches the mod-8-misaligned span the fixed stride grid " +
+       "provably misses; spans carry true variable token lengths; islands split") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/dedup_suffix"
+    // varied token lengths => the shared region has no period-8
+    // self-repeat, so the misalignment argument below is airtight
+    def mk(pfx: String, n: Int, from: Int = 1): String =
+      (from until from + n).map(i => pfx * (1 + i % 3) + i).mkString(" ")
+    val common25 = mk("a", 25)
+    // source s: shared region starts at char 1 in A but char 4 in B
+    // (offset delta 3 ≢ 0 mod 8): NO 32-char stride-8 window of A is
+    // verbatim-equal to one of B, so extSubstringDedup sees nothing —
+    // while the whole 25-token span is duplicated
+    val docA = common25
+    val docB = "zz " + common25
+    // source t: a 21-token shared prefix, then E diverges — spans must
+    // report 21, not a window-grid artifact
+    val shared21 = mk("b", 21)
+    val docD = shared21
+    val docE = shared21 + " " + mk("e", 8)
+    // source u: two disjoint 20-token shared regions separated by
+    // doc-unique gaps — must come back as TWO spans per doc, not one
+    val p20 = mk("p", 20)
+    val q20 = mk("q", 20)
+    val docF = p20 + " " + mk("f", 5) + " " + q20
+    val docG = p20 + " " + mk("g", 5) + " " + q20
+    Seq((0L, docA, "s"), (1L, docB, "s"), (2L, docD, "t"), (3L, docE, "t"),
+        (4L, docF, "u"), (5L, docG, "u"),
+        (6L, "nothing shared here at all beyond stray words", "s"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the fixed grid is blind to source s's misaligned pair
+    extSubstringDedup(spark, dir).collect()
+      .map(_.getAs[String]("source")) should not contain "s"
+    val rows = extSuffixDedup(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs_with_dup"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("max_span_tokens"))))
+      .toMap
+    rows("s") shouldBe ((2L, 2L, 50L, 25L)) // one 25-token span per doc
+    rows("t") shouldBe ((2L, 2L, 42L, 21L)) // true variable length 21
+    rows("u") shouldBe ((2L, 4L, 80L, 20L)) // two islands per doc
+  }
 }

@@ -22,8 +22,11 @@ DOCS = ["README.md", "SURVEY.md"]
 # claims look like "258 oracle-bound entries" / "258 oracle-checked";
 # "NNN/NNN oracle-checked OK" sweep records are run logs, excluded via
 # the lookbehind; "... entries added" session tallies are excluded too
+# exclusion is the EXACT session-tally phrasing ("... entries added"),
+# not a 30-char any-character window — a stale current-state claim that
+# merely mentions "added" nearby must still be checked
 CLAIM = re.compile(
-    r"(?<![\d/])(\d{2,4})\s+oracle-(?:bound|checked)(?![\s\S]{0,30}added)")
+    r"(?<![\d/])(\d{2,4})\s+oracle-(?:bound|checked)(?!\s+entries\s+added\b)")
 
 def main() -> int:
     try:
