@@ -269,7 +269,7 @@ class DedupSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // the fixed grid is blind to source s's misaligned pair
     extSubstringDedup(spark, dir).collect()
-      .map(_.getAs[String]("source")) should not contain "s"
+      .map(_.getAs[String]("source")).toSeq shouldNot contain("s")
     val rows = extSuffixDedup(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
         ((r.getAs[Long]("docs_with_dup"), r.getAs[Long]("n_spans"),
