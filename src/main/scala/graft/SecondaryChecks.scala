@@ -45,8 +45,27 @@ object SecondaryChecks {
       val exact = exactMedians(r.getString(0))
       math.abs(r.getAs[Double]("approx_median") - exact) / exact
     }
-    // relativeSD 0.05 is a STANDARD DEVIATION, not a bound — tolerance is
-    // 2σ (0.10), same as AdvancedSpec; observed max at sf0.01 is ~0.097
+    // THRESHOLD DERIVATIONS (round-7 ask: pinned so a future scale change
+    // cannot silently loosen them):
+    //
+    // cdTol = 2 × relativeSD. approx_count_distinct's default HLL++
+    // relativeSD is 0.05 — a standard deviation, not a bound. The check
+    // is DETERMINISTIC per corpus (same data → same sketch → same error
+    // realization), so the tolerance only needs to (a) cover the known
+    // realizations (max observed 0.097 at sf0.01, 5 priority groups;
+    // smaller at sf0.1 where groups are 10× larger) and (b) stay tight
+    // enough that a real regression — wrong column, dropped rows, sketch
+    // misconfiguration — lands far outside. 2σ does both; 3σ would
+    // weaken (b) for no gain in (a). Scale-independent because HLL
+    // relative error does not shrink with n.
+    //
+    // medTol: percentile_approx(accuracy=10000) guarantees rank error
+    // ≤ n/10000. At the SMALLEST gate scale (sf0.01: ~15k orders / 5
+    // priority groups ≈ 3k rows/group) that is ±0.3 ranks — adjacent
+    // order statistics near the median differ by ~(price range)/(group
+    // rows) ≈ 300000/3000 = 100, i.e. ~0.07% of a ~150k median. 0.01
+    // (1%) is ≥10× that worst-case spacing, and group sizes only GROW
+    // with sf, so the bound tightens at larger scales.
     val cdTol = 0.10
     val medTol = 0.01
     val approxPass = cdErrs.forall(_ <= cdTol) && medErrs.forall(_ <= medTol)
@@ -61,7 +80,14 @@ object SecondaryChecks {
       .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
     val subset = s1.forall(orderKeys.contains)
     val frac = s1.size.toDouble / orderKeys.size
-    // Bernoulli(0.1) over n draws: allow 4 sigma
+    // fraction tolerance = 4σ of Bernoulli(0.1) over n = |orders| draws:
+    // σ = sqrt(p(1-p)/n), so the band is SCALE-AWARE and TIGHTENS with n
+    // (sf0.01: 4σ ≈ ±0.0098; sf0.1: ≈ ±0.0031) — a future scale bump
+    // can only narrow it. 4σ (false-trip odds ~6e-5 under a true
+    // Bernoulli draw; the draw is seed-deterministic anyway) instead of
+    // 2σ because sample(fraction, seed) is Bernoulli per ROW but Spark
+    // evaluates it per-partition-split — tiny systematic deviations from
+    // iid are expected and are not regressions.
     val sigma = math.sqrt(0.1 * 0.9 / orderKeys.size)
     val fracPass = math.abs(frac - 0.1) <= 4 * sigma
     val samplePass = stable && subset && fracPass

@@ -1,0 +1,272 @@
+#!/usr/bin/env python3
+"""Differential fuzzing harness: random MICRO-corpora -> run a sampled
+subset of the SparkEntry queries through graft.Verify, then diff against
+the DuckDB oracles with check_local.py.
+
+The fixed driver testdata cannot catch data-DEPENDENT semantics bugs:
+empty groups, all-ties order-by, single-row partitions, orders with no
+lineitems, sources with one document, duplicate vectors, identical
+timestamps. Each fuzz trial draws those densities from a seeded PRNG, so
+a finding is replayable by seed.
+
+Usage:
+    python3 tools/fuzz_diff.py [n_trials] [seed0] [name ...]
+
+Defaults: 3 trials, seed0=1, and a ~50-entry sample spanning every
+operator family (streaming entries excluded: they exercise checkpoint
+plumbing, not data-shape semantics, and dominate wall-clock).
+
+Invariants the generator PRESERVES (violating them fuzzes the schema,
+not the semantics — the driver's generator never produces them):
+column names/dtypes exactly as TESTDATA.md, no NULLs, doc_id/vec_id
+contiguous from 0 (IVF/PQ seed vectors assume vec_id < 16 exist),
+region/nation copied verbatim (fixed dims), embedding norm > 0,
+timestamps naive (no tz). Everything else — row counts, group
+cardinalities, tie density, skew, empty strings — is fair game.
+
+Dev-only tool (driver-side python); not part of the shipped library.
+"""
+import os
+import random
+import shutil
+import string
+import subprocess
+import sys
+
+import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def write(df: pd.DataFrame, path: str, schema: pa.Schema = None) -> None:
+    """Parquet writer pinned to the driver-testdata physical layout:
+    TIMESTAMP(MICROS) (pandas' default ns would flip Spark's
+    nanosAsLong path and re-type every read) and explicit arrow schema
+    where pandas would widen (float32 lists)."""
+    tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(tbl, path, coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TD = "/root/testdata/sf0.001"
+
+VOCAB_FULL = ("the fast key order sort table scan merge part window small "
+              "hash join batch stream spark dup group query row data slow "
+              "filter customer line value agg column big vector a").split()
+
+DEFAULT_NAMES = """
+filter_nulls filter_range_in case_binning
+join_inner_equi join_asof_hour join_anti_orphans join_salted_skew
+join_interval_overlap
+agg_basic agg_percentile agg_mode agg_median_grouped agg_entropy
+agg_multikey agg_arg_extremes
+win_lag win_moving_avg win_sessionize_gap win_streak win_interval_merge
+win_moving_median
+sort_limit_topk union_all_counts topk_by_abs
+fn_datetime_extract fn_string_split fn_json_extract fn_array_ops
+sql_grouping_sets sql_correlated_subquery sql_lateral_topn
+ext_exact_dedup ext_minhash_dedup ext_trigram_jaccard ext_substring_dedup
+ext_suffix_dedup ext_line_dedup ext_cdc_dedup
+ext_text_stats ext_lang_id ext_token_count ext_tfidf ext_bm25 ext_winnowing
+ext_knn_cosine ext_ann_ivf ext_pq_encode ext_embedding_drift ext_embed_audit
+ext_hash_split ext_domain_mix ext_seq_pack ext_dp_count ext_k_anon
+ext_dedup_clusters ext_cluster_dilution
+ext_funnel ext_cohort_retention
+""".split()
+
+
+def gen_corpus(rng: random.Random, out: str) -> dict:
+    os.makedirs(out, exist_ok=True)
+    dials = {}
+    for t in ("region", "nation"):
+        shutil.copy(f"{TD}/{t}.parquet", f"{out}/{t}.parquet")
+
+    # ---- documents: tiny vocab => dense shingle collisions; planted
+    # exact-dup families; single-doc sources; sub-3-token docs
+    n_docs = rng.choice([8, 30, 120])
+    vocab = VOCAB_FULL[: rng.choice([3, 12, len(VOCAB_FULL)])]
+    n_sources = rng.choice([1, 2, 8])
+    langs = ["en", "fr", "de", "es", "zh"]
+    dials["docs"] = (n_docs, len(vocab), n_sources)
+    texts, rows = [], []
+    for i in range(n_docs):
+        r = rng.random()
+        if r < 0.2 and texts:            # exact duplicate of an earlier doc
+            t = rng.choice(texts)
+        elif r < 0.3:                    # sub-3-token doc (shingle fallback)
+            t = " ".join(rng.choices(vocab, k=rng.randint(1, 2)))
+        elif r < 0.35:                   # empty-ish doc
+            t = rng.choice(vocab)
+        else:
+            t = " ".join(rng.choices(vocab, k=rng.randint(5, 80)))
+        texts.append(t)
+        rows.append((i, t, rng.choice(langs), f"src{rng.randrange(n_sources)}",
+                     len(t)))
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]) \
+        .astype({"doc_id": "int64", "n_chars": "int64"}) \
+        .pipe(write, f"{out}/documents.parquet")
+
+    # ---- embeddings: duplicates allowed, norms bounded away from 0
+    n_vec = rng.choice([32, 64, 200])
+    dials["vecs"] = n_vec
+    base = [np.array([rng.uniform(-1, 1) for _ in range(64)], dtype=np.float32)
+            for _ in range(max(8, n_vec // 4))]
+    embs = []
+    for i in range(n_vec):
+        v = rng.choice(base) if rng.random() < 0.3 else \
+            np.array([rng.uniform(-1, 1) for _ in range(64)], dtype=np.float32)
+        if float(np.linalg.norm(v)) < 0.1:
+            v = v + np.float32(0.5)
+        embs.append((i, v.tolist(), rng.randrange(10)))
+    emb_schema = pa.schema([("vec_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float32())),
+                            ("label", pa.int32())])
+    write(pd.DataFrame(embs, columns=["vec_id", "embedding", "label"]),
+          f"{out}/embeddings.parquet", emb_schema)
+
+    # ---- star schema: customers without orders, orders without lineitems,
+    # hot part keys, all-ties quantities
+    n_cust = rng.choice([5, 40])
+    n_supp = rng.choice([3, 20])
+    n_part = rng.choice([5, 50])
+    n_ord = rng.choice([5, 50, 300])
+    seg = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    pd.DataFrame(
+        [(i, f"Customer#{i:09d}", rng.randrange(25),
+          round(rng.uniform(-999, 9999), 2), rng.choice(seg))
+         for i in range(n_cust)],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"]) \
+        .astype({"c_custkey": "int64", "c_nationkey": "int32"}) \
+        .pipe(write, f"{out}/customer.parquet")
+    pd.DataFrame(
+        [(i, f"Supplier#{i:09d}", rng.randrange(25),
+          round(rng.uniform(-999, 9999), 2)) for i in range(n_supp)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
+        .astype({"s_suppkey": "int64", "s_nationkey": "int32"}) \
+        .pipe(write, f"{out}/supplier.parquet")
+    adj = ["cold", "small", "large", "hot", "dim"]
+    pd.DataFrame(
+        [(i, f"{rng.choice(adj)} widget", f"Brand#{rng.randrange(1, 25)}",
+          rng.choice(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+                      "STANDARD"]),
+          rng.randrange(1, 50), round(rng.uniform(100, 2000), 2))
+         for i in range(n_part)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"]) \
+        .astype({"p_partkey": "int64", "p_size": "int32"}) \
+        .pipe(write, f"{out}/part.parquet")
+
+    active_cust = max(1, int(n_cust * rng.choice([0.3, 1.0])))
+    stat = ["F", "O", "P"]
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orows = []
+    for i in range(n_ord):
+        d = pd.Timestamp("1995-01-01") + pd.Timedelta(
+            days=rng.randrange(0, 2400))
+        orows.append((i, rng.randrange(active_cust), rng.choice(stat),
+                      round(rng.uniform(1000, 300000), 2), d,
+                      rng.choice(prio)))
+    pd.DataFrame(orows, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                                 "o_totalprice", "o_orderdate",
+                                 "o_orderpriority"]) \
+        .astype({"o_orderkey": "int64", "o_custkey": "int64"}) \
+        .pipe(write, f"{out}/orders.parquet")
+
+    hot_part = rng.random() < 0.4          # skewed part key
+    tie_qty = rng.random() < 0.3           # all-equal quantities
+    dials["lineitem"] = (hot_part, tie_qty)
+    lrows = []
+    for o, _, _, _, od, _ in orows:
+        for ln in range(rng.randrange(0, 7)):  # 0 => order w/o lineitems
+            pk = 0 if (hot_part and rng.random() < 0.7) \
+                else rng.randrange(n_part)
+            q = 5.0 if tie_qty else float(rng.randrange(1, 50))
+            lrows.append((o, pk, rng.randrange(n_supp), ln + 1, q,
+                          round(rng.uniform(100, 50000), 2),
+                          round(rng.choice([0.0, 0.05, 0.1]), 2),
+                          round(rng.choice([0.0, 0.04, 0.08]), 2),
+                          rng.choice(["A", "N", "R"]),
+                          rng.choice(["F", "O"]),
+                          od + pd.Timedelta(days=rng.randrange(1, 90))))
+    if not lrows:  # lineitem must be non-empty (drivers' generator floor)
+        o, _, _, _, od, _ = orows[0]
+        lrows.append((o, 0, 0, 1, 5.0, 100.0, 0.0, 0.0, "N", "O",
+                      od + pd.Timedelta(days=3)))
+    pd.DataFrame(lrows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"]) \
+        .astype({"l_orderkey": "int64", "l_partkey": "int64",
+                 "l_suppkey": "int64", "l_linenumber": "int32"}) \
+        .pipe(write, f"{out}/lineitem.parquet")
+
+    # ---- events: identical-timestamp ties, single-user option
+    n_ev = rng.choice([20, 200, 1000])
+    one_user = rng.random() < 0.25
+    dials["events"] = (n_ev, one_user)
+    et = ["click", "view", "purchase", "signup", "error"]
+    ts0 = pd.Timestamp("2024-01-01")
+    erows, last_ts = [], ts0
+    for i in range(n_ev):
+        if rng.random() < 0.3 and i:      # exact-tie timestamp
+            ts = last_ts
+        else:
+            ts = ts0 + pd.Timedelta(seconds=rng.randrange(0, 30 * 86400),
+                                    microseconds=rng.randrange(0, 1000000))
+        last_ts = ts
+        uid = 0 if one_user else rng.randrange(max(2, n_ev // 10))
+        erows.append((i, ts, uid, rng.choice(et),
+                      round(rng.uniform(0.01, 350), 2),
+                      '{"k": %d}' % rng.randrange(100)))
+    pd.DataFrame(erows, columns=["event_id", "ts", "user_id", "event_type",
+                                 "value", "props"]) \
+        .astype({"event_id": "int64", "user_id": "int64"}) \
+        .pipe(write, f"{out}/events.parquet")
+    return dials
+
+
+def main() -> int:
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    names = sys.argv[3:] or DEFAULT_NAMES
+    failures = 0
+    for t in range(n_trials):
+        seed = seed0 + t
+        rng = random.Random(seed)
+        cdir = f"{REPO}/target/fuzz/c{seed}"
+        odir = f"{REPO}/target/fuzz/out{seed}"
+        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(odir, ignore_errors=True)
+        dials = gen_corpus(rng, cdir)
+        print(f"[fuzz] seed={seed} dials={dials}", flush=True)
+        r = subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.Verify %s %s %s" % (cdir, odir, " ".join(names))],
+            cwd=REPO, capture_output=True, text=True)
+        verr = [l for l in r.stdout.splitlines() if "[verify]" in l]
+        for l in verr:
+            print(f"[fuzz] seed={seed} {l}", flush=True)
+        chk = subprocess.run(
+            [sys.executable, f"{REPO}/tools/check_local.py", cdir, odir],
+            cwd=REPO, capture_output=True, text=True)
+        bad = [l for l in chk.stdout.splitlines()
+               if l and "OK" not in l and "MISSING-SPARK-OUTPUT" not in l
+               and not l.startswith("==")]
+        # a Spark-side exception surfaces as a missing dump for a name we
+        # explicitly requested — that is a finding, not an artifact
+        requested_missing = [l for l in chk.stdout.splitlines()
+                             if "MISSING-SPARK-OUTPUT" in l
+                             and l.split()[0] in names]
+        for l in bad + requested_missing:
+            print(f"[fuzz] seed={seed} FINDING: {l}", flush=True)
+        failures += len(bad) + len(requested_missing)
+        for l in [l for l in chk.stdout.splitlines() if l.startswith("==")]:
+            print(f"[fuzz] seed={seed} {l}", flush=True)
+    print(f"[fuzz] total findings: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
