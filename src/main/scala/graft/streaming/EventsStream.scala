@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming re-expression of the reference's batch-incremental
   * patterns (SURVEY.md §2.10).
   *
@@ -81,22 +83,59 @@ object EventsStream {
   /** Collision-resistant key for a dataset path: md5 hex prefix. A 32-bit
     * String.hashCode key would let two colliding paths share a scratch/
     * checkpoint namespace and GC each other's dirs mid-stream. */
-  private[graft] def pathKey(p: String): String =
+  private[graft] def pathKey(p: String): String = {
+    // keyed on the ABSOLUTE normalized path: a relative and an absolute
+    // spelling of the same dataset dir must share one scratch/checkpoint
+    // namespace, or the single-writer GC sees them as two owners
+    val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize().toString
     java.security.MessageDigest.getInstance("MD5")
-      .digest(p.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+      .digest(abs.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+  }
 
   private[graft] def eventsSourceDir(sfDir: String): String = {
+    // absolute+normalized: a RELATIVE sfDir would otherwise make
+    // createSymbolicLink resolve the target against the scratch dir —
+    // a silently broken link whose only symptom is a path-shaped
+    // exception message (hit by the round-7 scale rehearsal)
     val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      .toAbsolutePath.normalize()
     val key = pathKey(sfDir)
     val dir = java.nio.file.Paths.get(
       s"/root/repo/target/scratch/stream_src_${new java.io.File(sfDir).getName}_$key")
     java.nio.file.Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) != target)
-      java.nio.file.Files.delete(link)
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, target)
+    // The file-stream source lists PLAIN FILES in its directory; it does
+    // not descend into a directory symlink — a dir-shaped
+    // events.parquet (the multi-part layout every real deployment has)
+    // would silently drain ZERO rows through a single dir link (caught
+    // by the round-7 scale rehearsal: ScaleUp writes part-file dirs).
+    // Link the data files individually in both layouts.
+    val sources: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(target)) {
+        val s = java.nio.file.Files.list(target)
+        try s.iterator().asScala.toSeq
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.sortBy(_.getFileName.toString)
+        finally s.close()
+      } else Seq(target)
+    // drop stale links (source regenerated with fewer/renamed parts)
+    val existing = java.nio.file.Files.list(dir)
+    try existing.iterator().asScala.toSeq.foreach { l =>
+      if (java.nio.file.Files.isSymbolicLink(l) &&
+          !java.nio.file.Files.exists(l))
+        java.nio.file.Files.delete(l)
+    } finally existing.close()
+    sources.zipWithIndex.foreach { case (src, i) =>
+      val name = if (sources.size == 1) "events.parquet"
+                 else f"events_part$i%05d.parquet"
+      val link = dir.resolve(name)
+      if (java.nio.file.Files.isSymbolicLink(link) &&
+          java.nio.file.Files.readSymbolicLink(link) != src)
+        java.nio.file.Files.delete(link)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, src)
+    }
     dir.toString
   }
 

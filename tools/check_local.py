@@ -17,6 +17,7 @@ if values happen to agree.
 Dev-only tool (driver-side python); not part of the shipped Scala library.
 """
 import glob
+import os
 import json
 import math
 import sys
@@ -58,7 +59,12 @@ def norm(v):
 def main():
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # driver testdata is one file per table; Spark-written corpora
+        # (ScaleUp, fuzz variants) are part-file DIRECTORIES — glob those
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
 
     # one-shot wide-type audit across ALL oracles — planner-only (lazy
@@ -129,7 +135,6 @@ def main():
     for n, v in sorted(results.items()):
         print(f"{n:<{width}}  {v}")
     # queries with no oracle entry
-    import os
     declared = {os.path.basename(p) for p in glob.glob(f"{OUT_DIR}/*")
                 if os.path.isdir(p)}
     no_oracle = declared - set(oracle)
