@@ -286,4 +286,26 @@ class StreamingSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe expect
     expect.nonEmpty shouldBe true // fixture actually exercises the window
   }
+
+  test("streaming source handles a DIRECTORY-shaped events.parquet " +
+       "(multi-part layout): drains every part, equals single-file result") {
+    // the production layout: events.parquet is a dir of part-files. A
+    // dir-symlink into the stream-source scratch dir is NOT traversed by
+    // the file-stream source and silently drained ZERO rows (round-7
+    // scale-rehearsal finding) — per-file links must drain everything.
+    val dir = tmp("evdir")
+    graft.Tables.events(spark, sf("sf0.001"))
+      .repartition(3) // forces a genuinely multi-part directory
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    new java.io.File(s"$dir/events.parquet").listFiles()
+      .count(_.getName.endsWith(".parquet")) should be >= 2
+    // batch reference over the same dir
+    val expect = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = EventsStream.dedupCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_events")).toMap
+    got shouldBe expect // sf0.001 has no (event_id, ts) dup pairs to drop
+    got.values.sum shouldBe 1000L
+  }
 }
