@@ -679,8 +679,14 @@ object Aggregates {
     val bmap = map((1 to 9).flatMap(i =>
       Seq(lit(i), lit(benford(i - 1)))): _*)
     Tables.orders(s, d)
-      .select(substring(floor(col("o_totalprice")).cast("long")
-        .cast("string"), 1, 1).cast("int").as("digit"))
+      // try_cast + 1..9 filter: a sub-1 price yields digit 0 (absent
+      // from the map — ANSI element_at would THROW, fuzz-class hazard)
+      // and a negative price yields '-' (ANSI string→int cast throws).
+      // The oracle's inner join to b(digit) has exactly these drop
+      // semantics; TRY_CAST mirrors them there.
+      .select(expr("try_cast(substring(cast(cast(floor(o_totalprice) as " +
+                   "bigint) as string), 1, 1) as int)").as("digit"))
+      .filter(col("digit").between(1, 9))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       .withColumn("total", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
@@ -947,7 +953,7 @@ object Aggregates {
         |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
         |  (9, 45757)),
         |o AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |  SELECT TRY_CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM orders GROUP BY 1),

@@ -201,9 +201,14 @@ object Scalars {
       .select(col("doc_id"),
               size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
                 .as("n_long_words"),
-              coalesce(element_at(
-                regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)), 1),
-                lit("")).as("first_long"),
+              // try_element_at, NOT element_at: ANSI element_at THROWS on
+              // an empty array, so a document with no ≥5-char word (never
+              // in the driver testdata; fuzz seed 42 found it) would fail
+              // the whole query instead of falling to coalesce's ''.
+              // DuckDB's list_extract is NULL out-of-bounds — try_ matches.
+              coalesce(try_element_at(
+                regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)),
+                lit(1)), lit("")).as("first_long"),
               size(regexp_extract_all(col("text"), lit("[aeiou][aeiou]"),
                 lit(0))).as("n_vowel_pairs"),
               regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*")

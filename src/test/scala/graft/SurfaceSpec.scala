@@ -1119,6 +1119,33 @@ class SurfaceSpec extends SparkSpec {
     rows.map(_.getAs[Long]("benford_ppm")).sum shouldBe 999995L
   }
 
+  test("fuzz regressions: regex extract tolerates a no-match document; " +
+       "benford drops sub-1 and negative prices instead of throwing") {
+    import spark.implicits._
+    // fuzz seed 42: a corpus whose words are all < 5 chars left
+    // regexp_extract_all empty and ANSI element_at threw — try_element_at
+    // must fall through to '' (the oracle's NULL-coalesce semantics)
+    val dir = "/root/repo/target/scratch/fuzzreg"
+    Seq((0L, "the fast key", "en", "s", 12L),
+        (1L, "substantial vocabulary here", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rx = graft.ops.Scalars.fnRegexExtract(spark, dir).collect()
+    rx.map(r => r.getLong(0) -> r.getAs[String]("first_long")).toMap shouldBe
+      Map(0L -> "", 1L -> "substantial")
+    // benford: digit 0 (price < 1) and '-' (negative) must be DROPPED —
+    // the oracle inner-joins digits 1..9 — not crash the ANSI map lookup
+    Seq((0L, 0L, "O", 0.42, new java.sql.Timestamp(0L), "1-URGENT"),
+        (1L, 0L, "O", -815.0, new java.sql.Timestamp(0L), "5-LOW"),
+        (2L, 0L, "O", 7310.0, new java.sql.Timestamp(0L), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val bf = graft.ops.Aggregates.aggBenford(spark, dir).collect()
+    bf.map(_.getInt(0)).toSeq shouldBe Seq(7)
+    bf.head.getAs[Long]("n") shouldBe 1L
+  }
+
   test("chi-square: full 5x7 grid, chi2 equals sum of rounded contributions") {
     val r = graft.ops.Aggregates.aggChisq(spark, sf("sf0.001")).first()
     r.getAs[Long]("n_types") shouldBe 5L

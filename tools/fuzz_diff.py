@@ -230,7 +230,10 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
 def main() -> int:
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # "all" = dump the ENTIRE contract (Verify with no name filter) —
+    # slower per trial, full-coverage; otherwise the family sample
     names = sys.argv[3:] or DEFAULT_NAMES
+    run_all = names == ["all"]
     failures = 0
     for t in range(n_trials):
         seed = seed0 + t
@@ -241,9 +244,10 @@ def main() -> int:
         shutil.rmtree(odir, ignore_errors=True)
         dials = gen_corpus(rng, cdir)
         print(f"[fuzz] seed={seed} dials={dials}", flush=True)
+        sel = "" if run_all else " " + " ".join(names)
         r = subprocess.run(
             ["sbt", "-batch",
-             "runMain graft.Verify %s %s %s" % (cdir, odir, " ".join(names))],
+             "runMain graft.Verify %s %s%s" % (cdir, odir, sel)],
             cwd=REPO, capture_output=True, text=True)
         verr = [l for l in r.stdout.splitlines() if "[verify]" in l]
         for l in verr:
@@ -253,12 +257,12 @@ def main() -> int:
             cwd=REPO, capture_output=True, text=True)
         bad = [l for l in chk.stdout.splitlines()
                if l and "OK" not in l and "MISSING-SPARK-OUTPUT" not in l
-               and not l.startswith("==")]
+               and not l.startswith("==") and not l.startswith("--")]
         # a Spark-side exception surfaces as a missing dump for a name we
         # explicitly requested — that is a finding, not an artifact
         requested_missing = [l for l in chk.stdout.splitlines()
                              if "MISSING-SPARK-OUTPUT" in l
-                             and l.split()[0] in names]
+                             and (run_all or l.split()[0] in names)]
         for l in bad + requested_missing:
             print(f"[fuzz] seed={seed} FINDING: {l}", flush=True)
         failures += len(bad) + len(requested_missing)
