@@ -406,8 +406,15 @@ object Aggregates {
       .select(col("o_orderpriority"), col("n"), col("s1"), col("s2"), {
         val n = col("n").cast("double")
         val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+        // n > 1 guard: sample stddev of a single-order priority group is
+        // UNDEFINED — ANSI double division throws on the n(n−1)=0
+        // denominator (fuzz seed 101, one-order group), while DuckDB's
+        // /0.0 yields NULL. Explicit NULL is the stddev_samp contract
+        // both engines agree on (oracle carries the same CASE).
         struct((s1 / n).as("mean_c"),
-               sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))).as("std_c"))
+               when(col("n") > 1,
+                 sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))))
+                 .as("std_c"))
       }.as("ms"))
     val nD   = col("n").cast("decimal(38,0)")
     val diff = nD * col("z") - col("s1")
@@ -1223,9 +1230,11 @@ object Aggregates {
         |ms AS (
         |  SELECT o_orderpriority, n, s1, s2,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-        |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-        |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_c
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    END AS std_c
         |  FROM m)
         |SELECT o.o_orderpriority,
         |  max(ms.n) AS n_orders,

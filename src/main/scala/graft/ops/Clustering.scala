@@ -283,7 +283,10 @@ object Clustering {
       .join(adj.select(col("u").as("v"), col("nb").as("nb_v")), Seq("v"))
       .select(size(array_intersect(col("nb_u"), col("nb_v")))
         .cast("long").as("t"))
-      .agg(sum(col("t")).as("n_triangles"))
+      // coalesce 0: a triangle-free graph leaves the wedge join empty and
+      // a bare global sum() returns NULL where the oracle's count(*)
+      // returns 0 (fuzz seed 101, 20-event sparse graph)
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
     val nodes = edges.select(explode(array(col("a"), col("b"))).as("n"))
       .agg(countDistinct(col("n")).as("n_nodes"))
     val ecnt = edges.agg(count(lit(1)).as("n_edges"))

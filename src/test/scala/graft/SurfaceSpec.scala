@@ -1144,6 +1144,30 @@ class SurfaceSpec extends SparkSpec {
     val bf = graft.ops.Aggregates.aggBenford(spark, dir).collect()
     bf.map(_.getInt(0)).toSeq shouldBe Seq(7)
     bf.head.getAs[Long]("n") shouldBe 1L
+    // outlier z-score: a SINGLE-order priority group has undefined sample
+    // stddev — must report NULL (stddev_samp contract, = the oracle's
+    // CASE/DuckDB NULL), not throw ANSI DIVIDE_BY_ZERO (fuzz seed 101)
+    val oz = graft.ops.Aggregates.aggOutlierZscore(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    oz("1-URGENT").getAs[Long]("n_orders") shouldBe 1L
+    oz("1-URGENT").isNullAt(
+      oz("1-URGENT").fieldIndex("stddev_price")) shouldBe true
+    oz("1-URGENT").getAs[Long]("n_outliers") shouldBe 0L
+    // triangle count: a wedge-free graph (each order touches ≤ 2 parts,
+    // all pairs distinct) must report 0, not a NULL bare-sum (seed 101)
+    Seq((0L, 10L, 0L, 1, 5.0, 100.0, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)),
+        (0L, 11L, 0L, 2, 5.0, 100.0, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)),
+        (1L, 12L, 0L, 1, 5.0, 100.0, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val tc = graft.ops.Clustering.extTriangleCount(spark, dir).first()
+    tc.getAs[Long]("n_edges") shouldBe 1L
+    tc.getAs[Long]("n_triangles") shouldBe 0L
   }
 
   test("chi-square: full 5x7 grid, chi2 equals sum of rounded contributions") {
