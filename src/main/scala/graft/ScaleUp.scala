@@ -44,8 +44,13 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def tbl(n: String): DataFrame = spark.read.parquet(s"$srcDir/$n.parquet")
-    def keyOffset(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+    def keyOffset(df: DataFrame, key: String): Long = {
+      val r = df.agg(max(col(key))).head
+      require(!r.isNullAt(0),
+        s"[scaleup] source table is empty (no $key values) — refusing to " +
+        "build a scaled corpus from it")
+      r.getLong(0) + 1L
+    }
 
     // passthrough dims
     for (n <- Seq("region", "nation"))
@@ -90,10 +95,15 @@ object ScaleUp {
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
+    // rotation amount derived from the ACTUAL dimension (probed once) and
+    // taken mod dim, so copies > dim and non-64-dim corpora stay valid
+    val embDim = tbl("embeddings").select(size(col("embedding"))).head.getInt(0)
+    require(embDim > 0, "[scaleup] embeddings table has empty vectors")
     shifted("embeddings", (df, c) => {
-      val e = if (c == 0) col("embedding")
-              else concat(slice(col("embedding"), c + 1, 64 - c),
-                          slice(col("embedding"), 1, c))
+      val rot = c % embDim
+      val e = if (rot == 0) col("embedding")
+              else concat(slice(col("embedding"), rot + 1, embDim - rot),
+                          slice(col("embedding"), 1, rot))
       df.withColumn("vec_id", col("vec_id") + lit(vecOff * c))
         .withColumn("embedding", e)
     })

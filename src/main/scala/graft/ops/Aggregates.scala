@@ -689,8 +689,9 @@ object Aggregates {
       // try_cast + 1..9 filter: a sub-1 price yields digit 0 (absent
       // from the map — ANSI element_at would THROW, fuzz-class hazard)
       // and a negative price yields '-' (ANSI string→int cast throws).
-      // The oracle's inner join to b(digit) has exactly these drop
-      // semantics; TRY_CAST mirrors them there.
+      // The oracle applies the same WHERE digit BETWEEN 1 AND 9 BEFORE
+      // its total, so the obs_ppm denominator matches on both engines
+      // even when digit-0/NULL rows exist (fuzz corpora).
       .select(expr("try_cast(substring(cast(cast(floor(o_totalprice) as " +
                    "bigint) as string), 1, 1) as int)").as("digit"))
       .filter(col("digit").between(1, 9))
@@ -960,10 +961,11 @@ object Aggregates {
         |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
         |  (9, 45757)),
         |o AS (
-        |  SELECT TRY_CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM orders GROUP BY 1),
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT TRY_CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |    FROM orders)
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
         |t AS (SELECT SUM(n) AS total FROM o)
         |SELECT o.digit, o.n,
         |  CAST(o.n * 1000000 // t.total AS BIGINT) AS obs_ppm,

@@ -119,11 +119,19 @@ object EventsStream {
           }.sortBy(_.getFileName.toString)
         finally s.close()
       } else Seq(target)
-    // drop stale links (source regenerated with fewer/renamed parts)
+    // drop stale links: anything not in the CURRENT expected name set
+    // (a broken-target check alone misses the single-file → multi-part
+    // flip, where the old 'events.parquet' link resolves to the now-
+    // directory target and would sit beside the new per-part links)
+    val expected: Set[String] = sources.indices.map { i =>
+      if (sources.size == 1) "events.parquet"
+      else f"events_part$i%05d.parquet"
+    }.toSet
     val existing = java.nio.file.Files.list(dir)
     try existing.iterator().asScala.toSeq.foreach { l =>
       if (java.nio.file.Files.isSymbolicLink(l) &&
-          !java.nio.file.Files.exists(l))
+          (!expected.contains(l.getFileName.toString) ||
+           !java.nio.file.Files.exists(l)))
         java.nio.file.Files.delete(l)
     } finally existing.close()
     sources.zipWithIndex.foreach { case (src, i) =>

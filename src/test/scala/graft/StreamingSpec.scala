@@ -63,6 +63,35 @@ class StreamingSpec extends SparkSpec {
     r2 shouldBe 1000L
   }
 
+  test("source scratch dir drops a stale single-file link when the dataset " +
+       "flips to a multi-part directory layout") {
+    import java.nio.file.{Files, Paths}
+    val srcSf = tmp("flip_sf")
+    val base = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+    // layout 1: single-file events.parquet
+    val stage1 = tmp("flip_stage1")
+    base.coalesce(1).write.mode("overwrite").parquet(stage1)
+    val part1 = new java.io.File(stage1).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part1.toPath, Paths.get(s"$srcSf/events.parquet"))
+    val dir1 = Paths.get(EventsStream.eventsSourceDir(srcSf))
+    Files.isSymbolicLink(dir1.resolve("events.parquet")) shouldBe true
+    // layout 2: the SAME path becomes a multi-part directory — the old
+    // link now resolves to a directory (exists=true), so broken-target
+    // cleanup alone would leave it shadowing the per-part links
+    Files.delete(Paths.get(s"$srcSf/events.parquet"))
+    base.repartition(3).write.mode("overwrite")
+      .parquet(s"$srcSf/events.parquet")
+    val dir2 = Paths.get(EventsStream.eventsSourceDir(srcSf))
+    dir2 shouldBe dir1
+    Files.exists(dir2.resolve("events.parquet")) shouldBe false
+    val links = new java.io.File(dir2.toString).listFiles()
+      .map(_.getName).filter(_.startsWith("events_part"))
+    links.length should be >= 3
+  }
+
   test("embedding drift stream: two genuine micro-batches, exactly-once " +
        "re-run, totals cover the corpus") {
     val r1 = EventsStream.embeddingDriftStream(spark, sf("sf0.001")).collect()

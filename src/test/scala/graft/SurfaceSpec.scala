@@ -1144,6 +1144,10 @@ class SurfaceSpec extends SparkSpec {
     val bf = graft.ops.Aggregates.aggBenford(spark, dir).collect()
     bf.map(_.getInt(0)).toSeq shouldBe Seq(7)
     bf.head.getAs[Long]("n") shouldBe 1L
+    // the ppm denominator must also be post-filter (1 surviving order →
+    // 1000000 ppm); a total over the dropped digit-0/NULL groups would
+    // read 333333 — the oracle now applies the same WHERE before t
+    bf.head.getAs[Long]("obs_ppm") shouldBe 1000000L
     // outlier z-score: a SINGLE-order priority group has undefined sample
     // stddev — must report NULL (stddev_samp contract, = the oracle's
     // CASE/DuckDB NULL), not throw ANSI DIVIDE_BY_ZERO (fuzz seed 101)

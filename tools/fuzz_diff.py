@@ -60,7 +60,7 @@ filter_nulls filter_range_in case_binning
 join_inner_equi join_asof_hour join_anti_orphans join_salted_skew
 join_interval_overlap
 agg_basic agg_percentile agg_mode agg_median_grouped agg_entropy
-agg_multikey agg_arg_extremes
+agg_multikey agg_arg_extremes agg_benford agg_outlier_zscore
 win_lag win_moving_avg win_sessionize_gap win_streak win_interval_merge
 win_moving_median
 sort_limit_topk union_all_counts topk_by_abs
@@ -165,9 +165,18 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     for i in range(n_ord):
         d = pd.Timestamp("1995-01-01") + pd.Timedelta(
             days=rng.randrange(0, 2400))
+        # price draw covers the ANSI hazard zones the r7 fixes guard:
+        # sub-1 totals (leading digit 0) and negatives (leading '-'),
+        # not just the driver generator's [1000, 300000] band
+        pr = rng.random()
+        if pr < 0.08:
+            price = round(rng.uniform(0.01, 1), 2)
+        elif pr < 0.16:
+            price = round(rng.uniform(-999, -0.01), 2)
+        else:
+            price = round(rng.uniform(1000, 300000), 2)
         orows.append((i, rng.randrange(active_cust), rng.choice(stat),
-                      round(rng.uniform(1000, 300000), 2), d,
-                      rng.choice(prio)))
+                      price, d, rng.choice(prio)))
     pd.DataFrame(orows, columns=["o_orderkey", "o_custkey", "o_orderstatus",
                                  "o_totalprice", "o_orderdate",
                                  "o_orderpriority"]) \
