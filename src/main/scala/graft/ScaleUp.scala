@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *     the same period, not longer);
   *   - fixed-size dimensions (region, nation) are not multiplied, as in
   *     TPC-H.
+  * Optional 4th arg `crossDupPermille` (default 0): that fraction of
+  * documents (selected deterministically by doc_id, the SAME docs in
+  * every copy) keeps its text VERBATIM across copies — planting
+  * cross-copy duplicate families so the dedup operators' real cost
+  * driver (candidate-pair volume, not corpus volume) can be measured at
+  * a controlled density. 10 permille over N copies turns each selected
+  * doc into an N-clique for the band joins.
+  *
   * Dev-only harness for PLANS.md scaling exponents; not part of the
   * query surface.
   */
@@ -34,6 +42,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, copiesS) = args.take(3)
     val copies = copiesS.toInt
+    val crossDupPermille = args.lift(3).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,8 +98,12 @@ object ScaleUp {
       .withColumn("event_id", col("event_id") + lit(evOff * c))
       .withColumn("user_id", col("user_id") + lit(userOff * c)))
     shifted("documents", (df, c) => {
+      val suffixed = regexp_replace(col("text"), "(\\S+)", "$1x" + c)
       val t = if (c == 0) col("text")
-              else regexp_replace(col("text"), "(\\S+)", "$1x" + c)
+              else if (crossDupPermille == 0) suffixed
+              else when(pmod(col("doc_id"), lit(1000L))
+                          < crossDupPermille, col("text"))
+                     .otherwise(suffixed)
       df.withColumn("doc_id", col("doc_id") + lit(docOff * c))
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))

@@ -523,28 +523,32 @@ object Dedup {
     * license blocks, quoted excerpts — which is why curation pipelines
     * run both.
     *
-    * Shape: the shingle array is built per row (one `transform` over a
-    * stride grid — array bytes ≈ 4× text bytes, never text × positions),
-    * exploded, and aggregated by the shingle string itself; the dup set
-    * comes back via an equi-join. Shuffling the literal 32-char window
-    * (32 B) costs the same as shuffling a digest; at production scale
-    * you'd map windows through xxhash64 first (8 B keys, collision-
-    * tolerant counting) and shard the self-join by bucket. The
-    * aggregate-then-join (not collect_list per shingle) keeps hot
-    * boilerplate windows — millions of docs sharing one header — as
-    * counts, never as materialized lists. */
+    * Shape: the window-key array is built per row (one `transform` over
+    * a stride grid) with each 32-char window mapped through [[hash60]]
+    * BEFORE the explode — the shuffle carries 8-byte longs, never the
+    * window text (the same key discipline as [[extSuffixDedup]]; 60-bit
+    * keys make collisions a counting rounding error, not a correctness
+    * hazard, and the DuckDB oracle groups by the literal window string
+    * to certify exactly that). The aggregate-then-join (not
+    * collect_list per key) keeps hot boilerplate windows — millions of
+    * docs sharing one header — as counts, never as materialized
+    * lists. */
   val extSubstringDedup: Q = (s, d) => {
+    // explode the window strings NARROWLY (no shuffle yet), then map to
+    // hash60 in a codegen'd projection — a hash inside the transform
+    // lambda would run interpreted (HOF lambdas don't codegen)
     val sh = Tables.documents(s, d)
       .filter(length(col("text")) >= 32)
       .select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, length(text) - 31, 8)," +
             " p -> substring(text, p, 32))")).as("shingle"))
-    val dup = sh.groupBy(col("shingle"))
+      .select(col("doc_id"), col("source"), hash60(col("shingle")).as("wkey"))
+    val dup = sh.groupBy(col("wkey"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("shingle"))
-    sh.join(dup, Seq("shingle"))
+      .select(col("wkey"))
+    sh.join(dup, Seq("wkey"))
       .groupBy(col("source"))
       .agg(count_distinct(col("doc_id")).as("docs_with_dup"),
            count(lit(1)).as("dup_occurrences"))
