@@ -214,11 +214,19 @@ object Aggregates {
            sum(x).as("sx"), sum(y).as("sy"),
            sum(x * y).as("sxy"), sum(x * x).as("sxx"),
            sum(y * y).as("syy"))
-      .select(col("event_type"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
-          6).as("corr_value_hour"))
+      .select(col("event_type"), col("n"), {
+        // zero-variance guard (fuzz seed 200): a single-event or
+        // constant-column group has n·Σx²−(Σx)² = 0 — ANSI double
+        // division THROWS where DuckDB's /0 is NULL. The test is on the
+        // EXACT decimals, so both engines branch identically; the
+        // oracle needs no CASE (its division is naturally NULL there).
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        when(vx > 0 && vy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .as("corr_value_hour")
+      })
       .orderBy(col("event_type"))
   }
 
@@ -280,8 +288,12 @@ object Aggregates {
         // sums exceed 2^53 and DuckDB's int128->double conversion can
         // land 1 ulp away from JVM BigDecimal.doubleValue (observed at
         // sf0.001), so the raw doubles are NOT bit-identical — this is
-        // exactly the representation drift round() exists to absorb
-        round(m3 / pow(m2, 1.5), 6).as("skewness")
+        // exactly the representation drift round() exists to absorb.
+        // m2=0 guard (fuzz seed 200): an all-equal or single-event
+        // group makes pow(m2,1.5)=0 — ANSI throws, DuckDB /0 is NULL;
+        // m2 is the same double expression on both engines, so the
+        // branch is taken identically and the oracle needs no CASE
+        when(m2 > 0d, round(m3 / pow(m2, 1.5), 6)).as("skewness")
       })
       .orderBy(col("event_type"))
   }

@@ -88,7 +88,10 @@ package object ops {
     val sx = sum(c.cast("decimal(18,2)")).cast("double")
     val sxx = sum(c.cast("decimal(18,2)") * c.cast("decimal(18,2)")).cast("double")
     val n = count(lit(1)).cast("double")
-    round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), scale)
+    // n=1 guard (fuzz seed 209): sample stddev is UNDEFINED for a
+    // single-row group — ANSI /(n−1)=0 throws where DuckDB's /0 is
+    // NULL; the explicit branch makes the stddev_samp contract match
+    when(n > 1d, round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), scale))
   }
 
   def rstddevSql(e: String, scale: Int = 2): String = {

@@ -1163,7 +1163,7 @@ class SurfaceSpec extends SparkSpec {
          new java.sql.Timestamp(0L)),
         (0L, 11L, 0L, 2, 5.0, 100.0, 0.0, 0.0, "N", "O",
          new java.sql.Timestamp(0L)),
-        (1L, 12L, 0L, 1, 5.0, 100.0, 0.0, 0.0, "N", "O",
+        (1L, 12L, 0L, 1, 5.0, 100.0, 0.0, 0.0, "R", "O",
          new java.sql.Timestamp(0L)))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
             "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -1172,6 +1172,34 @@ class SurfaceSpec extends SparkSpec {
     val tc = graft.ops.Clustering.extTriangleCount(spark, dir).first()
     tc.getAs[Long]("n_edges") shouldBe 1L
     tc.getAs[Long]("n_triangles") shouldBe 0L
+    // stddev: the single-row "R" group must report NULL sample stddev
+    // (stddev_samp contract), not throw on /(n-1)=0 (fuzz seed 209)
+    val sd = graft.ops.Aggregates.aggStddev(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    sd("R").isNullAt(sd("R").fieldIndex("sd_qty")) shouldBe true
+    sd("N").getAs[Double]("sd_qty") shouldBe 0.0
+    // corr/skewness: a single-event group and a constant-value group
+    // have zero variance — both must report NULL (DuckDB's /0 NULL),
+    // not throw ANSI DIVIDE_BY_ZERO (fuzz seed 200, 20-event corpus)
+    def ev(id: Long, h: Int, et: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"),
+       0L, et, v, """{"k": 1}""")
+    Seq(ev(0, 1, "signup", 42.0),                       // n=1 group
+        ev(1, 2, "click", 5.0), ev(2, 7, "click", 5.0), // constant value
+        ev(3, 3, "view", 1.0), ev(4, 9, "view", 8.0),   // varying group
+        ev(5, 17, "view", 4.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cr = graft.ops.Aggregates.aggCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cr("signup").isNullAt(cr("signup").fieldIndex("corr_value_hour")) shouldBe true
+    cr("click").isNullAt(cr("click").fieldIndex("corr_value_hour")) shouldBe true
+    cr("view").isNullAt(cr("view").fieldIndex("corr_value_hour")) shouldBe false
+    val sk = graft.ops.Aggregates.aggSkewness(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    sk("signup").isNullAt(sk("signup").fieldIndex("skewness")) shouldBe true
+    sk("click").isNullAt(sk("click").fieldIndex("skewness")) shouldBe true
+    sk("view").isNullAt(sk("view").fieldIndex("skewness")) shouldBe false
   }
 
   test("chi-square: full 5x7 grid, chi2 equals sum of rounded contributions") {
