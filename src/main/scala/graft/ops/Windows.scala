@@ -117,9 +117,16 @@ object Windows {
       .orderBy(col("day"))
   }
 
-  /** W8 — unframed whole-partition aggregates (`AVG(x) OVER ()`). */
+  /** W8 — unframed whole-partition aggregates (`AVG(x) OVER ()`). The
+    * `COUNT(*) OVER ()` term is spelled as a 1-row global aggregate
+    * broadcast-joined back, NOT an empty-partition window: a raw-grain
+    * global window collapses the whole table into ONE task (the only
+    * raw-grain single-partition smell this file had), while the
+    * aggregate spelling keeps partial counts parallel and ships 8
+    * bytes. Same value, same dtype, scale-safe plan. */
   val winWholePartition: Q = (s, d) => {
     val wc = Window.partitionBy(col("o_custkey"))
+    val tot = Tables.orders(s, d).agg(count(lit(1)).as("n_total"))
     Tables.orders(s, d)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -127,8 +134,8 @@ object Windows {
         // accumulation order inside a partition is engine-dependent; no
         // round() — halfway quotients round differently across engines
         (sum(col("o_totalprice").cast("decimal(18,2)")).over(wc)
-          .cast("double") / count(lit(1)).over(wc)).as("cust_avg"),
-        count(lit(1)).over(Window.partitionBy()).as("n_total"))
+          .cast("double") / count(lit(1)).over(wc)).as("cust_avg"))
+      .crossJoin(broadcast(tot))
       .orderBy(col("o_orderkey"))
   }
 

@@ -39,14 +39,29 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def write(df: pd.DataFrame, path: str, schema: pa.Schema = None) -> None:
+def write(df: pd.DataFrame, path: str, schema: pa.Schema = None,
+          parts: int = 1) -> None:
     """Parquet writer pinned to the driver-testdata physical layout:
     TIMESTAMP(MICROS) (pandas' default ns would flip Spark's
     nanosAsLong path and re-type every read) and explicit arrow schema
-    where pandas would widen (float32 lists)."""
+    where pandas would widen (float32 lists). parts > 1 writes the
+    MULTI-PART DIRECTORY layout (round-robin split) — the layout axis
+    that hid the round-7 streaming zero-row bug; a fuzz corpus should
+    exercise both physical shapes, not just the single-file one."""
     tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(tbl, path, coerce_timestamps="us",
-                   allow_truncated_timestamps=True)
+    if parts <= 1 or tbl.num_rows < parts:
+        pq.write_table(tbl, path, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    step = (tbl.num_rows + parts - 1) // parts
+    for i in range(parts):
+        chunk = tbl.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{path}/part-{i:05d}.parquet",
+                           coerce_timestamps="us",
+                           allow_truncated_timestamps=True)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TD = "/root/testdata/sf0.001"
@@ -81,6 +96,15 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     dials = {}
     for t in ("region", "nation"):
         shutil.copy(f"{TD}/{t}.parquet", f"{out}/{t}.parquet")
+    # physical-layout dial: each fact table independently lands as a
+    # single file or a multi-part directory (the round-7 streaming bug
+    # class); 1 = single file
+    def layout() -> int:
+        return rng.choice([1, 1, 1, 2, 4])
+    lay = {t: layout() for t in ("documents", "embeddings", "customer",
+                                 "supplier", "part", "orders",
+                                 "lineitem", "events")}
+    dials["layout"] = {k: v for k, v in lay.items() if v > 1}
 
     # ---- documents: tiny vocab => dense shingle collisions; planted
     # exact-dup families; single-doc sources; sub-3-token docs
@@ -105,7 +129,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                      len(t)))
     pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]) \
         .astype({"doc_id": "int64", "n_chars": "int64"}) \
-        .pipe(write, f"{out}/documents.parquet")
+        .pipe(write, f"{out}/documents.parquet", parts=lay["documents"])
 
     # ---- embeddings: duplicates allowed, norms bounded away from 0
     n_vec = rng.choice([32, 64, 200])
@@ -123,7 +147,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                             ("embedding", pa.list_(pa.float32())),
                             ("label", pa.int32())])
     write(pd.DataFrame(embs, columns=["vec_id", "embedding", "label"]),
-          f"{out}/embeddings.parquet", emb_schema)
+          f"{out}/embeddings.parquet", emb_schema, parts=lay["embeddings"])
 
     # ---- star schema: customers without orders, orders without lineitems,
     # hot part keys, all-ties quantities
@@ -139,13 +163,13 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"]) \
         .astype({"c_custkey": "int64", "c_nationkey": "int32"}) \
-        .pipe(write, f"{out}/customer.parquet")
+        .pipe(write, f"{out}/customer.parquet", parts=lay["customer"])
     pd.DataFrame(
         [(i, f"Supplier#{i:09d}", rng.randrange(25),
           round(rng.uniform(-999, 9999), 2)) for i in range(n_supp)],
         columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
         .astype({"s_suppkey": "int64", "s_nationkey": "int32"}) \
-        .pipe(write, f"{out}/supplier.parquet")
+        .pipe(write, f"{out}/supplier.parquet", parts=lay["supplier"])
     adj = ["cold", "small", "large", "hot", "dim"]
     pd.DataFrame(
         [(i, f"{rng.choice(adj)} widget", f"Brand#{rng.randrange(1, 25)}",
@@ -156,7 +180,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
                  "p_retailprice"]) \
         .astype({"p_partkey": "int64", "p_size": "int32"}) \
-        .pipe(write, f"{out}/part.parquet")
+        .pipe(write, f"{out}/part.parquet", parts=lay["part"])
 
     active_cust = max(1, int(n_cust * rng.choice([0.3, 1.0])))
     stat = ["F", "O", "P"]
@@ -181,7 +205,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                                  "o_totalprice", "o_orderdate",
                                  "o_orderpriority"]) \
         .astype({"o_orderkey": "int64", "o_custkey": "int64"}) \
-        .pipe(write, f"{out}/orders.parquet")
+        .pipe(write, f"{out}/orders.parquet", parts=lay["orders"])
 
     hot_part = rng.random() < 0.4          # skewed part key
     tie_qty = rng.random() < 0.3           # all-equal quantities
@@ -209,7 +233,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         "l_linestatus", "l_shipdate"]) \
         .astype({"l_orderkey": "int64", "l_partkey": "int64",
                  "l_suppkey": "int64", "l_linenumber": "int32"}) \
-        .pipe(write, f"{out}/lineitem.parquet")
+        .pipe(write, f"{out}/lineitem.parquet", parts=lay["lineitem"])
 
     # ---- events: identical-timestamp ties, single-user option
     n_ev = rng.choice([20, 200, 1000])
@@ -232,7 +256,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     pd.DataFrame(erows, columns=["event_id", "ts", "user_id", "event_type",
                                  "value", "props"]) \
         .astype({"event_id": "int64", "user_id": "int64"}) \
-        .pipe(write, f"{out}/events.parquet")
+        .pipe(write, f"{out}/events.parquet", parts=lay["events"])
     return dials
 
 
