@@ -220,15 +220,32 @@ object FeatureBuild {
         coalesce(col("prev_stop_delay"), lit(0.0)).as("prev_stop_delay"))
   }
 
-  /** 80/20 split by global row_number over (date, natural key) —
-    * `ml_feature_engineering.sql:468-519` (W2 + W8 shapes). */
+  /** 80/20 split by row_number over (date, natural key) —
+    * `ml_feature_engineering.sql:468-519` (W2 + W8 shapes). The global
+    * rank is decomposed scale-safely: per-DAY row_number (parallel
+    * partitions) plus a date-grain running offset (bounded rows,
+    * broadcast back) reproduces the exact global (date, trip, stop)
+    * ordering without collapsing the feature table into one task; the
+    * global count is a 1-row broadcast aggregate, not an
+    * empty-partition window. */
   def split(features: DataFrame): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col("date"), col("trip_id"), col("stop_id"))
+    val cols = features.columns.map(col(_)).toSeq
+    val wDay = Window.partitionBy(col("date"))
+      .orderBy(col("trip_id"), col("stop_id"))
+    val dayOffsets = features.groupBy(col("date"))
+      .agg(count(lit(1)).as("day_c"))
+      .withColumn("cum_before",
+        coalesce(sum(col("day_c")).over(
+          Window.orderBy(col("date"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("date"), col("cum_before"))
+    val tot = features.agg(count(lit(1)).as("total_rows"))
     val numbered = features
-      .withColumn("rn", row_number().over(w))
-      .withColumn("total_rows", count(lit(1)).over(Window.partitionBy()))
-    (numbered.filter(col("rn") <= col("total_rows") * 0.8).drop("rn", "total_rows"),
-     numbered.filter(col("rn") > col("total_rows") * 0.8).drop("rn", "total_rows"))
+      .join(broadcast(dayOffsets), Seq("date"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("cum_before") + row_number().over(wDay))
+    (numbered.filter(col("rn") <= col("total_rows") * 0.8).select(cols: _*),
+     numbered.filter(col("rn") > col("total_rows") * 0.8).select(cols: _*))
   }
 
   /** Label encoding as a vocabulary join (train_delay_model.py:243-255:
