@@ -65,12 +65,38 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
-  /** W4 — NTILE(4) quartiles over a unique total order. */
+  /** W4 — NTILE(4) quartiles over a unique total order. Spelled
+    * scale-safely: `ntile` over an unpartitioned window collapses the
+    * table into ONE task, so the global rank is decomposed into
+    * per-bucket row_number (buckets = floor(price/10⁴), monotonic in
+    * the sort key, so bucket-asc + within-bucket order ≡ the global
+    * order) plus bucket-grain running offsets broadcast back, and the
+    * quartile comes from the exact NTILE arithmetic (first n mod 4
+    * tiles get ⌈n/4⌉ rows) — bit-identical to the engine builtin,
+    * which the DuckDB oracle still uses. */
   val winNtile: Q = (s, d) => {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"),
-              ntile(4).over(w).as("quartile"))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bkt", floor(col("o_totalprice") / 10000d).cast("long"))
+    val offs = base.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_before",
+        coalesce(sum(col("c")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("cum_before"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val wB = Window.partitionBy(col("bkt"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    base.join(broadcast(offs), Seq("bkt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rn", col("cum_before") + row_number().over(wB))
+      .withColumn("quartile", expr(
+        // NTILE(4): q=n div 4, r=n mod 4; tiles 1..r hold q+1 rows
+        "case when rn <= (n % 4) * (n div 4 + 1)" +
+        " then (rn - 1) div (n div 4 + 1) + 1" +
+        " else (n % 4) + (rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4)" +
+        " + 1 end").cast("int"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -75,6 +75,33 @@ class SurfaceSpec extends SparkSpec {
     rows.foreach(_.getAs[Long]("n_walks") should be > 0L)
   }
 
+  test("ntile decomposition: bucketed rank + exact NTILE arithmetic equals " +
+       "the engine builtin, remainder tiles included") {
+    // full-corpus equality against the builtin (divisible-n path)...
+    for (sfd <- Seq(sf("sf0.001"))) {
+      val ours = graft.ops.Windows.winNtile(spark, sfd).collect()
+      val builtin = graft.Tables.orders(spark, sfd)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+        .orderBy(col("o_orderkey")).collect()
+      ours.map(_.toString).toSeq shouldBe builtin.map(_.toString).toSeq
+    }
+    // remainder case n=7 (q=1, r=3: tile sizes 2,2,2,1) on a micro frame
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/ntile7"
+    Seq.tabulate(7)(i => (i.toLong, 0L, "O", (700 - i * 93).toDouble,
+        new java.sql.Timestamp(0L), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val micro = graft.ops.Windows.winNtile(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // ascending price = keys 6,5,4,3,2,1,0 -> tiles 1,1,2,2,3,3,4
+    micro shouldBe Map(6L -> 1, 5L -> 1, 4L -> 2, 3L -> 2,
+                       2L -> 3, 1L -> 3, 0L -> 4)
+  }
+
   test("rolling z-score: window never exceeds 7 rows and flags match |z| > 2") {
     val rows = graft.ops.Windows.winRollingZscore(spark, sf("sf0.01")).collect()
     rows.foreach { r =>
