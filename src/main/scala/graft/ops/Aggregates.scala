@@ -663,22 +663,32 @@ object Aggregates {
              sum(col("z") * col("z")).as(s"s2$p"))
     def mean(p: String) =
       col(s"s1$p").cast("double") / col(s"n$p").cast("double") / 100.0
+    // n<2 guard (fuzz seed 303): a single-sample side has undefined
+    // sample variance — NULL (propagating into t/df), not an ANSI
+    // throw on /(n·(n−1))=0; DuckDB's /0 is naturally NULL there
     def variance(p: String) = {
       val n = col(s"n$p").cast("double")
-      (n * col(s"s2$p").cast("double") -
-        col(s"s1$p").cast("double") * col(s"s1$p").cast("double")) /
-        (n * (n - 1.0)) / 10000.0
+      when(n > 1d,
+        (n * col(s"s2$p").cast("double") -
+          col(s"s1$p").cast("double") * col(s"s1$p").cast("double")) /
+          (n * (n - 1.0)) / 10000.0)
     }
     m("click", "1").crossJoin(m("purchase", "2"))
       .select(col("n1"), col("n2"),
         round(mean("1"), 6).as("mean1"), round(mean("2"), 6).as("mean2"), {
           val se1 = variance("1") / col("n1").cast("double")
           val se2 = variance("2") / col("n2").cast("double")
+          // all-ties guard: both variances 0 makes both statistics'
+          // denominators 0 — NULL on both engines (a NULL se turns the
+          // conditions NULL → false, so they never divide by n−1=0)
           struct(
-            round((mean("1") - mean("2")) / sqrt(se1 + se2), 6).as("t"),
-            round((se1 + se2) * (se1 + se2) /
-              (se1 * se1 / (col("n1").cast("double") - 1.0) +
-               se2 * se2 / (col("n2").cast("double") - 1.0)), 2).as("df"))
+            when(se1 + se2 > 0d,
+              round((mean("1") - mean("2")) / sqrt(se1 + se2), 6)).as("t"),
+            when(se1 * se1 / (col("n1").cast("double") - 1.0) +
+                 se2 * se2 / (col("n2").cast("double") - 1.0) > 0d,
+              round((se1 + se2) * (se1 + se2) /
+                (se1 * se1 / (col("n1").cast("double") - 1.0) +
+                 se2 * se2 / (col("n2").cast("double") - 1.0)), 2)).as("df"))
         }.as("st"))
       .select(col("n1"), col("n2"), col("mean1"), col("mean2"),
               col("st.t").as("t_stat"), col("st.df").as("welch_df"))

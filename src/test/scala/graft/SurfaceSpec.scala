@@ -1227,6 +1227,17 @@ class SurfaceSpec extends SparkSpec {
     sk("signup").isNullAt(sk("signup").fieldIndex("skewness")) shouldBe true
     sk("click").isNullAt(sk("click").fieldIndex("skewness")) shouldBe true
     sk("view").isNullAt(sk("view").fieldIndex("skewness")) shouldBe false
+    // Welch t-test: the click side above is 2 tied values (zero
+    // variance) and there are NO purchase events (n=0, NULL moments) —
+    // the undefined statistics must surface as NULL t/df/mean2, not an
+    // ANSI throw on /(n·(n−1))=0 or /0 denominators (fuzz seed 303)
+    val tt = graft.ops.Aggregates.aggTtest(spark, dir).first()
+    tt.getAs[Long]("n1") shouldBe 2L
+    tt.getAs[Long]("n2") shouldBe 0L
+    tt.getAs[Double]("mean1") shouldBe 5.0
+    tt.isNullAt(tt.fieldIndex("mean2")) shouldBe true
+    tt.isNullAt(tt.fieldIndex("t_stat")) shouldBe true
+    tt.isNullAt(tt.fieldIndex("welch_df")) shouldBe true
   }
 
   test("chi-square: full 5x7 grid, chi2 equals sum of rounded contributions") {
