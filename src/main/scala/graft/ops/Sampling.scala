@@ -157,6 +157,53 @@ object Sampling {
       .orderBy(col("rank"))
   }
 
+  /** E67 — DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * per-document log importance weight log p_target(x) − log p_raw(x)
+    * under hashed-unigram bag-of-words models with add-1 smoothing —
+    * the score DSIR Gumbel-top-k resamples on to tilt a raw crawl
+    * toward a target domain (here: the corpus's `lang = 'en'` slice
+    * stands in for the target sample). Feature space = 64 hash buckets
+    * of [[Dedup.hash60]] tokens, so both engines build bit-identical
+    * count models.
+    *
+    * Engine-exactness: each bucket's log-ratio is computed ONCE at
+    * feature grain (64 rows) and quantized to integer micro-nats via
+    * floor(1e6·ln r) — identical double expression structure on both
+    * sides, and the per-document reduction Σ c_f·unats_f is then a pure
+    * BIGINT sum, immune to reduction order. Division stays in doubles
+    * (counts at 100 TB overflow a BIGINT product; double products round
+    * identically in both engines for the same expression tree).
+    *
+    * Scale shape: one token-grain explode feeding (a) a 64-row feature
+    * model (map-side partial aggregation collapses each partition to
+    * ≤64 rows before the shuffle) and (b) a doc-grain sum; the model
+    * broadcasts back. No shuffle carries text, only (doc_id, bucket). */
+  val extDsirWeights: Q = (s, d) => {
+    val tb = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+              pmod(Dedup.hash60(concat(lit("dsir|"), col("tok"))), lit(64L))
+                .as("bucket"))
+    val raw = tb.groupBy(col("bucket")).agg(count(lit(1)).as("r_f"))
+    val tgt = tb.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_f"))
+    val tot = tb.agg(count(lit(1)).as("rr"),
+                     sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val feat = raw.join(tgt, Seq("bucket"), "left").crossJoin(broadcast(tot))
+      .select(col("bucket"),
+              floor(lit(1000000.0) * log(
+                ((coalesce(col("t_f"), lit(0L)) + 1).cast("double") *
+                  (col("rr") + 64).cast("double")) /
+                ((col("r_f") + 1).cast("double") *
+                  (col("tt") + 64).cast("double")))).as("unats"))
+    tb.join(broadcast(feat), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("unats")).as("weight_unats"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E19 — dataset card: the per-language corpus summary every dataset
     * release ships (docs, sources, token mass, exact-dup incidence).
     * One window over text (the dup probe shuffles 32-byte-hash-sized
@@ -698,6 +745,7 @@ object Sampling {
     "ext_domain_mix" -> extDomainMix,
     "ext_seq_pack" -> extSeqPack,
     "ext_chunk_overlap" -> extChunkOverlap,
+    "ext_dsir_weights" -> extDsirWeights,
     "ext_dataset_card" -> extDatasetCard)
 
   // DuckDB replay of hash60 (15 hex digits of md5 → bigint), shared by
@@ -708,6 +756,37 @@ object Sampling {
        |      (a, b) -> a * 16 + b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // DSIR: identical hashed-unigram count models (h60 buckets), the
+    // bucket log-ratio quantized to micro-nats at FEATURE grain (floor
+    // of the same double expression), then a pure-integer doc-grain sum
+    "ext_dsir_weights" ->
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang,
+         |    ${h60("'dsir|' || tok")} % 64 AS bucket
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents)),
+         |raw AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS r_f FROM tb GROUP BY 1),
+         |tgt AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS t_f
+         |  FROM tb WHERE lang = 'en' GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS rr,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+         |  FROM tb),
+         |feat AS (
+         |  SELECT r.bucket,
+         |    CAST(floor(1000000.0 * ln(
+         |      (CAST(coalesce(t.t_f, 0) + 1 AS DOUBLE) *
+         |        CAST(tot.rr + 64 AS DOUBLE)) /
+         |      (CAST(r.r_f + 1 AS DOUBLE) *
+         |        CAST(tot.tt + 64 AS DOUBLE)))) AS BIGINT) AS unats
+         |  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(unats) AS BIGINT) AS weight_unats
+         |FROM tb JOIN feat ON tb.bucket = feat.bucket
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // clipped-sum DP mean: least() clip, geometric draws on numerator
     // (scaled by the clip bound) and denominator, floor guards keeping
     // both divide operands non-negative/positive

@@ -232,7 +232,7 @@ object Similarity {
     * ([[extAnnIvf]], [[lloydRefine]], [[extIvfRecall]],
     * [[extEmbeddingDrift]], [[extProbeCurve]]) and its oracle replay
     * MUST use this one definition. */
-  private def ivfRanked(s: SparkSession, d: String)
+  private[graft] def ivfRanked(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     graft.expressions.FloatVecDot.register(s)
     val e = Tables.embeddings(s, d)
@@ -247,7 +247,7 @@ object Similarity {
   }
 
   /** [[ivfRanked]] reduced to the home-list assignment. */
-  private def ivfAssigned(s: SparkSession, d: String)
+  private[graft] def ivfAssigned(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     ivfRanked(s, d).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("seed_id").as("list_id"))
@@ -855,6 +855,101 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** E65 — composed IVF+PQ index search (IVFADC; Jégou/Douze/Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+    * §IV): queries probe their nprobe=2 nearest coarse cells
+    * ([[ivfRanked]]) and ONLY candidates whose home cell is probed are
+    * scored — by the compressed-domain ADC cosine over their 4 one-byte
+    * PQ codes ([[pqCodes]]), never their raw floats. This is the
+    * composition a billion-vector deployment actually serves from, and
+    * the missing link between the shipped [[extAnnIvf]] (coarse cells,
+    * raw-vector scoring) and [[extPqAdc]] (codes, but exhaustive over
+    * the corpus): candidate volume is bounded by the probed cells
+    * (≈ nprobe/k of the corpus per query), and the big side of every
+    * join carries (vec_id, list_id, code) ≈ 16 bytes/vector.
+    *
+    * Plan shape: the only corpus-grain shuffle is codes ⋈ home-cell on
+    * vec_id; probes (10×2 rows), the sub-codebook (64 rows) and the
+    * query sub-slices (40 rows) all broadcast. Exactness: coarse
+    * assignment, probe ranking, PQ encode and ADC scoring reuse the
+    * fold-ordered double cosine, so the oracle replays every argmax
+    * bit-for-bit; ADC scores round(6) once at output grain. A candidate
+    * reaches a query through at most ONE probe (its home cell is
+    * unique), so no distinct is needed. */
+  val extIvfpqAdc: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val probes = ivfRanked(s, d)
+      .filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("seed_id").as("plist"),
+              col("rn").cast("int").as("probe_rank"))
+    val home = ivfAssigned(s, d).select(col("vec_id"), col("list_id"))
+    val sliced = pqSliced(s, d)
+    val seeds = sliced.filter(col("vec_id") < 16)
+      .select(col("m").as("sm"), col("vec_id").as("sid"), col("sv").as("se"))
+    val qsub = sliced.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("sqid"), col("m").as("qm"), col("sv").as("qv"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("cid"))
+    pqCodes(s, d)
+      .join(home, "vec_id")
+      .join(broadcast(probes),
+            col("list_id") === col("plist") && col("qid") =!= col("vec_id"))
+      .join(broadcast(seeds),
+            col("m") === col("sm") && col("seed_id") === col("sid"))
+      .join(broadcast(qsub), col("m") === col("qm") && col("qid") === col("sqid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("list_id"),
+              col("probe_rank"), col("m"),
+              dotD(col("qv"), col("se")).as("p"),
+              dotD(col("se"), col("se")).as("nn"))
+      .groupBy(col("qid"), col("cid"), col("list_id"), col("probe_rank"))
+      .pivot("m", Seq(0, 1, 2, 3))
+      .agg(first(col("p")).as("p"), first(col("nn")).as("nn"))
+      .select(col("qid"), col("cid"), col("list_id"), col("probe_rank"),
+              round((col("0_p") + col("1_p") + col("2_p") + col("3_p")) /
+                    sqrt(col("0_nn") + col("1_nn") + col("2_nn") + col("3_nn")),
+                    6).as("adc_score"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("list_id"), col("probe_rank"),
+              col("adc_score"), col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** E66 — semantic deduplication (SemDeDup; Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space
+    * with the coarse quantizer ([[ivfAssigned]]), then within each cell
+    * drop every vector that has a lower-id neighbor at cosine ≥ 0.35
+    * (greedy keep-first — the paper keeps one item per semantic-dup
+    * group; lowest vec_id is the deterministic stand-in for its
+    * keep-closest-to-centroid choice). Output is the cell-grain dedup
+    * report a curation run publishes: size, drops, survivors per cell.
+    *
+    * Scale shape: the pair search is WITHIN-CELL only — the paper's
+    * entire point. k grows with the corpus (k ≈ N/⟨cell⟩ holds cells at
+    * ~10⁵ vectors), so per-cell pair volume is bounded by ⟨cell⟩²
+    * regardless of N and cells meet in an equi-join; k=16 is this
+    * fixture's deterministic codebook. Threshold comparisons cannot
+    * flip cross-engine (fold-ordered double cosines, see module doc). */
+  val extSemdedup: Q = (s, d) => {
+    val a = ivfAssigned(s, d)
+    val l = a.select(col("list_id"), col("vec_id").as("ida"),
+                     col("embedding").as("va"))
+    val r = a.select(col("list_id"), col("vec_id").as("idb"),
+                     col("embedding").as("vb"))
+    val dropped = l.join(r, "list_id")
+      .filter(col("ida") < col("idb") &&
+              cosine(col("va"), col("vb")) >= 0.35)
+      .select(col("list_id"), col("idb")).distinct()
+    a.groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+      .join(dropped.groupBy(col("list_id")).agg(count(lit(1)).as("nd")),
+            Seq("list_id"), "left")
+      .select(col("list_id"), col("n_vectors"),
+              coalesce(col("nd"), lit(0L)).as("n_dropped"),
+              (col("n_vectors") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+      .orderBy(col("list_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext_probe_curve" -> extProbeCurve,
     "ext_embedding_drift" -> extEmbeddingDrift,
@@ -870,6 +965,8 @@ object Similarity {
     "ext_pq_encode" -> extPqEncode,
     "ext_pq_adc" -> extPqAdc,
     "ext_pq_recall" -> extPqRecall,
+    "ext_ivfpq_adc" -> extIvfpqAdc,
+    "ext_semdedup" -> extSemdedup,
     "ext_hybrid_rank" -> extHybridRank,
     "ext_embed_audit" -> extEmbedAudit)
 
@@ -1155,6 +1252,86 @@ object Similarity {
          |  FROM g)
          |SELECT qid, cid, adc_score, rn FROM r WHERE rn <= 3
          |ORDER BY qid, rn""".stripMargin,
+    // IVFADC composition: the ann_ivf coarse-quantizer CTEs (home cell +
+    // nprobe=2 probe lists) fused with the pq_adc encode/ADC CTEs; a
+    // candidate's home cell is unique so each (qid, cid) pair appears
+    // through exactly one probe
+    "ext_ivfpq_adc" ->
+      s"""WITH ranked AS (
+         |  SELECT e.vec_id, e.embedding, s.vec_id AS seed_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("e.embedding", "s.embedding")} DESC, s.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN
+         |    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s),
+         |home AS (SELECT vec_id, seed_id AS list_id FROM ranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, seed_id AS plist,
+         |    CAST(rn AS INTEGER) AS probe_rank
+         |  FROM ranked WHERE vec_id < 10 AND rn <= 2),
+         |sub AS (
+         |  SELECT vec_id, CAST(r.m AS INTEGER) AS m,
+         |    embedding[CAST(r.m * 16 + 1 AS INTEGER):CAST((r.m + 1) * 16 AS INTEGER)] AS sv
+         |  FROM embeddings CROSS JOIN range(0, 4) r(m)),
+         |pseeds AS (
+         |  SELECT m AS sm, vec_id AS seed_id, sv AS se FROM sub WHERE vec_id < 16),
+         |scored0 AS (
+         |  SELECT vec_id, m, seed_id, ${cosSql("sv", "se")} AS c
+         |  FROM sub JOIN pseeds ON m = sm),
+         |best AS (
+         |  SELECT vec_id, m, seed_id,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY c DESC, seed_id) AS rn
+         |  FROM scored0),
+         |codes AS (SELECT vec_id, m, seed_id FROM best WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS sqid, m AS qm, sv AS qv FROM sub WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT p.qid, c.vec_id AS cid, h.list_id, p.probe_rank, c.m,
+         |    ${dotSql("qv", "se")} AS pp, ${dotSql("se", "se")} AS nn
+         |  FROM codes c
+         |  JOIN home h ON c.vec_id = h.vec_id
+         |  JOIN probes p ON h.list_id = p.plist AND p.qid <> c.vec_id
+         |  JOIN pseeds s ON c.m = s.sm AND c.seed_id = s.seed_id
+         |  JOIN qsub q ON c.m = q.qm AND p.qid = q.sqid),
+         |g AS (
+         |  SELECT qid, cid, list_id, probe_rank,
+         |    round((max(CASE WHEN m = 0 THEN pp END) + max(CASE WHEN m = 1 THEN pp END)
+         |         + max(CASE WHEN m = 2 THEN pp END) + max(CASE WHEN m = 3 THEN pp END))
+         |      / sqrt(max(CASE WHEN m = 0 THEN nn END) + max(CASE WHEN m = 1 THEN nn END)
+         |           + max(CASE WHEN m = 2 THEN nn END) + max(CASE WHEN m = 3 THEN nn END)),
+         |      6) AS adc_score
+         |  FROM sc GROUP BY 1, 2, 3, 4),
+         |r AS (
+         |  SELECT qid, cid, list_id, probe_rank, adc_score,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_score DESC, cid) AS INTEGER) AS rn
+         |  FROM g)
+         |SELECT qid, cid, list_id, probe_rank, adc_score, rn FROM r WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
+    // SemDeDup cell report: same coarse-assignment CTE, within-cell
+    // lower-id neighbor EXISTS via a DISTINCT pair join
+    "ext_semdedup" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, embedding, seed_id AS list_id FROM (
+         |    SELECT e.vec_id, e.embedding, s.vec_id AS seed_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e.embedding", "s.embedding")} DESC, s.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN
+         |      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.list_id, b.vec_id AS idb
+         |  FROM assigned a JOIN assigned b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+         |cells AS (
+         |  SELECT list_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM assigned GROUP BY 1),
+         |dc AS (
+         |  SELECT list_id, CAST(count(*) AS BIGINT) AS nd FROM dropped GROUP BY 1)
+         |SELECT c.list_id, c.n_vectors,
+         |  CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_dropped,
+         |  CAST(c.n_vectors - coalesce(dc.nd, 0) AS BIGINT) AS n_kept
+         |FROM cells c LEFT JOIN dc ON c.list_id = dc.list_id
+         |ORDER BY c.list_id""".stripMargin,
     "ext_knn_cosine" ->
       s"""SELECT qid, cid, cos, rn FROM (
          |  SELECT qid, cid, cos, CAST(row_number() OVER (

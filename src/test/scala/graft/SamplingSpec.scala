@@ -192,4 +192,44 @@ class SamplingSpec extends SparkSpec {
     // one output row per sub-k class
     rows.length shouldBe classes.count(_ < 5)
   }
+
+  test("DSIR importance weights reconcile with a full driver-side replay " +
+       "of the hashed-unigram models") {
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val got = graft.ops.Sampling.extDsirWeights(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_unats"))).toMap
+    // independent replay: same bucket hash (15-hex md5 prefix), same add-1
+    // smoothed models, same micro-nat quantization — in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      val hex = md.digest(("dsir|" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 r.getString(2).toLowerCase.split(" ", -1)))
+    val rawC = new Array[Long](64); val tgtC = new Array[Long](64)
+    docs.foreach { case (_, lang, toks) =>
+      toks.foreach { t =>
+        val b = bucket(t).toInt
+        rawC(b) += 1; if (lang == "en") tgtC(b) += 1
+      }
+    }
+    val rr = rawC.sum; val tt = tgtC.sum
+    val unats = Array.tabulate(64) { b =>
+      math.floor(1000000.0 * math.log(
+        ((tgtC(b) + 1).toDouble * (rr + 64).toDouble) /
+          ((rawC(b) + 1).toDouble * (tt + 64).toDouble))).toLong
+    }
+    got.size shouldBe docs.length
+    docs.foreach { case (id, _, toks) =>
+      val (n, w) = got(id)
+      n shouldBe toks.length.toLong
+      w shouldBe toks.map(t => unats(bucket(t).toInt)).sum
+    }
+  }
 }

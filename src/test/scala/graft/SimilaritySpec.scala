@@ -304,4 +304,77 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { r =>
       r.getAs[Double]("recall_at_5") should (be >= 0.0 and be <= 1.0) }
   }
+
+  test("IVFPQ ADC: candidates come only from probed cells, scores are " +
+       "bit-identical to the exhaustive PQ ADC, ranks are well-formed") {
+    val d = sf("sf0.001")
+    val out = Similarity.extIvfpqAdc(spark, d).collect()
+    out.length should be > 0
+    // rank contract: per query, rn = 1..k with non-increasing scores
+    out.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      sorted.map(_.getAs[Int]("rn")).toSeq shouldBe (1 to rs.length)
+      sorted.map(_.getAs[Double]("adc_score")).sliding(2).foreach {
+        case Array(a, b) => a should be >= b; case _ => }
+    }
+    // every reported candidate's home cell IS the reported list and is
+    // one of the query's nprobe=2 probe cells
+    val home = Similarity.ivfAssigned(spark, d)
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.ivfRanked(spark, d)
+      .filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id"), col("seed_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    out.foreach { r =>
+      val (q, c, l) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+                       r.getAs[Long]("list_id"))
+      home(c) shouldBe l
+      probes(q) should contain(l)
+      Set(1, 2) should contain(r.getAs[Int]("probe_rank"))
+    }
+    // the compressed-domain score of a (q, c) pair does not depend on the
+    // candidate pruning: where the exhaustive PQ ADC ranking kept the same
+    // pair, the scores must be bit-identical
+    val exhaustive = Similarity.extPqAdc(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) ->
+        r.getAs[Double]("adc_score")).toMap
+    val shared = out.flatMap { r =>
+      exhaustive.get((r.getAs[Long]("qid"), r.getAs[Long]("cid")))
+        .map(_ -> r.getAs[Double]("adc_score"))
+    }
+    shared.length should be > 0
+    shared.foreach { case (a, b) => a shouldBe b }
+  }
+
+  test("SemDeDup: cell sizes partition the corpus, the lowest id per cell " +
+       "survives, and drops equal a direct within-cell neighbor recount") {
+    val d = sf("sf0.001")
+    val rows = Similarity.extSemdedup(spark, d).collect()
+    val assigned = Similarity.ivfAssigned(spark, d)
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.map(_.getAs[Long]("n_vectors")).sum shouldBe assigned.length.toLong
+    rows.foreach { r =>
+      r.getAs[Long]("n_kept") shouldBe
+        r.getAs[Long]("n_vectors") - r.getAs[Long]("n_dropped")
+      // greedy keep-first can never drop everything in a non-empty cell
+      r.getAs[Long]("n_kept") should be >= 1L
+    }
+    // independent recount: a vector is dropped iff the exact all-pairs
+    // near-dup list (ext_embed_neardup, cos >= 0.35) contains a lower-id
+    // SAME-CELL partner
+    val cellOf = assigned.toMap
+    val pairs = Similarity.extEmbedNeardup(spark, d)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedByCell = pairs
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .map { case (a, b) => (cellOf(b), math.max(a, b)) }
+      .distinct.groupBy(_._1).map { case (c, xs) => c -> xs.length.toLong }
+    rows.foreach { r =>
+      r.getAs[Long]("n_dropped") shouldBe
+        droppedByCell.getOrElse(r.getAs[Long]("list_id"), 0L)
+    }
+  }
 }

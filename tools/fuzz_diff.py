@@ -24,6 +24,13 @@ region/nation copied verbatim (fixed dims), embedding norm > 0,
 timestamps naive (no tz). Everything else — row counts, group
 cardinalities, tie density, skew, empty strings — is fair game.
 
+Round-8 session-2 axes: multi-byte unicode vocabularies (stable-case
+chars only — the known engine-divergent case mappings like Turkish
+İ/ß are out of contract), zero-length documents, zero quantities and
+sub-1/negative extendedprice, epoch-adjacent and far-future order
+dates, zero/negative event values, and hostile props JSON (empty
+object, missing key, null value, nested object).
+
 Dev-only tool (driver-side python); not part of the shipped library.
 """
 import os
@@ -107,17 +114,30 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     dials["layout"] = {k: v for k, v in lay.items() if v > 1}
 
     # ---- documents: tiny vocab => dense shingle collisions; planted
-    # exact-dup families; single-doc sources; sub-3-token docs
+    # exact-dup families; single-doc sources; sub-3-token docs.
+    # Unicode dial: a multi-byte vocabulary (accented Latin, CJK, emoji —
+    # chars with stable case mappings; deliberately NOT the known
+    # engine-divergent ones like Turkish İ/ß) exercises every md5/length/
+    # lower path on multi-byte UTF-8. Empty-string docs (the driver
+    # generator's floor is 1 token) exercise split('') == [''] handling.
     n_docs = rng.choice([8, 30, 120])
-    vocab = VOCAB_FULL[: rng.choice([3, 12, len(VOCAB_FULL)])]
+    if rng.random() < 0.25:
+        vocab = ["café", "naïve", "数据", "模型", "🙂ok", "résumé",
+                 "δdata", "ključ", "tövär", "中文词", "vector", "a"]
+        vocab = vocab[: rng.choice([4, len(vocab)])]
+    else:
+        vocab = VOCAB_FULL[: rng.choice([3, 12, len(VOCAB_FULL)])]
     n_sources = rng.choice([1, 2, 8])
     langs = ["en", "fr", "de", "es", "zh"]
-    dials["docs"] = (n_docs, len(vocab), n_sources)
+    dials["docs"] = (n_docs, len(vocab), n_sources,
+                     "uni" if vocab[0] == "café" else "ascii")
     texts, rows = [], []
     for i in range(n_docs):
         r = rng.random()
         if r < 0.2 and texts:            # exact duplicate of an earlier doc
             t = rng.choice(texts)
+        elif r < 0.25:                   # zero-length doc
+            t = ""
         elif r < 0.3:                    # sub-3-token doc (shingle fallback)
             t = " ".join(rng.choices(vocab, k=rng.randint(1, 2)))
         elif r < 0.35:                   # empty-ish doc
@@ -187,8 +207,19 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     orows = []
     for i in range(n_ord):
-        d = pd.Timestamp("1995-01-01") + pd.Timedelta(
-            days=rng.randrange(0, 2400))
+        # date extremes: epoch-adjacent and far-future orderdates stress
+        # every datetime extract/diff/epoch path; the driver band is
+        # 1995-2001 only
+        dr = rng.random()
+        if dr < 0.06:
+            d = pd.Timestamp("1970-01-02") + pd.Timedelta(
+                days=rng.randrange(0, 30))
+        elif dr < 0.12:
+            d = pd.Timestamp("2098-01-01") + pd.Timedelta(
+                days=rng.randrange(0, 300))
+        else:
+            d = pd.Timestamp("1995-01-01") + pd.Timedelta(
+                days=rng.randrange(0, 2400))
         # price draw covers the ANSI hazard zones the r7 fixes guard:
         # sub-1 totals (leading digit 0) and negatives (leading '-'),
         # not just the driver generator's [1000, 300000] band
@@ -215,9 +246,19 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         for ln in range(rng.randrange(0, 7)):  # 0 => order w/o lineitems
             pk = 0 if (hot_part and rng.random() < 0.7) \
                 else rng.randrange(n_part)
-            q = 5.0 if tie_qty else float(rng.randrange(1, 50))
+            # zero quantities and sub-1/negative prices: the leading-digit
+            # / division / log hazard zones the driver band never reaches
+            q = 5.0 if tie_qty else \
+                (0.0 if rng.random() < 0.05 else float(rng.randrange(1, 50)))
+            epr = rng.random()
+            if epr < 0.05:
+                ep = round(rng.uniform(0.01, 1), 2)
+            elif epr < 0.1:
+                ep = round(rng.uniform(-9999, -0.01), 2)
+            else:
+                ep = round(rng.uniform(100, 50000), 2)
             lrows.append((o, pk, rng.randrange(n_supp), ln + 1, q,
-                          round(rng.uniform(100, 50000), 2),
+                          ep,
                           round(rng.choice([0.0, 0.05, 0.1]), 2),
                           round(rng.choice([0.0, 0.04, 0.08]), 2),
                           rng.choice(["A", "N", "R"]),
@@ -250,9 +291,25 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                                     microseconds=rng.randrange(0, 1000000))
         last_ts = ts
         uid = 0 if one_user else rng.randrange(max(2, n_ev // 10))
-        erows.append((i, ts, uid, rng.choice(et),
-                      round(rng.uniform(0.01, 350), 2),
-                      '{"k": %d}' % rng.randrange(100)))
+        # value extremes (zero / negative refund-shaped) and hostile props
+        # payloads (empty object, missing key, nested, null value)
+        vr = rng.random()
+        val = 0.0 if vr < 0.05 else \
+            (round(rng.uniform(-350, -0.01), 2) if vr < 0.1
+             else round(rng.uniform(0.01, 350), 2))
+        pr = rng.random()
+        if pr < 0.08:
+            props = "{}"
+        elif pr < 0.14:
+            props = '{"other": %d}' % rng.randrange(100)
+        elif pr < 0.2:
+            props = '{"k": null}'
+        elif pr < 0.26:
+            props = '{"k": %d, "x": {"y": %d}}' % (rng.randrange(100),
+                                                   rng.randrange(9))
+        else:
+            props = '{"k": %d}' % rng.randrange(100)
+        erows.append((i, ts, uid, rng.choice(et), val, props))
     pd.DataFrame(erows, columns=["event_id", "ts", "user_id", "event_type",
                                  "value", "props"]) \
         .astype({"event_id": "int64", "user_id": "int64"}) \
