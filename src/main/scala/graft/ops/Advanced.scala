@@ -234,7 +234,7 @@ object Advanced {
     "ext_zorder_audit" ->
       s"""WITH b AS (
          |  SELECT (user_id % 256) AS x,
-         |    (CAST(floor(value * 100) AS BIGINT) % 256) AS y
+         |    (((CAST(floor(value * 100) AS BIGINT) % 256) + 256) % 256) AS y
          |  FROM events),
          |z AS (
          |  SELECT x, y,

@@ -118,7 +118,7 @@ object JsonArray {
       """WITH v AS (
         |  SELECT event_id,
         |    (event_id % 10) AS va, (user_id % 10) AS vb,
-        |    (CAST(floor(value * 100) AS BIGINT) % 10) AS vc
+        |    (((CAST(floor(value * 100) AS BIGINT) % 10) + 10) % 10) AS vc
         |  FROM events)
         |SELECT event_id,
         |  CAST(3 AS INTEGER) AS n_keys,

@@ -101,7 +101,10 @@ object Scalars {
         greatest(col("l_quantity"), lit(25.0)).as("g25"),
         least(col("l_quantity"), lit(25.0)).as("l25"),
         round(abs(col("l_quantity") - 25.0), 2).as("abs_dev"),
-        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        // sqrt domain guard: negative prices (credit lines) are NULL on
+        // both engines, not Spark-NaN-vs-DuckDB-error
+        when(col("l_extendedprice") >= 0,
+             round(sqrt(col("l_extendedprice")), 4)).as("sqrt_price"),
         nullif(col("l_tax"), lit(0.0)).as("tax_or_null"),
         (floor(col("l_quantity") / 15) * 15).cast("int").as("qty_bucket"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -135,15 +138,24 @@ object Scalars {
     * on ln). Same ≤1-ulp libm caveat as [[fnTrig]], so round(10);
     * arguments are shifted (+1, /100) to keep every input strictly in
     * the functions' well-conditioned domain. */
+  // Domain guards are part of the contract: Spark log/sqrt of an
+  // out-of-domain value returns NULL/NaN where DuckDB raises — the
+  // portable spelling makes "out of domain → NULL" explicit on BOTH
+  // engines (negative event values are legal refund-shaped rows; fuzz
+  // seed 400 reached them first).
   val fnExpLog: Q = (s, d) =>
     Tables.events(s, d)
       .select(
         col("event_id"),
         round(exp(col("value") / 100.0), 10).as("exp_v"),
-        round(log(col("value") + lit(1.0)), 10).as("ln_v"),
-        round(log10(col("value") + lit(1.0)), 10).as("log10_v"),
-        round(log2(col("value") + lit(1.0)), 10).as("log2_v"),
-        round(pow(col("value"), lit(0.5)), 10).as("pow_half"))
+        when(col("value") + 1.0 > 0,
+             round(log(col("value") + lit(1.0)), 10)).as("ln_v"),
+        when(col("value") + 1.0 > 0,
+             round(log10(col("value") + lit(1.0)), 10)).as("log10_v"),
+        when(col("value") + 1.0 > 0,
+             round(log2(col("value") + lit(1.0)), 10)).as("log2_v"),
+        when(col("value") >= 0,
+             round(pow(col("value"), lit(0.5)), 10)).as("pow_half"))
       .orderBy(col("event_id"))
 
   /** F9 — safe-cast (TRY_CAST) surface: the ingestion-hardening
@@ -330,10 +342,14 @@ object Scalars {
     "fn_exp_log" ->
       """SELECT event_id,
         |  round(exp(value / 100.0), 10) AS exp_v,
-        |  round(ln(value + 1.0), 10) AS ln_v,
-        |  round(log10(value + 1.0), 10) AS log10_v,
-        |  round(log2(value + 1.0), 10) AS log2_v,
-        |  round(pow(value, 0.5), 10) AS pow_half
+        |  CASE WHEN value + 1.0 > 0
+        |    THEN round(ln(value + 1.0), 10) END AS ln_v,
+        |  CASE WHEN value + 1.0 > 0
+        |    THEN round(log10(value + 1.0), 10) END AS log10_v,
+        |  CASE WHEN value + 1.0 > 0
+        |    THEN round(log2(value + 1.0), 10) END AS log2_v,
+        |  CASE WHEN value >= 0
+        |    THEN round(pow(value, 0.5), 10) END AS pow_half
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_trig" ->
       """SELECT event_id,
@@ -389,7 +405,8 @@ object Scalars {
         |  greatest(l_quantity, 25.0) AS g25,
         |  least(l_quantity, 25.0) AS l25,
         |  round(abs(l_quantity - 25.0), 2) AS abs_dev,
-        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  CASE WHEN l_extendedprice >= 0
+        |    THEN round(sqrt(l_extendedprice), 4) END AS sqrt_price,
         |  nullif(l_tax, 0.0) AS tax_or_null,
         |  CAST(floor(l_quantity / 15) * 15 AS INTEGER) AS qty_bucket
         |FROM lineitem

@@ -1240,6 +1240,59 @@ class SurfaceSpec extends SparkSpec {
     tt.isNullAt(tt.fieldIndex("welch_df")) shouldBe true
   }
 
+  test("fuzz regressions: negative event values and credit-line prices " +
+       "(seed 400) — log/sqrt domains go NULL, modulo stays non-negative") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/fuzzreg_neg"
+    def ev(id: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 0L, "click",
+       v, """{"k": 1}""")
+    Seq(ev(0, -15.0), ev(1, 0.0), ev(2, -0.18), ev(3, 42.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // fn_exp_log: ln/log10/log2 of a non-positive argument and sqrt-pow of
+    // a negative are NULL on both engines (DuckDB would raise, Spark would
+    // emit NULL/NaN — the entry pins the portable NULL)
+    val el = graft.ops.Scalars.fnExpLog(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq("ln_v", "log10_v", "log2_v", "pow_half").foreach { c =>
+      el(0L).isNullAt(el(0L).fieldIndex(c)) shouldBe true
+      el(3L).isNullAt(el(3L).fieldIndex(c)) shouldBe false
+    }
+    el(1L).getAs[Double]("ln_v") shouldBe 0.0
+    // fn_map_ops / ext_zorder_audit: floor(value·100) is NEGATIVE here;
+    // the bucket must be the non-negative pmod on both engines (DuckDB's
+    // native % keeps the dividend's sign — the oracle spells ((x%m)+m)%m)
+    def bucket(v: Double, m: Long): Long =
+      ((math.floor(v * 100).toLong % m) + m) % m
+    val mo = graft.ops.JsonArray.fnMapOps(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    mo(2L).getAs[Long]("c_doubled") shouldBe bucket(-0.18, 10L) * 2
+    mo(0L).getAs[Long]("c_doubled") shouldBe bucket(-15.0, 10L) * 2
+    val za = graft.ops.Advanced.extZorderAudit(spark, dir).collect()
+    za.length should be > 0
+    za.foreach { r =>
+      r.getAs[Long]("y_min") should be >= 0L
+      r.getAs[Long]("y_max") should be <= 255L
+    }
+    // fn_math: a negative extendedprice (credit line) must yield NULL
+    // sqrt_price, not Spark-NaN-vs-DuckDB-error
+    Seq((0L, 0L, 0L, 1, 5.0, -815.33, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)),
+        (0L, 1L, 0L, 2, 5.0, 101.0, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val fm = graft.ops.Scalars.fnMath(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    fm((0L, 1)).isNullAt(fm((0L, 1)).fieldIndex("sqrt_price")) shouldBe true
+    fm((0L, 2)).getAs[Double]("sqrt_price") shouldBe
+      BigDecimal(math.sqrt(101.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("chi-square: full 5x7 grid, chi2 equals sum of rounded contributions") {
     val r = graft.ops.Aggregates.aggChisq(spark, sf("sf0.001")).first()
     r.getAs[Long]("n_types") shouldBe 5L
