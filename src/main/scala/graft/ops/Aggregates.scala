@@ -468,16 +468,32 @@ object Aggregates {
     * discipline) and ONE final IEEE division, the weighted twin of
     * [[graft.ops.ravg]]. The weighted mean every mixture/importance
     * computation reduces to. */
-  val aggWeighted: Q = (s, d) =>
+  // Weighted mean in exact integer micro-units end-to-end: the original
+  // decimal-sum→double→divide spelling was bit-exact up to sf1 but
+  // diverged at sf3 (fuzz-era scale sweep) — once Σqty·price·10⁴ crosses
+  // 2⁵³, DuckDB's decimal→double goes hugeint→double→/10⁴ (TWO
+  // roundings) while Spark's BigDecimal conversion rounds once. The
+  // micro-unit quotient ⌊|A|·10⁴ / B⌋ (A = Σqc·pc in cent², B = Σqc in
+  // cents) never touches a lossy double until the final exact ≤3e11
+  // integer; sign is split out so the floor-vs-truncate divergence on
+  // negative numerators (credit-line prices) can't bite, and a zero
+  // weight mass (all-zero quantities) is an explicit NULL.
+  val aggWeighted: Q = (s, d) => {
+    val qc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    val pc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
            dsum(col("l_quantity")).as("sum_w"),
-           sum(col("l_quantity").cast("decimal(18,2)") *
-               col("l_extendedprice").cast("decimal(18,2)")).as("swx"))
+           sum((qc * pc).cast("decimal(38,0)")).as("a4"),
+           sum(qc).as("b"))
       .select(col("l_returnflag"), col("n"), col("sum_w"),
-              (col("swx").cast("double") / col("sum_w")).as("wavg_price"))
+              when(col("b") =!= 0,
+                   (when(col("a4") < 0, -1L).otherwise(1L) *
+                     expr("CAST(abs(a4) * 10000 AS DECIMAL(38,0)) div b"))
+                     .cast("double") / 1000000.0).as("wavg_price"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** A19 — Gini coefficient of order value per priority (the
     * concentration number behind every "top X% of keys hold Y% of
@@ -1196,14 +1212,25 @@ object Aggregates {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // micro-unit weighted mean: HUGEINT mirror of the decimal(38,0)
+    // spelling — no decimal→double before the final exact integer
     "agg_weighted" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_w,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS wavg_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH g AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_w,
+        |    SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          AS HUGEINT)
+        |        * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |          AS BIGINT)) AS a4,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS HUGEINT) AS b
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sum_w,
+        |  CASE WHEN b <> 0 THEN
+        |    CAST((CASE WHEN a4 < 0 THEN -1 ELSE 1 END)
+        |         * ((abs(a4) * 10000) // b) AS DOUBLE) / 1000000.0
+        |  END AS wavg_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority,

@@ -245,10 +245,14 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tri"),
            sum(col("c") * col("lp")).as("slp"))
+      // mean in integer micro-nats too: round(slp/1e6/n, 6) left a ~1e-9
+      // per-doc HALF_UP boundary risk, and the sf3 sweep's 1.5M docs hit
+      // it once (doc 4374: …462 vs …463). ceil-at-micro-grain via the
+      // non-negative floor-divide idiom (-(-slp div n)) is IEEE-free
+      // until one exact ≤2.6e7-magnitude integer → double.
       .select(col("doc_id"), col("n_tri"),
-              round(col("slp").cast("double") / lit(1000000.0) /
-                      col("n_tri"), 6)
-                .as("mean_logp"))
+              (expr("-((-slp) div n_tri)").cast("double") /
+                 lit(1000000.0)).as("mean_logp"))
       .orderBy(col("doc_id"))
   }
 
@@ -825,8 +829,8 @@ object Curation {
         |      CAST(n_total + v_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
         |  FROM tri LEFT JOIN lm USING (t) CROSS JOIN stats)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-        |  round(CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / 1000000.0
-        |    / count(*), 6) AS mean_logp
+        |  CAST(-((-CAST(sum(lp) AS BIGINT)) // count(*)) AS DOUBLE)
+        |    / 1000000.0 AS mean_logp
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext_oov_rate" ->
       """WITH tok AS (
