@@ -41,28 +41,50 @@ case class CdcBoundaries(child: Expression)
 
   override def prettyName: String = "cdc_bounds"
 
+  // hash60 of a digest: first 15 hex digits = first 7 bytes + high
+  // nibble of the 8th, as a big-endian 60-bit value; emit position i on
+  // a (mod 64)-zero window
+  private def emit(d: Array[Byte], i: Int,
+                   out: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    if (v % 64 == 0) out += i
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val str = input.asInstanceOf[UTF8String].toString
     val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val allAscii = bytes.length == str.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = scala.collection.mutable.ArrayBuffer[Int](1)
-    val lim = math.max(str.length - 7, 1)
-    var i = 2
-    while (i <= lim) {
-      md.reset()
-      if (allAscii) md.update(bytes, i - 1, 8)
-      else md.update(str.substring(i - 1, i + 7)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val d = md.digest()
-      // hash60: first 15 hex digits = first 7 bytes + high nibble of the
-      // 8th, as a big-endian 60-bit value
-      var v = 0L
-      var k = 0
-      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
-      if (v % 64 == 0) out += i
-      i += 1
+    if (allAscii) {
+      val lim = math.max(str.length - 7, 1)
+      var i = 2
+      while (i <= lim) {
+        md.reset()
+        md.update(bytes, i - 1, 8)
+        emit(md.digest(), i, out)
+        i += 1
+      }
+    } else {
+      // CODE-POINT grain, not Java-String (UTF-16) grain: Spark's
+      // substr/length and the DuckDB replay both count unicode code
+      // points, and a String.substring window would split surrogate
+      // pairs — an astral char (fuzz seed 415's emoji) shifted every
+      // window and diverged the boundary set. BMP-only text is
+      // unaffected (UTF-16 length == code-point length there).
+      val cps = str.codePoints().toArray
+      val lim = math.max(cps.length - 7, 1)
+      var i = 2
+      while (i <= lim) {
+        md.reset()
+        md.update(new String(cps, i - 1, 8)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        emit(md.digest(), i, out)
+        i += 1
+      }
     }
     new GenericArrayData(out.toArray)
   }

@@ -434,11 +434,21 @@ object Aggregates {
       .join(m, Seq("o_orderpriority"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n_orders"),
-           round(max(col("ms.mean_c")) / 100.0, 6).as("mean_price"),
+           max(col("s1")).as("s1g"),
            round(max(col("ms.std_c")) / 100.0, 6).as("stddev_price"),
            sum(when(diff * diff * (nD - lit(1)) >
                     lit(4) * nD * (nD * col("s2") - col("s1") * col("s1")), 1L)
                  .otherwise(0L)).as("n_outliers"))
+      // mean in exact integer micro-units (sign split, trunc-toward-zero
+      // at 1e-6): round(s1/n/100, 6) hit a HALF_UP halfway point on fuzz
+      // seed 411 — quotients of integer cent sums land exactly on
+      // x.xxxxx5 where Spark's exact-decimal and DuckDB's float-multiply
+      // rounding disagree; the floor-divide spelling has no boundary.
+      .select(col("o_orderpriority"), col("n_orders"),
+              (when(col("s1g") < 0, -1L).otherwise(1L) *
+                expr("CAST(abs(s1g) * 10000 AS DECIMAL(38,0)) div n_orders"))
+                .cast("double")./(1000000.0).as("mean_price"),
+              col("stddev_price"), col("n_outliers"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -1289,7 +1299,9 @@ object Aggregates {
         |  FROM m)
         |SELECT o.o_orderpriority,
         |  max(ms.n) AS n_orders,
-        |  round(max(ms.mean_c) / 100.0, 6) AS mean_price,
+        |  CAST((CASE WHEN max(ms.s1) < 0 THEN -1 ELSE 1 END)
+        |       * ((abs(max(ms.s1)) * 10000) // max(ms.n)) AS DOUBLE)
+        |    / 1000000.0 AS mean_price,
         |  round(max(ms.std_c) / 100.0, 6) AS stddev_price,
         |  CAST(SUM(CASE WHEN
         |        (CAST(ms.n AS HUGEINT)

@@ -28,7 +28,13 @@ class CdcBoundariesSpec extends SparkSpec {
   test("native cdc_bounds edge cases: empty, short, and BMP non-ascii input") {
     graft.expressions.CdcBoundaries.register(spark)
     import spark.implicits._
-    val df = Seq("", "abc", "café au lait et encore du texte ici pour lui")
+    // the last two rows carry ASTRAL chars (surrogate pairs in Java's
+    // UTF-16): the kernel must window by CODE POINTS like Spark substr
+    // and the DuckDB replay, not by String indices — a String.substring
+    // window off an emoji shifted every boundary (fuzz seed 415)
+    val df = Seq("", "abc", "café au lait et encore du texte ici pour lui",
+                 "🙂ok a 数据 café 🙂ok the fast key order sort 🙂ok done",
+                 "🙂🙂🙂🙂🙂🙂🙂🙂🙂🙂 padding words here to window")
       .toDF("text")
       .select(col("text"), call_function("cdc_bounds", col("text")).as("nb"),
               declarative(col("text")).as("db"))
