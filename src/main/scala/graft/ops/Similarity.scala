@@ -950,7 +950,75 @@ object Similarity {
       .orderBy(col("list_id"))
   }
 
+  /** E68 — SCALAR-QUANTIZATION (SQ8) ADC search: per-dimension corpus
+    * min/max train a uniform 8-bit quantizer; every vector compresses
+    * to 64 one-byte codes (64 B vs 256 B raw — the other standard
+    * compression besides PQ, trivially trainable and decode-free), and
+    * search scores queries against the RECONSTRUCTED candidates
+    * (asymmetric distance, like [[extPqAdc]]). Completes the shipped
+    * vector-compression family: LSH (buckets), IVF (cells), PQ
+    * (sub-codebooks), SQ8 (per-dim grids). Re-expresses the embedding
+    * compaction step of the reference's feature pipeline
+    * (/root/reference/sql/fact_dim_tables.sql's measure-binning idiom)
+    * at vector grain.
+    *
+    * Exactness contract: codes are floor((v−mn)·256/(mx−mn)) clamped to
+    * 255 — every operand an exact float→double, so both engines compute
+    * the identical integer; reconstruction mn+(code+½)(mx−mn)/256 is
+    * cast to FLOAT (what a deployment stores), then scoring is the
+    * bit-identical float fold of the module's cosine contract, with a
+    * zero-norm reconstruction scored 0 by convention (cannot rank above
+    * a real match). Degenerate dimensions (mx=mn) encode to 0 and
+    * reconstruct to mn exactly.
+    *
+    * Plan shape: the quantizer is a 64-row aggregate collapsed to ONE
+    * broadcast row of (mns, mxs) arrays — no re-shuffle of the corpus to
+    * encode (a per-row codegen-adjacent transform); candidates carry
+    * (re, nn) only; the query batch broadcasts; top-3 per query via the
+    * rank window. One corpus scan for stats + one for scoring at any N. */
+  val extSq8Adc: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    val e = Tables.embeddings(s, d)
+    val grids = e.select(posexplode(col("embedding")))
+      .toDF("dim", "v")
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mnf"), max(col("v")).as("mxf"))
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("dim"), col("mnf"), col("mxf")))).as("g"))
+      .select(transform(col("g"), t => t.getField("mnf").cast("double"))
+                .as("mns"),
+              transform(col("g"), t => t.getField("mxf").cast("double"))
+                .as("mxs"))
+    val recon = e.crossJoin(broadcast(grids))
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          val code = when(mx > mn,
+            least(floor(((x.cast("double") - mn) * lit(256.0)) / (mx - mn)),
+                  lit(255.0))).otherwise(lit(0.0))
+          (mn + (code + lit(0.5)) * (mx - mn) / lit(256.0)).cast("float")
+        }).as("re"))
+      .select(col("cid"), col("re"), dotD(col("re"), col("re")).as("nn"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .filter(col("qid") < 10)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_score").desc, col("cid"))
+    recon.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        when(col("nn") > 0,
+             round(dotD(col("qe"), col("re")) / sqrt(col("nn")), 6))
+          .otherwise(lit(0.0)).as("adc_score"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("adc_score"),
+              col("rn").cast("int").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_sq8_adc" -> extSq8Adc,
     "ext_probe_curve" -> extProbeCurve,
     "ext_embedding_drift" -> extEmbeddingDrift,
     "ext_ndcg" -> extNdcg,
@@ -1332,6 +1400,40 @@ object Similarity {
          |  CAST(c.n_vectors - coalesce(dc.nd, 0) AS BIGINT) AS n_kept
          |FROM cells c LEFT JOIN dc ON c.list_id = dc.list_id
          |ORDER BY c.list_id""".stripMargin,
+    // SQ8: per-dim min/max grid, floor-encode, (code+0.5) midpoint
+    // reconstruction cast to FLOAT, then the standard cosine-ADC ranking
+    "ext_sq8_adc" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, CAST(r.d AS INTEGER) AS dim,
+         |    embedding[CAST(r.d + 1 AS INTEGER)] AS v
+         |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+         |stats AS (
+         |  SELECT dim, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+         |  FROM dims GROUP BY 1),
+         |rec AS (
+         |  SELECT d.vec_id, d.dim,
+         |    CAST(s.mn + ((CASE WHEN s.mx > s.mn
+         |      THEN least(floor(((CAST(d.v AS DOUBLE) - s.mn) * 256.0)
+         |                       / (s.mx - s.mn)), 255.0)
+         |      ELSE 0.0 END) + 0.5) * (s.mx - s.mn) / 256.0 AS FLOAT) AS rv
+         |  FROM dims d JOIN stats s USING (dim)),
+         |recon AS (
+         |  SELECT vec_id, list(rv ORDER BY dim) AS re FROM rec GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT qid, r.vec_id AS cid,
+         |    CASE WHEN ${dotSql("re", "re")} > 0
+         |      THEN round(${dotSql("qe", "re")} / sqrt(${dotSql("re", "re")}), 6)
+         |      ELSE 0.0 END AS adc_score
+         |  FROM recon r JOIN q ON qid <> r.vec_id),
+         |rk AS (
+         |  SELECT qid, cid, adc_score,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_score DESC, cid) AS INTEGER) AS rn
+         |  FROM sc)
+         |SELECT qid, cid, adc_score, rn FROM rk WHERE rn <= 3
+         |ORDER BY qid, rn""".stripMargin,
     "ext_knn_cosine" ->
       s"""SELECT qid, cid, cos, rn FROM (
          |  SELECT qid, cid, cos, CAST(row_number() OVER (

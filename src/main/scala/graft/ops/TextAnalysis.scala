@@ -489,7 +489,105 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** E69 — Zipf-law exponent fit over the corpus vocabulary: rank terms
+    * by frequency, regress ln(freq) on ln(rank) by ordinary least
+    * squares — the one-number summary of lexical naturalness (natural
+    * text fits slope ≈ −1; template/boilerplate corpora flatten, spam
+    * inflates the tail), a standard corpus-QA gate before training.
+    * Re-expresses the frequency-profile idiom of the reference's
+    * route-popularity analysis (/root/reference/sql/analysis_queries.sql
+    * ranking blocks) at vocabulary grain.
+    *
+    * Exactness contract: both log terms are quantized ONCE at feature
+    * grain — floor(1e6·ln x) of an identical double expression both
+    * engines (the [[graft.ops.Sampling]] DSIR idiom) — so all four
+    * regression sums are exact integers (decimal(38,0) here,
+    * HUGEINT there); the slope leaves integer space through ONE
+    * split-sign floor-divide (the agg_weighted idiom), NULL when the
+    * vocabulary is degenerate (zero variance of ln rank).
+    * Rank ties share a frequency, so any tie order yields the same
+    * (x, y) multiset — the sums cannot see the tiebreak.
+    *
+    * Scale shape: token-grain groupBy then everything at VOCABULARY
+    * grain (Heaps-bounded — the [[extBpeTrain]] argument); the only
+    * window orders the vocabulary, a domain-bounded grain, and the
+    * output is one row. */
+  val extZipfFit: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("tok"))
+    val xy = tf.withColumn("rank", row_number().over(w))
+      .select(col("tf"),
+              floor(log(col("rank").cast("double")) * lit(1000000.0))
+                .cast("long").as("x"),
+              floor(log(col("tf").cast("double")) * lit(1000000.0))
+                .cast("long").as("y"))
+    xy.agg(count(lit(1)).as("n_vocab"),
+           sum(col("tf")).as("n_tokens"),
+           sum(col("x").cast("decimal(38,0)")).as("sx"),
+           sum(col("y").cast("decimal(38,0)")).as("sy"),
+           sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+           sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n_vocab"), col("n_tokens"),
+              (col("n_vocab") * col("sxy") - col("sx") * col("sy")).as("a"),
+              (col("n_vocab") * col("sxx") - col("sx") * col("sx")).as("b"))
+      .select(col("n_vocab"), col("n_tokens"),
+              when(col("b") > 0,
+                   when(col("a") < 0, -1L).otherwise(1L) *
+                     expr("CAST(abs(a) * 1000000 AS DECIMAL(38,0)) div b"))
+                .as("slope_micro"))
+  }
+
+  /** E70 — Good–Turing frequency-of-frequencies smoothing table: N_r
+    * (how many vocabulary terms occur exactly r times) for r = 1..5,
+    * the adjusted count r* = (r+1)·N_{r+1}/N_r, and the unseen-mass
+    * estimate P₀ = N₁/N — the classical open-vocabulary calibration
+    * (Good 1953) that prices how much probability a language model
+    * should reserve for words it has never seen, and the companion
+    * number to [[extHapaxRate]]'s singleton share. Integer end to end:
+    * the only divisions are micro-unit floor-divides of non-negative
+    * counts.
+    *
+    * Scale shape: token-grain groupBy → vocabulary grain → frequency
+    * grain (≤ distinct-frequency rows); the r = 1..5 report frame is a
+    * config literal LEFT-joined to measured rows (the ext_lsh_plan
+    * discipline: an absent N_r still reports its row), the corpus
+    * totals one broadcast row. */
+  val extGoodturing: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val nr = tf.groupBy(col("tf").as("r")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("n_tokens"),
+                     count(lit(1)).as("n_vocab"))
+    val ones = nr.filter(col("r") === 1L)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n1"))
+    val s1 = (1 to 5).map(_.toLong)
+    import s.implicits._
+    s1.toDF("r")
+      .join(nr.select(col("r"), col("cnt").as("n_r")), Seq("r"), "left")
+      .join(nr.select((col("r") - 1).as("r"), col("cnt").as("n_next")),
+            Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ones))
+      .select(col("r"),
+              coalesce(col("n_r"), lit(0L)).as("n_r"),
+              coalesce(col("n_next"), lit(0L)).as("n_next"),
+              when(coalesce(col("n_r"), lit(0L)) > 0,
+                   expr("(r + 1) * coalesce(n_next, 0) * 1000000 div n_r"))
+                .as("gt_star_micro"),
+              col("n_vocab"), col("n_tokens"),
+              when(col("n_tokens") > 0,
+                   expr("n1 * 1000000 div n_tokens")).as("p0_micro"))
+      .orderBy(col("r"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_zipf_fit" -> extZipfFit,
+    "ext_goodturing" -> extGoodturing,
     "ext_bpe_train" -> extBpeTrain,
     "ext_bpe_apply" -> extBpeApply,
     "ext_bpe_pairs" -> extBpePairs,
@@ -605,6 +703,68 @@ object TextAnalysis {
         |    CAST(SUM(len(regexp_extract_all(lower(text),
         |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS chars_per_token_c
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    // Zipf: micro-quantized ln terms -> exact integer OLS sums; the
+    // slope is one split-sign floor-divide (positive operands agree
+    // between Spark's `div` truncation and DuckDB's `//` floor)
+    "ext_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t WHERE tok <> '' GROUP BY 1),
+        |xy AS (
+        |  SELECT tf,
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY tf DESC, tok)
+        |      AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |  FROM tf),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM xy),
+        |ab AS (
+        |  SELECT n_vocab, n_tokens,
+        |    n_vocab * sxy - sx * sy AS a,
+        |    n_vocab * sxx - sx * sx AS b
+        |  FROM s)
+        |SELECT n_vocab, n_tokens,
+        |  CASE WHEN b > 0 THEN
+        |    CAST((CASE WHEN a < 0 THEN -1 ELSE 1 END)
+        |         * (abs(a) * 1000000 // b) AS BIGINT) END AS slope_micro
+        |FROM ab""".stripMargin,
+    // Good-Turing: config-literal r = 1..5 frame LEFT-joined to the
+    // frequency-of-frequencies table; micro-unit floor-divides of
+    // non-negative counts only
+    "ext_goodturing" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t WHERE tok <> '' GROUP BY 1),
+        |nr AS (SELECT tf AS r, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS n_tokens,
+        |               CAST(count(*) AS BIGINT) AS n_vocab FROM tf),
+        |ones AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n1
+        |         FROM nr WHERE r = 1),
+        |base AS (SELECT CAST(r.r AS BIGINT) AS r FROM range(1, 6) r(r))
+        |SELECT b.r,
+        |  CAST(coalesce(n.cnt, 0) AS BIGINT) AS n_r,
+        |  CAST(coalesce(nx.cnt, 0) AS BIGINT) AS n_next,
+        |  CASE WHEN coalesce(n.cnt, 0) > 0 THEN
+        |    CAST((b.r + 1) * coalesce(nx.cnt, 0) * 1000000 // n.cnt
+        |         AS BIGINT) END AS gt_star_micro,
+        |  t.n_vocab, t.n_tokens,
+        |  CASE WHEN t.n_tokens > 0 THEN
+        |    CAST(o.n1 * 1000000 // t.n_tokens AS BIGINT) END AS p0_micro
+        |FROM base b
+        |LEFT JOIN nr n ON b.r = n.r
+        |LEFT JOIN nr nx ON b.r = nx.r - 1
+        |CROSS JOIN tot t CROSS JOIN ones o
+        |ORDER BY b.r""".stripMargin,
     "ext_hapax_rate" ->
       """WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok

@@ -377,4 +377,59 @@ class SimilaritySpec extends SparkSpec {
         droppedByCell.getOrElse(r.getAs[Long]("list_id"), 0L)
     }
   }
+
+  test("SQ8 ADC: a driver-side replay of the per-dim grid, floor-encode, " +
+       "midpoint reconstruction, and cosine ranking reproduces the entry " +
+       "bit-for-bit") {
+    val d = sf("sf0.001")
+    val out = Similarity.extSq8Adc(spark, d).collect()
+    out.length should be > 0
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val dim = vecs.head._2.length
+    val mns = Array.tabulate(dim)(i => vecs.map(_._2(i)).min.toDouble)
+    val mxs = Array.tabulate(dim)(i => vecs.map(_._2(i)).max.toDouble)
+    // the entry's exactness contract, step for step: integer code via
+    // floor((v-mn)*256/(mx-mn)) clamped to 255, midpoint reconstruction
+    // cast to FLOAT, sequential double dot, round-6 HALF_UP
+    def recon(v: Array[Float]): Array[Float] = Array.tabulate(dim) { i =>
+      val (mn, mx) = (mns(i), mxs(i))
+      val code = if (mx > mn)
+        math.min(math.floor(((v(i).toDouble - mn) * 256.0) / (mx - mn)), 255.0)
+      else 0.0
+      (mn + (code + 0.5) * (mx - mn) / 256.0).toFloat
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val res = vecs.map { case (id, v) => (id, recon(v)) }
+    val byId = vecs.toMap
+    val expected = vecs.map(_._1).filter(_ < 10).flatMap { qid =>
+      val qe = byId(qid)
+      res.filter(_._1 != qid).map { case (cid, re) =>
+        val nn = dot(re, re)
+        val sc = if (nn > 0)
+          BigDecimal(dot(qe, re) / math.sqrt(nn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        (cid, sc)
+      }.sortBy { case (cid, sc) => (-sc, cid) }.take(3).zipWithIndex
+        .map { case ((c, sc), i) => (qid, c, sc, i + 1) }
+    }
+    val got = out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+      r.getAs[Double]("adc_score"), r.getAs[Int]("rn")))
+    got.toSeq shouldBe expected.toSeq
+    // reconstruction is never more than half a grid cell off per dim
+    res.zip(vecs).foreach { case ((_, re), (_, v)) =>
+      (0 until dim).foreach { i =>
+        val cell = (mxs(i) - mns(i)) / 256.0
+        val ulp = math.ulp(math.max(math.abs(mns(i)), math.abs(mxs(i))).toFloat)
+        math.abs(re(i).toDouble - v(i).toDouble) should be <=
+          (cell / 2.0 + ulp.toDouble)
+      }
+    }
+  }
 }

@@ -286,4 +286,65 @@ class TextAnalysisSpec extends SparkSpec {
     curve.map(_._2).sliding(2).foreach {
       case Seq(a, b) => b should be <= a; case _ => }
   }
+
+  test("Good-Turing table on a crafted corpus: hand-computed N_r, an absent " +
+       "frequency class still reports its row, r* and P0 floor-divides") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/textspec_gt"
+    // frequencies: w1:1 w2:1 w3:2 w4:3 w5:3 w6:5 w7:6
+    //  -> N_1=2 N_2=1 N_3=2 N_4=0 (absent) N_5=1 N_6=1
+    //     n_vocab=7 n_tokens=21 n1=2 p0=floor(2e6/21)=95238
+    val text = ("w1 w2 " + "w3 " * 2 + "w4 " * 3 + "w5 " * 3 +
+                "w6 " * 5 + "w7 " * 6).trim
+    Seq((0L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.extGoodturing(spark, dir).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+                 r.getAs[Long]("n_next"),
+                 Option(r.getAs[Any]("gt_star_micro")).map(_.toString.toLong),
+                 r.getAs[Long]("n_vocab"), r.getAs[Long]("n_tokens"),
+                 r.getAs[Long]("p0_micro"))).toSeq
+    rows shouldBe Seq(
+      // r*: (r+1) * N_{r+1} * 1e6 div N_r; NULL where N_r = 0
+      (1L, 2L, 1L, Some(1000000L), 7L, 21L, 95238L),
+      (2L, 1L, 2L, Some(6000000L), 7L, 21L, 95238L),
+      (3L, 2L, 0L, Some(0L), 7L, 21L, 95238L),
+      (4L, 0L, 1L, None, 7L, 21L, 95238L),
+      (5L, 1L, 1L, Some(6000000L), 7L, 21L, 95238L))
+  }
+
+  test("Zipf fit: a driver-side exact-integer OLS replay over the real " +
+       "corpus reproduces the entry, and the slope is negative") {
+    val d = sf("sf0.001")
+    val row = TextAnalysis.extZipfFit(spark, d).collect() match {
+      case Array(r) => r; case other => fail(s"1 row expected, got ${other.length}")
+    }
+    val tf = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    // rank by (tf desc, tok asc) — ASCII corpus, so Java string order
+    // and Spark's binary order agree
+    val xy = tf.toSeq.sortBy { case (t, n) => (-n, t) }.zipWithIndex.map {
+      case ((_, n), i) =>
+        (n,
+         math.floor(math.log((i + 1).toDouble) * 1000000.0).toLong,
+         math.floor(math.log(n.toDouble) * 1000000.0).toLong)
+    }
+    val nV = BigInt(xy.length)
+    val sx = xy.map(t => BigInt(t._2)).sum
+    val sy = xy.map(t => BigInt(t._3)).sum
+    val sxy = xy.map(t => BigInt(t._2) * BigInt(t._3)).sum
+    val sxx = xy.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val a = nV * sxy - sx * sy
+    val b = nV * sxx - sx * sx
+    b should be > BigInt(0)
+    val slope = (if (a < 0) BigInt(-1) else BigInt(1)) * (a.abs * 1000000 / b)
+    row.getAs[Long]("n_vocab") shouldBe xy.length.toLong
+    row.getAs[Long]("n_tokens") shouldBe xy.map(_._1).sum
+    row.getAs[Long]("slope_micro") shouldBe slope.toLong
+    // natural-ish text: frequency falls with rank
+    row.getAs[Long]("slope_micro") should be < 0L
+  }
 }
