@@ -204,6 +204,77 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** E72 — Jensen–Shannon divergence between per-source unigram
+    * distributions (Lin 1991) over the same 64-bucket hashed-unigram
+    * feature space as [[extDsirWeights]] — the standard "how far apart
+    * are these domains" diagnostic a data-mixing run reads before
+    * setting [[extDomainMix]] weights (near-duplicate domains waste
+    * mixture slots; JSD ≈ ln 2 domains contribute disjoint coverage).
+    *
+    * Exactness contract: the per-bucket log-ratios ln(2·na·B /
+    * (na·B + nb·A)) are computed from EXACT integer products (the
+    * operands stay < 2⁶³ at any realistic token count) and quantized
+    * ONCE at bucket grain to micro-nats — floor(1e6·ln r) of an
+    * identical double both engines (the DSIR idiom) — so each side's
+    * reduction Σ n·unats is a pure BIGINT sum; the two normalizations
+    * leave integer space through split-sign floor-divides (the
+    * agg_weighted idiom). Identical distributions hit ratio exactly 1
+    * → 0 micro-nats; fully disjoint supports give the ln 2 ceiling.
+    *
+    * Scale shape: token grain collapses immediately to (source ×
+    * 64-bucket) count grain; the pair frame is source-domain² (bounded
+    * config grain), the grid ≤ pairs × 64 rows — everything after the
+    * one token-grain groupBy is broadcast-sized. */
+  val extJsdDomains: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("source"),
+              explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("source"),
+              pmod(Dedup.hash60(concat(lit("jsd|"), col("tok"))), lit(64L))
+                .as("bucket"))
+    val c = tok.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val totals = c.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    val pairs = totals
+      .select(col("source").as("source_a"), col("tot").as("ta"))
+      .join(totals.select(col("source").as("source_b"), col("tot").as("tb")),
+            col("source_a") < col("source_b"))
+    val buckets = s.range(64).select(col("id").as("bucket"))
+    val ca = c.select(col("source").as("source_a"), col("bucket"),
+                      col("n").as("na"))
+    val cb = c.select(col("source").as("source_b"), col("bucket"),
+                      col("n").as("nb"))
+    val grid = pairs.crossJoin(broadcast(buckets))
+      .join(ca, Seq("source_a", "bucket"), "left")
+      .join(cb, Seq("source_b", "bucket"), "left")
+      .select(col("source_a"), col("source_b"), col("ta"), col("tb"),
+              coalesce(col("na"), lit(0L)).as("na"),
+              coalesce(col("nb"), lit(0L)).as("nb"))
+    grid
+      .select(col("source_a"), col("source_b"), col("ta"), col("tb"),
+        col("na"), col("nb"),
+        when(col("na") > 0,
+             floor(lit(1000000.0) * log(
+               (col("na") * col("tb") * lit(2L)).cast("double") /
+               (col("na") * col("tb") + col("nb") * col("ta"))
+                 .cast("double")))).otherwise(lit(0L)).as("ua"),
+        when(col("nb") > 0,
+             floor(lit(1000000.0) * log(
+               (col("nb") * col("ta") * lit(2L)).cast("double") /
+               (col("na") * col("tb") + col("nb") * col("ta"))
+                 .cast("double")))).otherwise(lit(0L)).as("ub"))
+      .groupBy(col("source_a"), col("source_b"), col("ta"), col("tb"))
+      .agg(sum(col("na") * col("ua")).as("sa"),
+           sum(col("nb") * col("ub")).as("sb"))
+      .select(col("source_a"), col("source_b"),
+              col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+              (when(col("sa") < 0, -1L).otherwise(1L) *
+                 expr("abs(sa) div (2 * ta)") +
+               when(col("sb") < 0, -1L).otherwise(1L) *
+                 expr("abs(sb) div (2 * tb)")).as("jsd_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** E19 — dataset card: the per-language corpus summary every dataset
     * release ships (docs, sources, token mass, exact-dup incidence).
     * One window over text (the dup probe shuffles 32-byte-hash-sized
@@ -743,6 +814,7 @@ object Sampling {
     "ext_split_bias" -> extSplitBias,
     "ext_stratified_sample" -> extStratifiedSample,
     "ext_domain_mix" -> extDomainMix,
+    "ext_jsd_domains" -> extJsdDomains,
     "ext_seq_pack" -> extSeqPack,
     "ext_chunk_overlap" -> extChunkOverlap,
     "ext_dsir_weights" -> extDsirWeights,
@@ -759,6 +831,50 @@ object Sampling {
     // DSIR: identical hashed-unigram count models (h60 buckets), the
     // bucket log-ratio quantized to micro-nats at FEATURE grain (floor
     // of the same double expression), then a pure-integer doc-grain sum
+    // JSD: same h60 bucket space as DSIR; per-bucket log-ratios from
+    // exact integer products quantized once to micro-nats, BIGINT
+    // reductions, split-sign floor-divide normalizations
+    "ext_jsd_domains" ->
+      s"""WITH tok AS (
+         |  SELECT source, ${h60("'jsd|' || tok")} % 64 AS bucket
+         |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents)),
+         |c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
+         |      FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot
+         |        FROM c GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         a.tot AS ta, b.tot AS tb
+         |  FROM tot a JOIN tot b ON a.source < b.source),
+         |grid AS (
+         |  SELECT p.source_a, p.source_b, p.ta, p.tb, r.b AS bucket,
+         |    CAST(coalesce(ca.n, 0) AS BIGINT) AS na,
+         |    CAST(coalesce(cb.n, 0) AS BIGINT) AS nb
+         |  FROM pairs p CROSS JOIN range(0, 64) r(b)
+         |  LEFT JOIN c ca ON ca.source = p.source_a AND ca.bucket = r.b
+         |  LEFT JOIN c cb ON cb.source = p.source_b AND cb.bucket = r.b),
+         |terms AS (
+         |  SELECT source_a, source_b, ta, tb, na, nb,
+         |    CASE WHEN na > 0 THEN CAST(floor(1000000.0 * ln(
+         |      CAST(2 * na * tb AS DOUBLE) /
+         |      CAST(na * tb + nb * ta AS DOUBLE))) AS BIGINT)
+         |      ELSE 0 END AS ua,
+         |    CASE WHEN nb > 0 THEN CAST(floor(1000000.0 * ln(
+         |      CAST(2 * nb * ta AS DOUBLE) /
+         |      CAST(na * tb + nb * ta AS DOUBLE))) AS BIGINT)
+         |      ELSE 0 END AS ub
+         |  FROM grid),
+         |sums AS (
+         |  SELECT source_a, source_b, ta, tb,
+         |    CAST(SUM(na * ua) AS BIGINT) AS sa,
+         |    CAST(SUM(nb * ub) AS BIGINT) AS sb
+         |  FROM terms GROUP BY 1, 2, 3, 4)
+         |SELECT source_a, source_b, ta AS n_tokens_a, tb AS n_tokens_b,
+         |  CAST((CASE WHEN sa < 0 THEN -1 ELSE 1 END) * (abs(sa) // (2 * ta)) +
+         |       (CASE WHEN sb < 0 THEN -1 ELSE 1 END) * (abs(sb) // (2 * tb))
+         |       AS BIGINT) AS jsd_micro
+         |FROM sums ORDER BY source_a, source_b""".stripMargin,
     "ext_dsir_weights" ->
       s"""WITH tb AS (
          |  SELECT doc_id, lang,

@@ -1017,7 +1017,70 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** E71 — Matryoshka (MRL) truncation-fidelity report: recall@5 of
+    * exact-cosine retrieval using only the first m dimensions of each
+    * embedding (m = 8/16/32/64) against the full-dimension ranking —
+    * the measurement behind the prefix-truncation storage dial of
+    * Matryoshka Representation Learning (Kusupati et al., NeurIPS
+    * 2022): a store that keeps m of 64 dims pays m/64 of the bytes and
+    * this entry prices the retrieval quality that buys. Complements
+    * the compression family: LSH/IVF/PQ/SQ8 change the INDEX layout,
+    * MRL truncation changes the VECTOR itself.
+    *
+    * Exactness contract: per-m cosine is the module's sequential-double
+    * fold over the sliced prefixes (1-based, length-clamped slice —
+    * identical semantics both engines); a zero-norm prefix scores 0 by
+    * convention; ranks break ties by candidate id; every report column
+    * is an exact integer (overlap counts plus one non-negative ppm
+    * floor-divide), so no float ever reaches the output.
+    *
+    * Scale shape: brute-force per-m scoring is the BASELINE grain this
+    * module already prices in [[extKnnCosine]], ×4 configs — at corpus
+    * scale truncation composes with the IVF/PQ candidate bounding
+    * instead of brute force. The m-frame is a 4-row config literal
+    * LEFT-joined to measured overlaps (the ext_lsh_plan discipline),
+    * the truth set is the m=64 slice of the same ranking, and the only
+    * window partitions by (m, qid) — 40 bounded groups. */
+  val extMrlRecall: Q = (s, d) => {
+    graft.expressions.FloatVecDot.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val dims = Seq(8, 16, 32, 64).toDF("m")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .filter(col("qid") < 10)
+    val scored = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .crossJoin(broadcast(dims))
+      .select(col("m"), col("qid"), col("cid"),
+        slice(col("qe"), lit(1), col("m")).as("qs"),
+        slice(col("ce"), lit(1), col("m")).as("cs"))
+      .select(col("m"), col("qid"), col("cid"),
+        dotD(col("qs"), col("cs")).as("dp"),
+        dotD(col("qs"), col("qs")).as("nq"),
+        dotD(col("cs"), col("cs")).as("nc"))
+      .select(col("m"), col("qid"), col("cid"),
+        when(col("nq") > 0 && col("nc") > 0,
+             col("dp") / (sqrt(col("nq")) * sqrt(col("nc"))))
+          .otherwise(lit(0.0)).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("m"), col("qid")).orderBy(col("cos").desc, col("cid"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select(col("m"), col("qid"), col("cid"))
+    val truth = top.filter(col("m") === 64).select(col("qid"), col("cid"))
+    val nTruth = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val overlap = top.join(truth, Seq("qid", "cid"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_overlap"))
+    dims.join(overlap, Seq("m"), "left").crossJoin(broadcast(nTruth))
+      .select(col("m"), col("n_truth"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col("m"), col("n_truth"), col("n_overlap"),
+              when(col("n_truth") > 0,
+                   expr("n_overlap * 1000000 div n_truth")).as("recall_ppm"))
+      .orderBy(col("m"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext_mrl_recall" -> extMrlRecall,
     "ext_sq8_adc" -> extSq8Adc,
     "ext_probe_curve" -> extProbeCurve,
     "ext_embedding_drift" -> extEmbeddingDrift,
@@ -1400,6 +1463,41 @@ object Similarity {
          |  CAST(c.n_vectors - coalesce(dc.nd, 0) AS BIGINT) AS n_kept
          |FROM cells c LEFT JOIN dc ON c.list_id = dc.list_id
          |ORDER BY c.list_id""".stripMargin,
+    // MRL: prefix-slice cosine per config m, per-(m,qid) top-5, truth =
+    // the m=64 slice of the same ranking; all-integer report
+    "ext_mrl_recall" ->
+      s"""WITH dims AS (
+         |  SELECT CAST(m AS INTEGER) AS m FROM (VALUES (8),(16),(32),(64)) t(m)),
+         |q AS (SELECT vec_id AS qid, embedding AS qe
+         |      FROM embeddings WHERE vec_id < 10),
+         |sl AS (
+         |  SELECT d.m, q.qid, e.vec_id AS cid,
+         |    q.qe[1:d.m] AS qs, e.embedding[1:d.m] AS cs
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN dims d
+         |  WHERE q.qid <> e.vec_id),
+         |sc AS (
+         |  SELECT m, qid, cid,
+         |    CASE WHEN ${dotSql("qs", "qs")} > 0 AND ${dotSql("cs", "cs")} > 0
+         |      THEN ${dotSql("qs", "cs")} /
+         |           (sqrt(${dotSql("qs", "qs")}) * sqrt(${dotSql("cs", "cs")}))
+         |      ELSE 0.0 END AS cos
+         |  FROM sl),
+         |top AS (
+         |  SELECT m, qid, cid FROM (
+         |    SELECT m, qid, cid, row_number() OVER (
+         |      PARTITION BY m, qid ORDER BY cos DESC, cid) AS rn FROM sc)
+         |  WHERE rn <= 5),
+         |truth AS (SELECT qid, cid FROM top WHERE m = 64),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |ov AS (SELECT m, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM top JOIN truth USING (qid, cid) GROUP BY 1)
+         |SELECT d.m, nt.n_truth,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN nt.n_truth > 0 THEN
+         |    CAST(coalesce(ov.n_overlap, 0) * 1000000 // nt.n_truth AS BIGINT)
+         |  END AS recall_ppm
+         |FROM dims d LEFT JOIN ov ON d.m = ov.m CROSS JOIN nt
+         |ORDER BY d.m""".stripMargin,
     // SQ8: per-dim min/max grid, floor-encode, (code+0.5) midpoint
     // reconstruction cast to FLOAT, then the standard cosine-ADC ranking
     "ext_sq8_adc" ->

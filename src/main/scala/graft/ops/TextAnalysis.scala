@@ -332,8 +332,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).as("n_chars"),
            sum(col("n_bpe")).as("n_bpe_tokens"))
+      // a language whose documents are ALL empty has zero BPE tokens:
+      // ANSI div throws where DuckDB `//` yields NULL — pin the
+      // portable contract (NULL fertility) on the guarded branch
+      // (fuzz seed 429: 8 two-token unicode docs, one all-empty lang)
       .withColumn("chars_per_token_c",
-        expr("n_chars * 100 div n_bpe_tokens"))
+        when(col("n_bpe_tokens") > 0,
+             expr("n_chars * 100 div n_bpe_tokens")))
       .orderBy(col("lang"))
 
   /** E56 — BPE merge-pair counting: the inner loop of byte-pair-encoding
@@ -509,19 +514,35 @@ object TextAnalysis {
     * (x, y) multiset — the sums cannot see the tiebreak.
     *
     * Scale shape: token-grain groupBy then everything at VOCABULARY
-    * grain (Heaps-bounded — the [[extBpeTrain]] argument); the only
-    * window orders the vocabulary, a domain-bounded grain, and the
-    * output is one row. */
+    * grain (Heaps-bounded — the [[extBpeTrain]] argument). The rank is
+    * computed WITHOUT a vocabulary-grain single-partition window (the
+    * win_ntile / feature-split decomposition): per-frequency ranking
+    * runs partitioned by tf, and the offsets come from the
+    * distinct-frequency table (≈O(√tokens) rows — the only grain a
+    * single partition ever sees). Output is one row. */
   val extZipfFit: Q = (s, d) => {
     val tf = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val w = Window.orderBy(col("tf").desc, col("tok"))
-    val xy = tf.withColumn("rank", row_number().over(w))
+    // the global (tf desc, tok) rank is DECOMPOSED the way the ntile
+    // and feature-split respells are: a per-frequency ranking (parallel,
+    // partitioned by tf) plus frequency-grain offsets (#terms with a
+    // strictly higher frequency) — the only single-partition window
+    // orders the DISTINCT-FREQUENCY table (≈O(√tokens) rows), never the
+    // vocabulary itself
+    val fc = tf.groupBy(col("tf")).agg(count(lit(1)).as("n_terms"))
+    val off = fc.withColumn("offset",
+        coalesce(sum(col("n_terms")).over(
+          Window.orderBy(col("tf").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("tf"), col("offset"))
+    val wt = Window.partitionBy(col("tf")).orderBy(col("tok"))
+    val xy = tf.withColumn("rn_in", row_number().over(wt))
+      .join(off, Seq("tf"))
       .select(col("tf"),
-              floor(log(col("rank").cast("double")) * lit(1000000.0))
-                .cast("long").as("x"),
+              floor(log((col("offset") + col("rn_in")).cast("double")) *
+                lit(1000000.0)).cast("long").as("x"),
               floor(log(col("tf").cast("double")) * lit(1000000.0))
                 .cast("long").as("y"))
     xy.agg(count(lit(1)).as("n_vocab"),

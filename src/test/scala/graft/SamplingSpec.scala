@@ -232,4 +232,57 @@ class SamplingSpec extends SparkSpec {
       w shouldBe toks.map(t => unats(bucket(t).toInt)).sum
     }
   }
+
+  test("JSD domains: identical sources read exactly 0, disjoint sources " +
+       "match a driver-side replay, and all pairs are symmetric-bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/sampspec_jsd"
+    // X and Y share the identical token multiset (JSD must be exactly 0:
+    // every bucket ratio is exactly 1, floor(1e6*ln 1) = 0); Z is
+    // vocabulary-disjoint from both
+    Seq((0L, "alpha beta gamma", "en", "srcX", 16L),
+        (1L, "alpha beta gamma", "en", "srcY", 16L),
+        (2L, "delta eps zeta eta", "en", "srcZ", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.Sampling.extJsdDomains(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_tokens_a"), r.getAs[Long]("n_tokens_b"),
+         r.getAs[Long]("jsd_micro"))).toMap
+    rows.keySet shouldBe Set(("srcX", "srcY"), ("srcX", "srcZ"),
+                             ("srcY", "srcZ"))
+    rows(("srcX", "srcY")) shouldBe ((3L, 3L, 0L))
+    // identical corpora for X and Y ⇒ their divergences to Z agree
+    rows(("srcX", "srcZ")) shouldBe rows(("srcY", "srcZ"))
+    // driver-side replay of the X–Z pair: same 15-hex-md5 buckets, same
+    // once-quantized micro-nat log-ratios, same split-sign floor-divides
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Int = {
+      val hex = md.digest(("jsd|" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val xa = new Array[Long](64); val zb = new Array[Long](64)
+    "alpha beta gamma".split(" ").foreach(t => xa(bucket(t)) += 1)
+    "delta eps zeta eta".split(" ").foreach(t => zb(bucket(t)) += 1)
+    val (ta, tb) = (xa.sum, zb.sum)
+    var sa = 0L; var sb = 0L
+    (0 until 64).foreach { i =>
+      val den = (xa(i) * tb + zb(i) * ta).toDouble
+      if (xa(i) > 0)
+        sa += xa(i) * math.floor(
+          1000000.0 * math.log(2.0 * xa(i) * tb / den)).toLong
+      if (zb(i) > 0)
+        sb += zb(i) * math.floor(
+          1000000.0 * math.log(2.0 * zb(i) * ta / den)).toLong
+    }
+    def half(sx: Long, tx: Long): Long =
+      (if (sx < 0) -1L else 1L) * (math.abs(sx) / (2 * tx))
+    rows(("srcX", "srcZ")) shouldBe ((3L, 4L, half(sa, ta) + half(sb, tb)))
+    // JSD is bounded by ln 2 in nats; micro-nat grain with floor slack
+    rows.values.foreach { case (_, _, j) =>
+      j should (be >= 0L - 2L and be <= 693148L)
+    }
+  }
 }

@@ -432,4 +432,46 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("MRL recall: a driver-side prefix-slice replay reproduces every " +
+       "per-m overlap count, and the full-dimension row is exact recall") {
+    val d = sf("sf0.001")
+    val out = Similarity.extMrlRecall(spark, d).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Long]("n_truth"),
+                 r.getAs[Long]("n_overlap"), r.getAs[Long]("recall_ppm")))
+      .sortBy(_._1)
+    out.map(_._1).toSeq shouldBe Seq(8, 16, 32, 64)
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float], m: Int): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(m, math.min(a.length, b.length))
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def top5(m: Int): Set[(Long, Long)] = {
+      val byId = vecs.toMap
+      vecs.map(_._1).filter(_ < 10).flatMap { qid =>
+        val qe = byId(qid)
+        vecs.filter(_._1 != qid).map { case (cid, ce) =>
+          val nq = dot(qe, qe, m); val nc = dot(ce, ce, m)
+          val cos = if (nq > 0 && nc > 0)
+            dot(qe, ce, m) / (math.sqrt(nq) * math.sqrt(nc)) else 0.0
+          (cid, cos)
+        }.sortBy { case (cid, cos) => (-cos, cid) }.take(5)
+          .map { case (cid, _) => (qid, cid) }
+      }.toSet
+    }
+    val truth = top5(64)
+    out.foreach { case (m, nTruth, nOverlap, ppm) =>
+      nTruth shouldBe truth.size.toLong
+      nOverlap shouldBe (top5(m) & truth).size.toLong
+      ppm shouldBe nOverlap * 1000000L / nTruth
+    }
+    // the m=64 row IS the truth set: exact recall by construction
+    out.last._4 shouldBe 1000000L
+    // and truncation can only have cost something relative to it
+    out.foreach { case (_, _, _, ppm) => ppm should be <= 1000000L }
+  }
 }

@@ -287,6 +287,20 @@ class TextAnalysisSpec extends SparkSpec {
       case Seq(a, b) => b should be <= a; case _ => }
   }
 
+  test("fuzz regression (seed 429): a language of all-empty documents has " +
+       "NULL fertility, not a divide-by-zero") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/textspec_fert"
+    Seq((0L, "", "xx", "s", 0L), (1L, "", "xx", "s", 0L),
+        (2L, "ab cd", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.extTokenFertility(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_bpe_tokens"),
+                 Option(r.getAs[Any]("chars_per_token_c")))).toSeq
+    rows shouldBe Seq(("en", 2L, Some(250L)), ("xx", 0L, None))
+  }
+
   test("Good-Turing table on a crafted corpus: hand-computed N_r, an absent " +
        "frequency class still reports its row, r* and P0 floor-divides") {
     import spark.implicits._
