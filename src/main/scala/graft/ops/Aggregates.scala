@@ -885,8 +885,12 @@ object Aggregates {
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("gap")).as("dmax"))
       .select(col("n1"), col("n2"),
-        expr("CAST((dmax * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2) " +
-             "AS BIGINT)").as("ks_ppm"))
+        // one sample EMPTY (no clicks or no purchases in the corpus)
+        // makes n1*n2 = 0: ANSI div throws, DuckDB // yields NULL — pin
+        // the portable NULL-statistic contract (fuzz seed 451)
+        when(col("n1") > 0 && col("n2") > 0,
+          expr("CAST((dmax * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * n2) " +
+               "AS BIGINT)")).as("ks_ppm"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -115,9 +115,16 @@ object Streaming {
         |    ts AS purchase_ts
         |  FROM events WHERE event_type = 'purchase'),
         |wm AS (
-        |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
-        |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
-        |         - INTERVAL 1 HOUR AS w),
+        |  -- NULL-STRICT terminal watermark: DuckDB's least() IGNORES a
+        |  -- NULL operand, but an EMPTY stream side means the streaming
+        |  -- watermark never advances and NO left row can ever emit
+        |  -- (fuzz seed 451: a zero-purchase corpus) — so an absent
+        |  -- maximum must poison the cutoff, not be skipped
+        |  SELECT CASE WHEN maxc IS NULL OR maxp IS NULL THEN NULL
+        |         ELSE least(maxc, maxp) - INTERVAL 1 HOUR END AS w
+        |  FROM (SELECT
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click') AS maxc,
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase') AS maxp)),
         |m AS (
         |  SELECT c.user_id, c.click_id, p.purchase_id,
         |    c.click_ts, p.purchase_ts

@@ -337,4 +337,21 @@ class StreamingSpec extends SparkSpec {
     got shouldBe expect // sf0.001 has no (event_id, ts) dup pairs to drop
     got.values.sum shouldBe 1000L
   }
+
+  test("interval LEFT join on a zero-purchase corpus drains NOTHING: an " +
+       "empty stream side never advances the watermark, so no null-" +
+       "extended click can ever emit (fuzz seed 451 oracle fix)") {
+    val srcSf = tmp("nopurch_sf")
+    graft.Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcSf/events.parquet")
+    // clicks exist and are old enough that a mis-modeled watermark
+    // (one ignoring the empty purchase side, the way DuckDB's least()
+    // skips NULL) would emit them null-extended — streaming must not
+    EventsStream.intervalLeftJoin(spark, srcSf).count() shouldBe 0L
+    // the INNER variant is trivially empty: no pair can exist
+    EventsStream.intervalJoin(spark, srcSf).count() shouldBe 0L
+  }
 }

@@ -1238,6 +1238,12 @@ class SurfaceSpec extends SparkSpec {
     tt.isNullAt(tt.fieldIndex("mean2")) shouldBe true
     tt.isNullAt(tt.fieldIndex("t_stat")) shouldBe true
     tt.isNullAt(tt.fieldIndex("welch_df")) shouldBe true
+    // KS test on the same zero-purchase corpus: n1·n2 = 0 must NULL
+    // the statistic (DuckDB // semantics), not throw (fuzz seed 451)
+    val ks = graft.ops.Aggregates.aggKsTest(spark, dir).first()
+    ks.getAs[Long]("n1") shouldBe 2L
+    ks.getAs[Long]("n2") shouldBe 0L
+    ks.isNullAt(ks.fieldIndex("ks_ppm")) shouldBe true
   }
 
   test("fuzz regressions: negative event values and credit-line prices " +
