@@ -249,9 +249,17 @@ object Behavior {
     * flag outcomes whichever engine orders them first. */
   val winIntervalMerge: Q = (s, d) => {
     val span = 300L
-    val wo = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+    // event_id tiebreak makes the window order UNIQUE: the island math
+    // is tie-insensitive (duplicate (st,en) rows are interchangeable),
+    // but DuckDB's parallel window execution is NON-DETERMINISTIC on
+    // tied ORDER BY keys (fuzz seed 454: duplicate-timestamp corpus
+    // flipped island ids between runs) — a tie-free order pins both
+    // engines to the one deterministic frame
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("en"), col("event_id"))
     Tables.events(s, d)
-      .select(col("user_id"), unix_timestamp(col("ts")).as("st"))
+      .select(col("user_id"), col("event_id"),
+              unix_timestamp(col("ts")).as("st"))
       .withColumn("en", col("st") + span)
       .withColumn("run_end", max(col("en"))
         .over(wo.rowsBetween(Window.unboundedPreceding, -1)))
@@ -319,19 +327,21 @@ object Behavior {
     // island ids start at 0 identically
     "win_interval_merge" ->
       """WITH ev AS (
-        |  SELECT user_id,
+        |  -- event_id tiebreak: tie-free window order (DuckDB's parallel
+        |  -- window path is non-deterministic on tied keys, fuzz seed 454)
+        |  SELECT user_id, event_id,
         |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS st,
         |    CAST(floor(EXTRACT(EPOCH FROM ts)) AS BIGINT) + 300 AS en
         |  FROM events),
         |m AS (
-        |  SELECT user_id, st, en,
-        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |  SELECT user_id, event_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
         |  FROM ev),
         |f AS (
         |  SELECT user_id, st, en,
         |    SUM(CASE WHEN st > run_end THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY st, en
+        |      OVER (PARTITION BY user_id ORDER BY st, en, event_id
         |        ROWS UNBOUNDED PRECEDING) AS island
         |  FROM m),
         |i AS (
