@@ -104,9 +104,13 @@ object ScaleUp {
               else when(pmod(col("doc_id"), lit(1000L))
                           < crossDupPermille, col("text"))
                      .otherwise(suffixed)
-      df.withColumn("doc_id", col("doc_id") + lit(docOff * c))
-        .withColumn("text", t)
+      // Rewrite text BEFORE shifting doc_id: the keep-verbatim predicate
+      // must select the SAME pmod(doc_id,1000) subset in every copy so the
+      // kept docs form true N-cliques (a shifted doc_id would pick a
+      // different subset per copy unless docOff % 1000 == 0).
+      df.withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("doc_id", col("doc_id") + lit(docOff * c))
     })
     // rotation amount derived from the ACTUAL dimension (probed once) and
     // taken mod dim, so copies > dim and non-64-dim corpora stay valid

@@ -485,9 +485,11 @@ object Aggregates {
   // roundings) while Spark's BigDecimal conversion rounds once. The
   // micro-unit quotient ⌊|A|·10⁴ / B⌋ (A = Σqc·pc in cent², B = Σqc in
   // cents) never touches a lossy double until the final exact ≤3e11
-  // integer; sign is split out so the floor-vs-truncate divergence on
-  // negative numerators (credit-line prices) can't bite, and a zero
-  // weight mass (all-zero quantities) is an explicit NULL.
+  // integer; the signs of BOTH operands are split out (abs/abs with the
+  // combined sign applied after) so the floor-vs-truncate divergence
+  // can't bite on negative numerators (credit-line prices) OR a
+  // negative weight mass (negative quantities are a live fuzz axis),
+  // and a zero weight mass (all-zero quantities) is an explicit NULL.
   val aggWeighted: Q = (s, d) => {
     val qc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
     val pc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
@@ -500,7 +502,8 @@ object Aggregates {
       .select(col("l_returnflag"), col("n"), col("sum_w"),
               when(col("b") =!= 0,
                    (when(col("a4") < 0, -1L).otherwise(1L) *
-                     expr("CAST(abs(a4) * 10000 AS DECIMAL(38,0)) div b"))
+                     when(col("b") < 0, -1L).otherwise(1L) *
+                     expr("CAST(abs(a4) * 10000 AS DECIMAL(38,0)) div abs(b)"))
                      .cast("double") / 1000000.0).as("wavg_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -1242,7 +1245,8 @@ object Aggregates {
         |SELECT l_returnflag, n, sum_w,
         |  CASE WHEN b <> 0 THEN
         |    CAST((CASE WHEN a4 < 0 THEN -1 ELSE 1 END)
-        |         * ((abs(a4) * 10000) // b) AS DOUBLE) / 1000000.0
+        |         * (CASE WHEN b < 0 THEN -1 ELSE 1 END)
+        |         * ((abs(a4) * 10000) // abs(b)) AS DOUBLE) / 1000000.0
         |  END AS wavg_price
         |FROM g ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->

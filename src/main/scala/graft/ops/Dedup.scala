@@ -528,8 +528,8 @@ object Dedup {
     * BEFORE the explode — the shuffle carries 8-byte longs, never the
     * window text (the same key discipline as [[extSuffixDedup]]; 60-bit
     * keys make collisions a counting rounding error, not a correctness
-    * hazard, and the DuckDB oracle groups by the literal window string
-    * to certify exactly that). The aggregate-then-join (not
+    * hazard, and the DuckDB oracle replays the SAME hash60 keying so
+    * both engines share collision behavior). The aggregate-then-join (not
     * collect_list per key) keeps hot boilerplate windows — millions of
     * docs sharing one header — as counts, never as materialized
     * lists. */
@@ -1532,19 +1532,29 @@ object Dedup {
         |    THEN CAST(sum(t * cd) AS DOUBLE) / CAST(sum(t) AS DOUBLE)
         |  END AS recall
         |FROM j""".stripMargin,
+    // hash60 replay (same md5 idiom as ext_suffix_dedup below) so BOTH
+    // engines key windows by the 60-bit hash and share any collision
+    // behavior — grouping the oracle by the literal window string would
+    // turn a 60-bit collision from a shared rounding event into a hard
+    // contract divergence (round-8 advice item)
     "ext_substring_dedup" ->
       """WITH sh AS (
-        |  SELECT doc_id, source, substr(text, CAST(p AS INTEGER), 32) AS shingle
+        |  SELECT doc_id, source,
+        |    list_reduce(list_transform(range(1, 16), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(
+        |        substr(text, CAST(p AS INTEGER), 32)),
+        |        CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS wkey
         |  FROM (SELECT doc_id, source, text,
         |          unnest(generate_series(1, length(text) - 31, 8)) AS p
         |        FROM documents WHERE length(text) >= 32)),
         |dup AS (
-        |  SELECT shingle FROM sh GROUP BY 1
+        |  SELECT wkey FROM sh GROUP BY 1
         |  HAVING count(DISTINCT doc_id) >= 2)
         |SELECT source,
         |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS docs_with_dup,
         |  CAST(count(*) AS BIGINT) AS dup_occurrences
-        |FROM sh s JOIN dup USING (shingle)
+        |FROM sh s JOIN dup USING (wkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stride-1 20-token window hashes (hash60 replay), dup keys by
     // distinct-doc count, gaps-and-islands merge to maximal spans of

@@ -212,8 +212,10 @@ object Sampling {
     * mixture slots; JSD ≈ ln 2 domains contribute disjoint coverage).
     *
     * Exactness contract: the per-bucket log-ratios ln(2·na·B /
-    * (na·B + nb·A)) are computed from EXACT integer products (the
-    * operands stay < 2⁶³ at any realistic token count) and quantized
+    * (na·B + nb·A)) are computed from EXACT integer products widened
+    * to decimal(38,0) / HUGEINT (per-source token totals near 1e10
+    * push na·B-scale products past 2⁶³, where ANSI mode would throw —
+    * the widening keeps the products exact to 38 digits) and quantized
     * ONCE at bucket grain to micro-nats — floor(1e6·ln r) of an
     * identical double both engines (the DSIR idiom) — so each side's
     * reduction Σ n·unats is a pure BIGINT sum; the two normalizations
@@ -250,22 +252,29 @@ object Sampling {
       .select(col("source_a"), col("source_b"), col("ta"), col("tb"),
               coalesce(col("na"), lit(0L)).as("na"),
               coalesce(col("nb"), lit(0L)).as("nb"))
+    // All integer products widened to decimal(38,0) (HUGEINT in the
+    // oracle): per-source token totals of ~1e10 push ta*tb-scale
+    // products past 2^63, which under ANSI mode would THROW rather than
+    // silently diverge (round-8 advice item). decimal multiply is exact;
+    // the single decimal→double rounding before ln() is IEEE-nearest in
+    // both engines, so the micro-nat floor stays bit-identical.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     grid
       .select(col("source_a"), col("source_b"), col("ta"), col("tb"),
         col("na"), col("nb"),
         when(col("na") > 0,
              floor(lit(1000000.0) * log(
-               (col("na") * col("tb") * lit(2L)).cast("double") /
-               (col("na") * col("tb") + col("nb") * col("ta"))
+               (dec(col("na")) * col("tb") * lit(2L)).cast("double") /
+               (dec(col("na")) * col("tb") + dec(col("nb")) * col("ta"))
                  .cast("double")))).otherwise(lit(0L)).as("ua"),
         when(col("nb") > 0,
              floor(lit(1000000.0) * log(
-               (col("nb") * col("ta") * lit(2L)).cast("double") /
-               (col("na") * col("tb") + col("nb") * col("ta"))
+               (dec(col("nb")) * col("ta") * lit(2L)).cast("double") /
+               (dec(col("na")) * col("tb") + dec(col("nb")) * col("ta"))
                  .cast("double")))).otherwise(lit(0L)).as("ub"))
       .groupBy(col("source_a"), col("source_b"), col("ta"), col("tb"))
-      .agg(sum(col("na") * col("ua")).as("sa"),
-           sum(col("nb") * col("ub")).as("sb"))
+      .agg(sum(dec(col("na")) * col("ua")).as("sa"),
+           sum(dec(col("nb")) * col("ub")).as("sb"))
       .select(col("source_a"), col("source_b"),
               col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
               (when(col("sa") < 0, -1L).otherwise(1L) *
@@ -857,18 +866,20 @@ object Sampling {
          |terms AS (
          |  SELECT source_a, source_b, ta, tb, na, nb,
          |    CASE WHEN na > 0 THEN CAST(floor(1000000.0 * ln(
-         |      CAST(2 * na * tb AS DOUBLE) /
-         |      CAST(na * tb + nb * ta AS DOUBLE))) AS BIGINT)
+         |      CAST(2 * CAST(na AS HUGEINT) * tb AS DOUBLE) /
+         |      CAST(CAST(na AS HUGEINT) * tb
+         |           + CAST(nb AS HUGEINT) * ta AS DOUBLE))) AS BIGINT)
          |      ELSE 0 END AS ua,
          |    CASE WHEN nb > 0 THEN CAST(floor(1000000.0 * ln(
-         |      CAST(2 * nb * ta AS DOUBLE) /
-         |      CAST(na * tb + nb * ta AS DOUBLE))) AS BIGINT)
+         |      CAST(2 * CAST(nb AS HUGEINT) * ta AS DOUBLE) /
+         |      CAST(CAST(na AS HUGEINT) * tb
+         |           + CAST(nb AS HUGEINT) * ta AS DOUBLE))) AS BIGINT)
          |      ELSE 0 END AS ub
          |  FROM grid),
          |sums AS (
          |  SELECT source_a, source_b, ta, tb,
-         |    CAST(SUM(na * ua) AS BIGINT) AS sa,
-         |    CAST(SUM(nb * ub) AS BIGINT) AS sb
+         |    SUM(CAST(na AS HUGEINT) * ua) AS sa,
+         |    SUM(CAST(nb AS HUGEINT) * ub) AS sb
          |  FROM terms GROUP BY 1, 2, 3, 4)
          |SELECT source_a, source_b, ta AS n_tokens_a, tb AS n_tokens_b,
          |  CAST((CASE WHEN sa < 0 THEN -1 ELSE 1 END) * (abs(sa) // (2 * ta)) +
