@@ -153,18 +153,22 @@ object Streaming {
         |FROM c JOIN r ON c.user_id = r.user_id AND rn = 1
         |ORDER BY 1""".stripMargin,
     // gap-method sessionization: new session iff gap >= 30 min (matches
-    // session_window's half-open [start, last+gap) semantics)
+    // session_window's half-open [start, last+gap) semantics). event_id
+    // tiebreak in BOTH windows: DuckDB's parallel window execution is
+    // non-deterministic on tied ORDER BY keys (round-8 seed 454), and a
+    // duplicate-ts corpus would otherwise make the sid cumsum unstable
+    // run-to-run even though the flag math is tie-insensitive.
     "stream_sessionize" ->
       """WITH flags AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flags),
         |grouped AS (
