@@ -173,16 +173,25 @@ object Aggregates {
       .orderBy(col("o_custkey"))
 
   /** A7 — ratio-of-aggregates in one pass (significant-delay-rate shape,
-    * `analysis_queries.sql:340`), with NULLIF-style zero guard. */
+    * `analysis_queries.sql:340`), with NULLIF-style zero guard.
+    * The 4-dp rate is exact integer half-up — ⌊(2·a·10⁴ + n) / (2n)⌋ —
+    * instead of round(double/double, 4): a pure count/count quotient
+    * can land EXACTLY on a halfway point (a/n = k.00005), and while the
+    * round-9 probes showed Spark (shortest-repr HALF_UP) and DuckDB
+    * (multiply + half-away) agree on those today, the integer spelling
+    * is immune to either engine changing its float-rounding path. */
   val aggRatio: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
-        round(count(when(col("l_quantity") > 30d, lit(1))).cast("double") /
-          count(lit(1)), 4).as("high_qty_rate"),
-        round(count(when(col("l_discount") >= 0.05, lit(1))).cast("double") /
-          count(lit(1)), 4).as("discounted_rate"))
+        count(when(col("l_quantity") > 30d, lit(1))).as("hi_q"),
+        count(when(col("l_discount") >= 0.05, lit(1))).as("hi_d"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (expr("(2 * hi_q * 10000 + n_rows) div (2 * n_rows)")
+          .cast("double") / 10000.0).as("high_qty_rate"),
+        (expr("(2 * hi_d * 10000 + n_rows) div (2 * n_rows)")
+          .cast("double") / 10000.0).as("discounted_rate"))
       .orderBy(col("l_returnflag"))
 
   /** A8 — multi-key (5-key) grouping (`analysis_queries.sql:313-347`). */
@@ -1435,11 +1444,19 @@ object Aggregates {
       s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
          |  ${dsumSql("o_totalprice")} AS total_spent
          |FROM orders GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    // exact integer half-up rates (see aggRatio scaladoc)
     "agg_ratio" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-        |  round(CAST(count(CASE WHEN l_quantity > 30 THEN 1 END) AS DOUBLE) / count(*), 4) AS high_qty_rate,
-        |  round(CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS DOUBLE) / count(*), 4) AS discounted_rate
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(CASE WHEN l_quantity > 30 THEN 1 END) AS BIGINT) AS hi_q,
+        |    CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS BIGINT) AS hi_d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n_rows,
+        |  CAST((2 * hi_q * 10000 + n_rows) // (2 * n_rows) AS DOUBLE)
+        |    / 10000.0 AS high_qty_rate,
+        |  CAST((2 * hi_d * 10000 + n_rows) // (2 * n_rows) AS DOUBLE)
+        |    / 10000.0 AS discounted_rate
+        |FROM c ORDER BY 1""".stripMargin,
     "agg_multikey" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,

@@ -31,6 +31,12 @@ sub-1/negative extendedprice, epoch-adjacent and far-future order
 dates, zero/negative event values, and hostile props JSON (empty
 object, missing key, null value, nested object).
 
+Round-9 axis: tie-dense corpora (GRAFT_FUZZ_TIE=1 forces; else ~25%
+per trial) — event timestamps from a 2-10 slot pool, order
+dates/prices and lineitem quantities/prices from tiny pools, fixed
+doc token counts — aimed at the ~29 win_* entries, interval joins and
+sweep ops (the round-8 seed-454 finding class, made deliberate).
+
 Dev-only tool (driver-side python); not part of the shipped library.
 """
 import os
@@ -101,6 +107,14 @@ ext_funnel ext_cohort_retention
 def gen_corpus(rng: random.Random, out: str) -> dict:
     os.makedirs(out, exist_ok=True)
     dials = {}
+    # Tie-dense axis (round-9, the seed-454 class made deliberate):
+    # collapse timestamps, prices, dates, values and quantities onto
+    # TINY pools so every ROWS-framed window, interval join and sweep
+    # op sees tied ORDER BY keys at high rates — the one axis that
+    # exposed DuckDB's parallel-window non-determinism. Force with
+    # GRAFT_FUZZ_TIE=1; otherwise drawn at ~25%.
+    tie_dense = os.environ.get("GRAFT_FUZZ_TIE") == "1" or rng.random() < 0.25
+    dials["tie_dense"] = tie_dense
     for t in ("region", "nation"):
         shutil.copy(f"{TD}/{t}.parquet", f"{out}/{t}.parquet")
     # physical-layout dial: each fact table independently lands as a
@@ -143,7 +157,10 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         elif r < 0.35:                   # empty-ish doc
             t = rng.choice(vocab)
         else:
-            t = " ".join(rng.choices(vocab, k=rng.randint(5, 80)))
+            # tie-dense: fixed token count => n_chars collides heavily
+            # (ext_token_budget orders by n_chars DESC)
+            k = 8 if tie_dense else rng.randint(5, 80)
+            t = " ".join(rng.choices(vocab, k=k))
         texts.append(t)
         rows.append((i, t, rng.choice(langs), f"src{rng.randrange(n_sources)}",
                      len(t)))
@@ -211,7 +228,12 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         # every datetime extract/diff/epoch path; the driver band is
         # 1995-2001 only
         dr = rng.random()
-        if dr < 0.06:
+        if tie_dense:
+            # dates from a 4-slot pool: heavy o_orderdate ties per
+            # customer (win_lag's order key) and per day grain
+            d = pd.Timestamp("1995-06-01") + pd.Timedelta(
+                days=rng.choice([0, 1, 7, 30]))
+        elif dr < 0.06:
             d = pd.Timestamp("1970-01-02") + pd.Timedelta(
                 days=rng.randrange(0, 30))
         elif dr < 0.12:
@@ -224,7 +246,11 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         # sub-1 totals (leading digit 0) and negatives (leading '-'),
         # not just the driver generator's [1000, 300000] band
         pr = rng.random()
-        if pr < 0.08:
+        if tie_dense:
+            # 3-value price pool: rank/ntile/percentile/RANGE windows
+            # all tie; decomposed win_ntile buckets collapse too
+            price = rng.choice([5000.0, 5000.0, 12345.67, 250.25])
+        elif pr < 0.08:
             price = round(rng.uniform(0.01, 1), 2)
         elif pr < 0.16:
             price = round(rng.uniform(-999, -0.01), 2)
@@ -239,7 +265,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         .pipe(write, f"{out}/orders.parquet", parts=lay["orders"])
 
     hot_part = rng.random() < 0.4          # skewed part key
-    tie_qty = rng.random() < 0.3           # all-equal quantities
+    tie_qty = tie_dense or rng.random() < 0.3  # all-equal quantities
     dials["lineitem"] = (hot_part, tie_qty)
     lrows = []
     for o, _, _, _, od, _ in orows:
@@ -251,7 +277,9 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
             q = 5.0 if tie_qty else \
                 (0.0 if rng.random() < 0.05 else float(rng.randrange(1, 50)))
             epr = rng.random()
-            if epr < 0.05:
+            if tie_dense:
+                ep = rng.choice([100.0, 100.0, 999.99])
+            elif epr < 0.05:
                 ep = round(rng.uniform(0.01, 1), 2)
             elif epr < 0.1:
                 ep = round(rng.uniform(-9999, -0.01), 2)
@@ -282,9 +310,21 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     dials["events"] = (n_ev, one_user)
     et = ["click", "view", "purchase", "signup", "error"]
     ts0 = pd.Timestamp("2024-01-01")
+    # tie-dense: ALL timestamps from a tiny pool (2-10 slots) so every
+    # (user, ts) and (type, ts) window partition is saturated with tied
+    # ORDER BY keys — interval islands, sweep deltas, sessionize flags,
+    # as-of union windows all hit the seed-454 replay class
+    tie_pool = None
+    if tie_dense:
+        n_slots = rng.choice([2, 5, 10])
+        tie_pool = [ts0 + pd.Timedelta(seconds=rng.randrange(0, 7 * 86400))
+                    for _ in range(n_slots)]
+        dials["tie_slots"] = n_slots
     erows, last_ts = [], ts0
     for i in range(n_ev):
-        if rng.random() < 0.3 and i:      # exact-tie timestamp
+        if tie_pool is not None:
+            ts = rng.choice(tie_pool)
+        elif rng.random() < 0.3 and i:    # exact-tie timestamp
             ts = last_ts
         else:
             ts = ts0 + pd.Timedelta(seconds=rng.randrange(0, 30 * 86400),
@@ -294,9 +334,12 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         # value extremes (zero / negative refund-shaped) and hostile props
         # payloads (empty object, missing key, nested, null value)
         vr = rng.random()
-        val = 0.0 if vr < 0.05 else \
-            (round(rng.uniform(-350, -0.01), 2) if vr < 0.1
-             else round(rng.uniform(0.01, 350), 2))
+        if tie_dense:
+            val = rng.choice([1.0, 1.0, 2.5, -3.75])
+        else:
+            val = 0.0 if vr < 0.05 else \
+                (round(rng.uniform(-350, -0.01), 2) if vr < 0.1
+                 else round(rng.uniform(0.01, 350), 2))
         pr = rng.random()
         if pr < 0.08:
             props = "{}"
