@@ -150,8 +150,16 @@ object EventsStream {
   private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
     val dir = eventsSourceDir(sfDir)
     val tsLong = tsStoredAsLong(s, dir)
-    s.readStream
-      .schema(eventsRawSchema(tsLong))
+    val reader = s.readStream.schema(eventsRawSchema(tsLong))
+    // Multi-micro-batch rehearsal knob: AvailableNow splits the drain
+    // into ⌈files / maxFilesPerTrigger⌉ batches, exercising watermark
+    // advancement and state eviction ACROSS batches instead of the
+    // single-batch drain a small source otherwise gets. Results must be
+    // batch-identical at any split — that is the invariant the sf1
+    // multi-batch rehearsal pins (round-9 verdict ask #4).
+    sys.env.get("GRAFT_STREAM_MAX_FILES").foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(dir)
       // TZ (not NTZ) timestamp: watermarks require TimestampType; session
       // TZ is UTC so instants match. Outputs cast to NTZ at the edge.
@@ -608,7 +616,8 @@ object EventsStream {
     * entries). */
   def upsertMerge(s: SparkSession, sfDir: String): DataFrame =
     upsertMergeFrom(s, eventsSourceDir(sfDir),
-                    scopedStreamBase("upsert", sfDir))
+                    scopedStreamBase("upsert", sfDir),
+                    sys.env.get("GRAFT_STREAM_MAX_FILES").map(_.toInt))
 
   /** Arbitrary stateful processing (SURVEY §2.10 ST3 custom-state path):
     * per-event_type running maximum of `value` across micro-batches via
@@ -737,7 +746,9 @@ object EventsStream {
     if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(srcDir, "_SUCCESS")))
       graft.Tables.embeddings(s, sfDir)
-        .repartitionByRange(2, col("vec_id"))
+        // 4 range files × maxFilesPerTrigger=1 → 4 micro-batches: the
+        // drain exercises cross-batch state, not a single-batch pass
+        .repartitionByRange(4, col("vec_id"))
         .write.mode("overwrite").parquet(srcDir)
     val seeds = graft.Tables.embeddings(s, sfDir)
       .filter(col("vec_id") < 16)
