@@ -1648,4 +1648,35 @@ class SurfaceSpec extends SparkSpec {
         t.take(40).replaceAll("[aeiou]", "*")
     }
   }
+
+  test("weighted mean with NEGATIVE weight mass: fully-signed floor-divide " +
+       "matches the exact hand computation") {
+    import spark.implicits._
+    // round-9 advice item: with b < 0 the old single-signed spelling let
+    // Spark's div (truncate toward zero) and DuckDB's // (floor) differ
+    // by one micro-unit whenever |a4|*1e4 mod |b| != 0. This corpus pins
+    // it: a4 = -533333 cent², b = -433 cents, 5333330000 mod 433 = 153,
+    // true wavg = 5333330000/433/1e6-ish -> floor 12317159 -> 12.317159.
+    val dir = "/root/repo/target/scratch/wavgneg"
+    Seq((0L, 0L, 0L, 1, -3.33, 10.01, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)),
+        (0L, 0L, 0L, 2, -1.00, 20.00, 0.0, 0.0, "N", "O",
+         new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.ops.Aggregates.aggWeighted(spark, dir).collect()
+    r.length shouldBe 1
+    r.head.getAs[Double]("wavg_price") shouldBe 12.317159
+    // zero weight mass stays NULL (existing contract, re-pinned)
+    Seq((1L, 0L, 0L, 1, 0.0, 50.0, 0.0, 0.0, "R", "O",
+         new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val z = graft.ops.Aggregates.aggWeighted(spark, dir).collect()
+    z.head.isNullAt(z.head.fieldIndex("wavg_price")) shouldBe true
+  }
 }
