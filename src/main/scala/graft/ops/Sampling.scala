@@ -86,6 +86,60 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** E73b — right-to-be-forgotten propagation audit (the GDPR/CCPA
+    * delete every production corpus owner eventually runs): a
+    * deterministic deletion set (decision-hash mod 37 = 0, ~2.7% of
+    * docs — replayable, like every sampling decision here) is
+    * propagated through the [[extSeqPack]] packed layout, and the
+    * audit reports per source what the delete actually invalidates:
+    * doc and token counts, and — the expensive truth — how many
+    * 512-token PACKED CHUNKS contain at least one deleted token
+    * (every such training sequence must be rebuilt or tombstoned;
+    * a doc deletes ~n_tok/512 + 1 chunks, so invalidated_ppm ≫
+    * deleted-doc permille — concat-packing smears deletions across
+    * sequence boundaries, which is exactly why this audit exists
+    * before a delete is promised to a regulator).
+    *
+    * Scale shape: the same source-partitioned prefix-sum window as
+    * [[extSeqPack]] (ORDER BY the unique doc_id), then a per-deleted-doc
+    * chunk-range explode (≤ n_tok/512 + 1 rows per deleted doc —
+    * token-mass-bounded, ~2.7% selected) → distinct → source-grain
+    * counts. Integer end to end; the ppm multiply is widened to
+    * decimal(38,0)/HUGEINT so 100 TB chunk counts cannot overflow. */
+  val extRtbfPropagation: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"),
+              (pmod(decide("rtbf|", col("doc_id")), lit(37L)) === 0L)
+                .as("del"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    val affected = base.filter(col("del"))
+      .select(col("source"),
+        explode(sequence(
+          expr(s"(cum_tok - n_tok) div $ChunkTokens"),
+          expr(s"(cum_tok - 1) div $ChunkTokens"))).as("chunk_id"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("chunks_affected"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
+           sum(col("n_tok")).as("tokens_total"),
+           sum(when(col("del"), col("n_tok")).otherwise(0L))
+             .as("tokens_deleted"),
+           expr(s"(max(cum_tok) - 1) div $ChunkTokens + 1")
+             .as("chunks_total"))
+      .join(affected, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_deleted"),
+              col("tokens_total"), col("tokens_deleted"),
+              col("chunks_total"),
+              coalesce(col("chunks_affected"), lit(0L)).as("chunks_affected"),
+              expr("CAST(coalesce(chunks_affected, 0) AS DECIMAL(38,0)) " +
+                   "* 1000000 div chunks_total").as("invalidated_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** E18 — sliding-window chunking WITH overlap (window 128 tokens,
     * stride 96): the retrieval/pretraining complement of [[extSeqPack]]'s
     * disjoint concat-then-chunk — each document yields
@@ -825,6 +879,7 @@ object Sampling {
     "ext_domain_mix" -> extDomainMix,
     "ext_jsd_domains" -> extJsdDomains,
     "ext_seq_pack" -> extSeqPack,
+    "ext_rtbf_propagation" -> extRtbfPropagation,
     "ext_chunk_overlap" -> extChunkOverlap,
     "ext_dsir_weights" -> extDsirWeights,
     "ext_dataset_card" -> extDatasetCard)
@@ -1281,5 +1336,43 @@ object Sampling {
          |  (cum_tok - n_tok) // $ChunkTokens AS chunk_id,
          |  (cum_tok - n_tok) // $ChunkTokens <> (cum_tok - 1) // $ChunkTokens
          |    AS straddles
-         |FROM t ORDER BY doc_id""".stripMargin)
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // RTBF: same h60 decision replay, same pack layout as ext_seq_pack,
+    // chunk ranges inclusive lo..hi via lo + range(0, hi-lo+1)
+    "ext_rtbf_propagation" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("'rtbf|' || doc_id")}) % 37 = 0 AS del
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+         |  FROM b),
+         |ch AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS chunks_affected FROM (
+         |    SELECT DISTINCT source,
+         |      (cum_tok - n_tok) // $ChunkTokens + unnest(range(0,
+         |        (cum_tok - 1) // $ChunkTokens
+         |        - (cum_tok - n_tok) // $ChunkTokens + 1)) AS chunk_id
+         |    FROM c WHERE del)
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_deleted,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |    CAST(SUM(CASE WHEN del THEN n_tok ELSE 0 END) AS BIGINT)
+         |      AS tokens_deleted,
+         |    CAST((max(cum_tok) - 1) // $ChunkTokens + 1 AS BIGINT)
+         |      AS chunks_total
+         |  FROM c GROUP BY 1)
+         |SELECT p.source, n_docs, n_deleted, tokens_total, tokens_deleted,
+         |  chunks_total,
+         |  CAST(coalesce(ch.chunks_affected, 0) AS BIGINT)
+         |    AS chunks_affected,
+         |  CAST(CAST(coalesce(ch.chunks_affected, 0) AS HUGEINT) * 1000000
+         |       // chunks_total AS BIGINT) AS invalidated_ppm
+         |FROM p LEFT JOIN ch ON p.source = ch.source
+         |ORDER BY p.source""".stripMargin)
 }

@@ -285,6 +285,46 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** E53b — distinct-n diversity per source (the distinct-1/2/3-gram
+    * ratio of Li et al. 2016, "A Diversity-Promoting Objective
+    * Function", applied corpus-side): the standard template-detector —
+    * boilerplate-heavy or machine-generated sources reuse the same
+    * n-grams, so their distinct-2/3 ppm sits far below organic prose,
+    * complementing [[extHapaxRate]] (which sees only frequency-1
+    * UNIGRAMS and misses phrase-level repetition entirely) and the
+    * within-doc [[extRepetition]] screen. Grams are built per row with
+    * one `slice`+`concat_ws` transform over the token array (no
+    * cross-row state), then ONE shuffle to (source, n)-grain
+    * distinct-count. A sub-n-token doc contributes nothing at that n
+    * (both engines drop the group when a whole source qualifies
+    * nowhere). The ppm multiply is widened to decimal(38,0)/HUGEINT —
+    * 3-gram distinct counts approach token mass (~1e13 at 100 TB), so
+    * ×10⁶ would overflow BIGINT. At 100 TB the gram strings would be
+    * [[graft.ops.Dedup.hash60]]-keyed before the shuffle (8 B/gram,
+    * the [[graft.ops.Dedup.extSubstringDedup]] discipline); at gate
+    * scales the literal strings keep the oracle direct. */
+  val extDistinctNgrams: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("source"), split(lower(col("text")), " ").as("t"))
+    def grams(n: Int) = base
+      .select(col("source"), lit(n.toLong).as("n"),
+        explode(bindOnce(col("t")) { t =>
+          when(size(t) >= n,
+            transform(sequence(lit(1), size(t) - (n - 1)),
+              p => concat_ws(" ", slice(t, p, lit(n)))))
+            .otherwise(array().cast("array<string>"))
+        }).as("g"))
+    grams(1).unionAll(grams(2)).unionAll(grams(3))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+           count_distinct(col("g")).as("distinct_ngrams"))
+      .select(col("source"), col("n").cast("int").as("n"),
+              col("total_ngrams"), col("distinct_ngrams"),
+              expr("CAST(distinct_ngrams AS DECIMAL(38,0)) * 1000000" +
+                   " div total_ngrams").as("distinct_ppm"))
+      .orderBy(col("source"), col("n"))
+  }
+
   /** E54 — vocabulary-growth (Heaps-law) curve: cumulative distinct
     * tokens vs cumulative token mass across the corpus in doc order,
     * at 20-bucket grain — the curve that sizes a tokenizer vocabulary
@@ -614,6 +654,7 @@ object TextAnalysis {
     "ext_bpe_pairs" -> extBpePairs,
     "ext_token_fertility" -> extTokenFertility,
     "ext_hapax_rate" -> extHapaxRate,
+    "ext_distinct_ngrams" -> extDistinctNgrams,
     "ext_vocab_growth" -> extVocabGrowth,
     "ext_cooccur_lift" -> extCooccurLift,
     "ext_ngram_profile" -> extNgramProfile,
@@ -798,6 +839,26 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN tf.tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000 // CAST(count(*) AS BIGINT) AS hapax_pm
         |FROM t JOIN tf USING (tok) GROUP BY 1 ORDER BY source""".stripMargin,
+    // distinct-n: inclusive slice p..p+n-1, space-joined — identical gram
+    // strings both engines; HUGEINT-widened ppm
+    "ext_distinct_ngrams" ->
+      """WITH t AS (
+        |  SELECT source, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, n,
+        |    array_to_string(list_slice(tk, CAST(p AS INTEGER),
+        |      CAST(p + n - 1 AS INTEGER)), ' ') AS g
+        |  FROM (SELECT source, tk, n,
+        |          unnest(range(1, len(tk) - n + 2)) AS p
+        |        FROM t CROSS JOIN (VALUES (1), (2), (3)) nn(n)
+        |        WHERE len(tk) >= n))
+        |SELECT source, CAST(n AS INTEGER) AS n,
+        |  CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+        |  CAST(CAST(count(DISTINCT g) AS HUGEINT) * 1000000 // count(*)
+        |    AS BIGINT) AS distinct_ppm
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ext_vocab_growth" ->
       """WITH n AS (SELECT count(*) AS n_corpus FROM documents),
         |t AS (

@@ -285,4 +285,43 @@ class SamplingSpec extends SparkSpec {
       j should (be >= 0L - 2L and be <= 693148L)
     }
   }
+
+  test("rtbf propagation: full Scala replay of the deletion set, pack " +
+       "layout and chunk invalidation") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 r.getString(2).split(" ", -1).length.toLong))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val inOrder = ds.sortBy(_._1)
+      var cum = 0L
+      val chunks = scala.collection.mutable.Set[Long]()
+      var (nDel, tokDel, tokTot) = (0L, 0L, 0L)
+      inOrder.foreach { case (id, _, nTok) =>
+        val del = h60(s"rtbf|$id") % 37 == 0
+        val start = cum
+        cum += nTok; tokTot += nTok
+        if (del) {
+          nDel += 1; tokDel += nTok
+          (start / 512 to (cum - 1) / 512).foreach(chunks += _)
+        }
+      }
+      val chunksTotal = (cum - 1) / 512 + 1
+      src -> (inOrder.length.toLong, nDel, tokTot, tokDel, chunksTotal,
+              chunks.size.toLong,
+              chunks.size.toLong * 1000000L / chunksTotal)
+    }
+    val got = Sampling.extRtbfPropagation(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    got shouldBe expect
+    // the testdata draw must actually delete something for this to bite
+    got.values.map(_._2).sum should be > 0L
+  }
 }

@@ -361,4 +361,31 @@ class TextAnalysisSpec extends SparkSpec {
     // natural-ish text: frequency falls with rank
     row.getAs[Long]("slope_micro") should be < 0L
   }
+
+  test("distinct-n diversity: exact Scala replay per (source, n)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val expect = (for {
+      n <- 1 to 3
+      (src, tk) <- docs
+      if tk.length >= n
+      p <- 0 to tk.length - n
+    } yield (src, n, tk.slice(p, p + n).mkString(" ")))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((src, n), gs) =>
+        val total = gs.size.toLong
+        val dist = gs.map(_._3).distinct.size.toLong
+        (src, n) -> (total, dist, dist * 1000000L / total)
+      }
+    val got = TextAnalysis.extDistinctNgrams(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got shouldBe expect
+    // diversity must strictly rise with n on natural-ish text
+    got.keys.map(_._1).foreach { src =>
+      got((src, 1))._3 should be < got((src, 2))._3
+      got((src, 2))._3 should be < got((src, 3))._3
+    }
+  }
 }
