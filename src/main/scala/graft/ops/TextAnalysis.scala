@@ -302,7 +302,12 @@ object TextAnalysis {
     * ×10⁶ would overflow BIGINT. At 100 TB the gram strings would be
     * [[graft.ops.Dedup.hash60]]-keyed before the shuffle (8 B/gram,
     * the [[graft.ops.Dedup.extSubstringDedup]] discipline); at gate
-    * scales the literal strings keep the oracle direct. */
+    * scales the literal strings keep the oracle direct. The per-n
+    * branches deliberately re-scan: an A/B of the single-scan
+    * flatten-structs spelling measured 1.31 s vs 0.84 s min-of-3 at
+    * sf0.1 — struct boxing inside the interpreted HOF lambda costs
+    * more than two extra columnar text scans save, and per-gram CPU
+    * (not scan IO) stays the dominant term at any scale. */
   val extDistinctNgrams: Q = (s, d) => {
     val base = Tables.documents(s, d)
       .select(col("source"), split(lower(col("text")), " ").as("t"))
