@@ -91,7 +91,18 @@ object TopK {
            sum(when(col("keep"), col("ucents")).otherwise(0L)).as("nc"),
            max(col("tot")).as("tc"))
       .select(col("event_type"), col("n_users"), col("n_nucleus"),
-              expr("nc * 1000000 div tc").as("nucleus_share_ppm"),
+              // zero-mass guard (fuzz seed 525: a type whose cents sum
+              // EXACTLY to 0 — all-zero values, or refunds cancelling
+              // sales): ANSI div throws where DuckDB's //0 is NULL, so
+              // the portable contract is an explicit NULL share. Signs
+              // of BOTH operands split (a net-refund type has tc < 0,
+              // where div truncates but // floors — the agg_weighted
+              // idiom).
+              when(col("tc") =!= 0,
+                   when(col("nc") < 0, -1L).otherwise(1L) *
+                   when(col("tc") < 0, -1L).otherwise(1L) *
+                   expr("abs(nc) * 1000000 div abs(tc)"))
+                .as("nucleus_share_ppm"),
               (col("nc").cast("double") / 100.0).as("nucleus_spend"),
               (col("tc").cast("double") / 100.0).as("total_spend"))
       .orderBy(col("event_type"))
@@ -118,17 +129,24 @@ object TopK {
         |      ORDER BY ucents DESC, user_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    SUM(ucents) OVER (PARTITION BY event_type) AS tot
-        |  FROM u)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nucleus,
-        |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
-        |    THEN ucents ELSE 0 END) * 1000000 // max(tot)
-        |    AS BIGINT) AS nucleus_share_ppm,
-        |  CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
-        |    THEN ucents ELSE 0 END) AS DOUBLE) / 100.0 AS nucleus_spend,
-        |  CAST(max(tot) AS DOUBLE) / 100.0 AS total_spend
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM u),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_nucleus,
+        |    SUM(CASE WHEN (cum - ucents) * 10 < tot * 9
+        |      THEN ucents ELSE 0 END) AS nc,
+        |    max(tot) AS tc
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, n_nucleus,
+        |  CASE WHEN tc <> 0 THEN
+        |    CAST((CASE WHEN nc < 0 THEN -1 ELSE 1 END)
+        |         * (CASE WHEN tc < 0 THEN -1 ELSE 1 END)
+        |         * ((abs(nc) * 1000000) // abs(tc)) AS BIGINT)
+        |  END AS nucleus_share_ppm,
+        |  CAST(nc AS DOUBLE) / 100.0 AS nucleus_spend,
+        |  CAST(tc AS DOUBLE) / 100.0 AS total_spend
+        |FROM g ORDER BY 1""".stripMargin,
     "sort_limit_topk" ->
       s"""SELECT o_custkey, ${dsumSql("o_totalprice")} AS total_spent,
          |  CAST(count(*) AS BIGINT) AS n_orders

@@ -1649,6 +1649,27 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("topk nucleus: zero total mass yields NULL share, net-refund type " +
+       "yields 0 (fuzz seed 525)") {
+    import spark.implicits._
+    // zero-mass type (tc = 0): ANSI div would throw; contract is NULL
+    // (DuckDB's // 0). Net-refund type (tc < 0): the strict-before keep
+    // rule admits nobody, so the share is exactly 0, through the
+    // fully-signed divide.
+    val dir = "/root/repo/target/scratch/nucleus525"
+    Seq((0L, new java.sql.Timestamp(0L), 1L, "click", 0.0, "{}"),
+        (1L, new java.sql.Timestamp(1000L), 1L, "purchase", 1.0, "{}"),
+        (2L, new java.sql.Timestamp(2000L), 2L, "purchase", -3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.ops.TopK.topkNucleus(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows("click").isNullAt(
+      rows("click").fieldIndex("nucleus_share_ppm")) shouldBe true
+    rows("purchase").getAs[Long]("nucleus_share_ppm") shouldBe 0L
+    rows("purchase").getAs[Double]("total_spend") shouldBe -2.0
+  }
+
   test("weighted mean with NEGATIVE weight mass: fully-signed floor-divide " +
        "matches the exact hand computation") {
     import spark.implicits._
