@@ -273,9 +273,15 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
             pk = 0 if (hot_part and rng.random() < 0.7) \
                 else rng.randrange(n_part)
             # zero quantities and sub-1/negative prices: the leading-digit
-            # / division / log hazard zones the driver band never reaches
+            # / division / log hazard zones the driver band never reaches.
+            # NEGATIVE quantities (round-9): credit/return lines — the
+            # axis the agg_weighted fully-signed fix predicted (negative
+            # weight MASS, not just negative prices)
+            qr = rng.random()
             q = 5.0 if tie_qty else \
-                (0.0 if rng.random() < 0.05 else float(rng.randrange(1, 50)))
+                (0.0 if qr < 0.05
+                 else -float(rng.randrange(1, 50)) if qr < 0.12
+                 else float(rng.randrange(1, 50)))
             epr = rng.random()
             if tie_dense:
                 ep = rng.choice([100.0, 100.0, 999.99])
