@@ -278,7 +278,11 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
             # axis the agg_weighted fully-signed fix predicted (negative
             # weight MASS, not just negative prices)
             qr = rng.random()
-            q = 5.0 if tie_qty else \
+            # tie-locked quantities include an exact NEGATIVE mirror:
+            # groups whose weight mass cancels to EXACTLY zero (the
+            # agg_weighted/topk_nucleus NULL-contract corner) become
+            # common instead of astronomically rare
+            q = rng.choice([5.0, 5.0, 5.0, -5.0]) if tie_qty else \
                 (0.0 if qr < 0.05
                  else -float(rng.randrange(1, 50)) if qr < 0.12
                  else float(rng.randrange(1, 50)))
