@@ -129,7 +129,11 @@ object AnalysisQueries {
     monthly
       .withColumn("prev_month_avg", lag(col("avg_delay"), 1).over(wSeq))
       .withColumn("ma3", round(avg(col("avg_delay")).over(wSeq.rowsBetween(-2, 0)), 2))
-      .withColumn("quartile", ntile(4).over(Window.orderBy(col("avg_delay"))))
+      // (year, month) tiebreak: ntile is order-sensitive and two months
+      // CAN tie on avg_delay — without it quartile assignment on a tied
+      // corpus would be engine-arbitrary (tie-break class T)
+      .withColumn("quartile", ntile(4).over(
+        Window.orderBy(col("avg_delay"), col("year"), col("month"))))
       .withColumn("avg_delay", round(col("avg_delay"), 2))
       .withColumn("prev_month_avg", round(col("prev_month_avg"), 2))
       .orderBy(col("year"), col("month"))

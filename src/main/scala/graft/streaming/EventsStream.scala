@@ -147,6 +147,19 @@ object EventsStream {
     dir.toString
   }
 
+  /** The multi-batch rehearsal knob, parsed ONCE with a clear error: a
+    * malformed value fails identically at every use site (readEvents
+    * passes it to Spark, upsertMerge consumes it as an Int — before this
+    * helper the two sites validated differently). */
+  private[streaming] def streamMaxFiles: Option[Int] =
+    sys.env.get("GRAFT_STREAM_MAX_FILES").map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"GRAFT_STREAM_MAX_FILES must be an integer, got '$v'")
+      }
+    }
+
   private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
     val dir = eventsSourceDir(sfDir)
     val tsLong = tsStoredAsLong(s, dir)
@@ -157,8 +170,8 @@ object EventsStream {
     // single-batch drain a small source otherwise gets. Results must be
     // batch-identical at any split — that is the invariant the sf1
     // multi-batch rehearsal pins (round-9 verdict ask #4).
-    sys.env.get("GRAFT_STREAM_MAX_FILES").foreach(n =>
-      reader.option("maxFilesPerTrigger", n))
+    streamMaxFiles.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
     reader
       .parquet(dir)
       // TZ (not NTZ) timestamp: watermarks require TimestampType; session
@@ -617,7 +630,7 @@ object EventsStream {
   def upsertMerge(s: SparkSession, sfDir: String): DataFrame =
     upsertMergeFrom(s, eventsSourceDir(sfDir),
                     scopedStreamBase("upsert", sfDir),
-                    sys.env.get("GRAFT_STREAM_MAX_FILES").map(_.toInt))
+                    streamMaxFiles)
 
   /** Arbitrary stateful processing (SURVEY §2.10 ST3 custom-state path):
     * per-event_type running maximum of `value` across micro-batches via
@@ -719,10 +732,13 @@ object EventsStream {
     * reading the sink back and summing per cell gives the running
     * drift histogram — drained, it equals the batch assignment's cell
     * histogram, which IS the oracle (`ext_embedding_drift`'s batch
-    * sibling, continuous form). The source is a deterministic 2-file
-    * split of the embeddings table with maxFilesPerTrigger=1, so
-    * AvailableNow genuinely pushes TWO micro-batches through the merge
-    * path rather than one degenerate batch.
+    * sibling, continuous form). The source is a deterministic 4-file
+    * range split of the embeddings table with maxFilesPerTrigger=1, so
+    * AvailableNow genuinely pushes FOUR micro-batches through the merge
+    * path rather than one degenerate batch. The source dir is keyed on
+    * the split count (`src4`), so changing the layout invalidates any
+    * previously-written split instead of silently reusing it via the
+    * `_SUCCESS` guard.
     *
     * Idempotence: foreachBatch is at-least-once — a replayed batch id
     * OVERWRITES its own `batch=<id>` subdir instead of appending, so a
@@ -742,7 +758,7 @@ object EventsStream {
   def embeddingDriftStream(s: SparkSession, sfDir: String): DataFrame = {
     graft.expressions.FloatVecDot.register(s)
     val base = embeddingDriftBase(sfDir)
-    val srcDir = s"$base/src"
+    val srcDir = s"$base/src4"
     if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(srcDir, "_SUCCESS")))
       graft.Tables.embeddings(s, sfDir)

@@ -1,0 +1,450 @@
+#!/usr/bin/env python3
+"""Mechanical guard for the two PLANS.md disciplines (round-9 verdict
+ask #2): the window tie-break classification and the round-on-quotient
+classification. Until round 9 both lived only as prose audits
+(PLANS.md:2123-2229); nothing stopped entry #274 from shipping a
+tie-prone ORDER BY or a row-grain round-on-quotient. This lint makes
+the audits load-bearing:
+
+1. WINDOW TIE-BREAK (Scala side): every `Window.partitionBy/orderBy`
+   spec chain in src/main/scala/graft is fingerprinted
+   (file + normalized chain text) and must appear in
+   tools/discipline.json -> scala_windows with a class:
+     T  explicit tiebreak — ORDER BY ends in a unique key; the declared
+        tiebreak key must appear in the LAST orderBy argument (checked)
+     U  structurally unique grain (post-groupBy/distinct) — reason req.
+     R  tie-insensitive by definition (rank family / RANGE frame)
+     V  value-insensitive under ties, proven — reason required
+     unordered  no ORDER BY in the chain (checked textually)
+   An undeclared spec chain FAILS the lint — new window code must
+   declare its class to ship.
+
+2. WINDOW TIE-BREAK (oracle side): every OVER(...) clause in
+   target/verify_out/oracle_sql.json is parsed. Auto-classified safe:
+   no ORDER BY; rank/dense_rank/percent_rank/cume_dist; aggregates
+   under the default RANGE frame (peers share the frame, output is
+   tie-order-invariant). Order-SENSITIVE clauses (row_number, ntile,
+   lag, lead, first_value, last_value, nth_value, ordered string/array
+   agg, or any explicit ROWS frame) require the entry to be declared in
+   oracle_windows with a class; for class T the ORDER BY's last key
+   (modifiers stripped) must be one of the declared unique tails.
+
+3. ROUND-ON-QUOTIENT (both sides): every `round(`/`ROUND(` whose
+   argument contains a division (`/`, `//`, ` div `) is flagged — the
+   r7/r9 bug class (last-ulp divergence when a quotient of exact
+   integer sums is rounded at a representability boundary). Each site
+   must be declared with a class from the round-9 audit
+   (PLANS.md:2188-2229):
+     exact-integer   converted to integer half-up (immune)
+     group-rational  group-grain rational quotient, engines agree on
+                     all reachable halves (probed)
+     irrational      operand contains sqrt/log/pow — halfway
+                     unreachable except ulp-coincidence
+     quantized       inputs carry no digit beyond the round scale
+   Row-grain rounding has no legal class — a new row-grain site cannot
+   be declared as anything and must be respelled.
+
+Usage:
+    python3 tools/check_discipline.py            # lint (exit 1 on fail)
+    python3 tools/check_discipline.py --dump-undeclared
+    python3 tools/check_discipline.py --selftest # planted violations
+
+Dev-only tool (driver-side python); not part of the shipped library.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DECLS = os.path.join(REPO, "tools", "discipline.json")
+ORACLES = os.path.join(REPO, "target", "verify_out", "oracle_sql.json")
+SRC = os.path.join(REPO, "src", "main", "scala", "graft")
+
+CLASSES = {"T", "U", "R", "V", "unordered"}
+ROUND_CLASSES = {"exact-integer", "group-rational", "irrational",
+                 "quantized"}
+
+# order-INSENSITIVE window functions: peers tie-safe by definition
+RANK_FAMILY = {"rank", "dense_rank", "percent_rank", "cume_dist"}
+# order-SENSITIVE window functions: output depends on peer order
+ORDER_SENSITIVE = {"row_number", "ntile", "lag", "lead", "first_value",
+                   "last_value", "nth_value", "first", "last",
+                   "string_agg", "array_agg", "list", "group_concat",
+                   "listagg"}
+
+
+def balanced(text, start):
+    """Return end index just past the balanced paren group opening at
+    text[start] == '(' (quotes respected)."""
+    depth = 0
+    i = start
+    in_str = None
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == in_str and text[i - 1] != "\\":
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return len(text)
+
+
+# ---------------------------------------------------------------- scala
+
+CHAIN_CALLS = ("partitionBy", "orderBy", "rowsBetween", "rangeBetween")
+
+
+def strip_comments(text):
+    """Blank out scaladoc/block comments and full-line // comments
+    (length-preserving so line numbers survive) — prose mentions of
+    round()/Window must not be lint sites."""
+    def blank(m):
+        return re.sub(r"[^\n]", " ", m.group(0))
+    text = re.sub(r"/\*.*?\*/", blank, text, flags=re.S)
+    text = re.sub(r"^\s*//[^\n]*", blank, text, flags=re.M)
+    return text
+
+
+def scala_window_sites():
+    """Yield (relpath, line, chain_fingerprint, has_orderby, last_order_arg)
+    for every Window spec chain in main source."""
+    for path in sorted(glob.glob(f"{SRC}/**/*.scala", recursive=True)):
+        text = strip_comments(open(path).read())
+        rel = os.path.relpath(path, REPO)
+        for m in re.finditer(r"\bWindow\s*\.", text):
+            i = m.end()
+            parts = []
+            order_args = []
+            while True:
+                mm = re.match(r"\s*(\w+)\s*\(", text[i:])
+                if not mm or mm.group(1) not in CHAIN_CALLS:
+                    # allow continued chain across whitespace + dot
+                    mm2 = re.match(r"\s*\.\s*(\w+)\s*\(", text[i:])
+                    if not mm2 or mm2.group(1) not in CHAIN_CALLS:
+                        break
+                    mm = mm2
+                call = mm.group(1)
+                op = i + mm.end() - 1          # index of '('
+                end = balanced(text, op)
+                arg = text[op + 1:end - 1]
+                parts.append(f"{call}({norm_scala_arg(arg)})")
+                if call == "orderBy":
+                    order_args.append(arg)
+                i = end
+            if not parts:
+                continue          # Window.unboundedPreceding etc.
+            if not any(p.startswith(("partitionBy", "orderBy"))
+                       for p in parts):
+                continue
+            line = text.count("\n", 0, m.start()) + 1
+            fp = ".".join(parts)
+            has_ob = any(p.startswith("orderBy") for p in parts)
+            last_arg = order_args[-1] if order_args else ""
+            yield rel, line, fp, has_ob, last_arg
+        # tripwire: a detached WindowSpec variable would evade the
+        # anchored scan above — force the scanner to be extended first
+        for m in re.finditer(r"\bWindowSpec\b", text):
+            line = text.count("\n", 0, m.start()) + 1
+            yield rel, line, "WINDOWSPEC_TYPE_USED", True, ""
+
+
+def norm_scala_arg(arg):
+    a = re.sub(r"\s+", "", arg)
+    a = a.replace('col("', '').replace('")', '').replace('"', '')
+    return a
+
+
+# --------------------------------------------------------------- oracle
+
+def oracle_window_sites(sqls):
+    """Yield (entry, func, clause, order_by_last_key, sensitive)."""
+    for entry, sql in sorted(sqls.items()):
+        low = sql
+        for m in re.finditer(r"(\w+)\s*(\([^()]*(?:\([^()]*\))*[^()]*\))?"
+                             r"\s*over\s*\(", low, re.I):
+            func = m.group(1).lower()
+            op = m.end() - 1
+            end = balanced(low, op)
+            clause = low[op + 1:end - 1]
+            ob = re.search(r"order\s+by\s+(.*)", clause,
+                           re.I | re.S)
+            if not ob:
+                continue                       # unordered: tie-safe
+            # frame spec (if any) terminates the ORDER BY list; the
+            # keyword must introduce a frame (BETWEEN/UNBOUNDED/CURRENT/
+            # INTERVAL/number) — `range(1, 16)` the FUNCTION must not
+            # split here
+            obtxt = re.split(
+                r"\b(?:rows|range|groups)\s+"
+                r"(?=between\b|unbounded\b|current\b|interval\b|[\d-])",
+                ob.group(1), flags=re.I)[0]
+            keys = split_top_level(obtxt)
+            last = norm_sql_key(keys[-1]) if keys else ""
+            explicit_rows = re.search(r"\brows\b", clause, re.I)
+            if func in RANK_FAMILY and not explicit_rows:
+                continue                       # tie-insensitive
+            sensitive = (func in ORDER_SENSITIVE
+                         or bool(explicit_rows))
+            if not sensitive:
+                # aggregate under default RANGE frame: peers share the
+                # frame -> output invariant to tie order
+                continue
+            yield entry, func, clause, last
+
+
+def split_top_level(s):
+    out, depth, cur = [], 0, []
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
+def norm_sql_key(k):
+    k = re.sub(r"\s+(asc|desc)\b", "", k, flags=re.I)
+    k = re.sub(r"\s+nulls\s+(first|last)\b", "", k, flags=re.I)
+    return re.sub(r"\s+", " ", k).strip().lower()
+
+
+# ---------------------------------------------------------------- round
+
+def round_quotient_sites_sql(sqls):
+    for entry, sql in sorted(sqls.items()):
+        for m in re.finditer(r"\bround\s*\(", sql, re.I):
+            op = m.end() - 1
+            end = balanced(sql, op)
+            arg = sql[op + 1:end - 1]
+            if re.search(r"/|(?<![\w])//(?![\w])|\bdiv\b", arg, re.I):
+                yield entry, re.sub(r"\s+", " ", arg)[:120]
+
+
+def round_quotient_sites_scala():
+    for path in sorted(glob.glob(f"{SRC}/**/*.scala", recursive=True)):
+        text = strip_comments(open(path).read())
+        rel = os.path.relpath(path, REPO)
+        for m in re.finditer(r"\bround\s*\(", text):
+            op = m.end() - 1
+            end = balanced(text, op)
+            arg = text[op + 1:end - 1]
+            if re.search(r"/|\bdiv\b", arg):
+                line = text.count("\n", 0, m.start()) + 1
+                yield rel, line, norm_scala_arg(arg)[:120]
+
+
+# ----------------------------------------------------------------- lint
+
+def load_decls():
+    try:
+        return json.load(open(DECLS))
+    except FileNotFoundError:
+        return {"scala_windows": {}, "oracle_windows": {},
+                "round_scala": {}, "round_sql": {}}
+
+
+def lint(sqls, decls, verbose=True):
+    bad = []
+    dw = decls.get("scala_windows", {})
+    for rel, line, fp, has_ob, last_arg in scala_window_sites():
+        key = f"{rel}::{fp}"
+        d = dw.get(key)
+        if fp == "WINDOWSPEC_TYPE_USED":
+            bad.append(f"{rel}:{line}: detached WindowSpec usage — the "
+                       "anchored scanner cannot fingerprint it; extend "
+                       "check_discipline.py first")
+            continue
+        if d is None:
+            bad.append(f"{rel}:{line}: UNDECLARED window spec '{fp}' — "
+                       "declare its tie-break class (T/U/R/V/unordered) "
+                       "in tools/discipline.json")
+            continue
+        cls = d.get("class")
+        if cls not in CLASSES:
+            bad.append(f"{rel}:{line}: window '{fp}' declares invalid "
+                       f"class '{cls}'")
+            continue
+        if cls == "unordered" and has_ob:
+            bad.append(f"{rel}:{line}: window '{fp}' declared unordered "
+                       "but the chain contains orderBy")
+        if cls == "T":
+            tb = d.get("tiebreak", "")
+            if not tb or tb.lower() not in last_arg.lower():
+                bad.append(f"{rel}:{line}: window '{fp}' is class T but "
+                           f"declared tiebreak '{tb}' is not in the last "
+                           f"orderBy argument '{last_arg.strip()[:80]}'")
+        if cls in {"U", "V"} and not d.get("reason"):
+            bad.append(f"{rel}:{line}: window '{fp}' class {cls} needs a "
+                       "reason (the structural-uniqueness / "
+                       "value-invariance argument)")
+    ow = decls.get("oracle_windows", {})
+    for entry, func, clause, last in oracle_window_sites(sqls):
+        d = ow.get(entry)
+        if d is None:
+            bad.append(f"oracle[{entry}]: UNDECLARED order-sensitive "
+                       f"window ({func} OVER ... ORDER BY ... {last!r}) "
+                       "— declare the entry in tools/discipline.json")
+            continue
+        cls = d.get("class")
+        if cls not in CLASSES - {"unordered"}:
+            bad.append(f"oracle[{entry}]: invalid class '{cls}'")
+            continue
+        if cls == "T":
+            tails = [t.lower() for t in d.get("tails", [])]
+            if not any(t in last for t in tails):
+                bad.append(f"oracle[{entry}]: class T but ORDER BY tail "
+                           f"'{last}' matches none of the declared "
+                           f"unique tails {tails}")
+        if cls in {"U", "V"} and not d.get("reason"):
+            bad.append(f"oracle[{entry}]: class {cls} needs a reason")
+    rs = decls.get("round_scala", {})
+    for rel, line, arg in round_quotient_sites_scala():
+        key = f"{rel}::{arg}"
+        d = rs.get(key)
+        if d is None:
+            bad.append(f"{rel}:{line}: UNDECLARED round-on-quotient "
+                       f"'round({arg})' — classify it in "
+                       "tools/discipline.json (exact-integer / "
+                       "group-rational / irrational / quantized); "
+                       "row-grain rounding has no legal class — respell")
+        elif d.get("class") not in ROUND_CLASSES:
+            bad.append(f"{rel}:{line}: round site declares invalid class "
+                       f"'{d.get('class')}'")
+    rq = decls.get("round_sql", {})
+    for entry, arg in round_quotient_sites_sql(sqls):
+        d = rq.get(entry)
+        if d is None:
+            bad.append(f"oracle[{entry}]: UNDECLARED round-on-quotient "
+                       f"'round({arg[:80]})' — classify the entry in "
+                       "tools/discipline.json")
+        elif d.get("class") not in ROUND_CLASSES:
+            bad.append(f"oracle[{entry}]: invalid round class "
+                       f"'{d.get('class')}'")
+    if verbose:
+        for b in bad:
+            print(f"[discipline] {b}")
+    return bad
+
+
+def dump_undeclared(sqls, decls):
+    """Print JSON skeletons for every undeclared site (T proposed when
+    the tail looks like a known unique key)."""
+    unique_keys = ["o_orderkey", "event_id", "doc_id", "vec_id",
+                   "c_custkey", "s_suppkey", "p_partkey", "l_orderkey",
+                   "tok", "cid", "seed_id", "node", "stop_id", "trip_id",
+                   "word", "pos", "dig", "user_id"]
+    sw = {}
+    for rel, line, fp, has_ob, last_arg in scala_window_sites():
+        key = f"{rel}::{fp}"
+        if key in decls.get("scala_windows", {}):
+            continue
+        prop = {"class": "unordered" if not has_ob else "",
+                "line": line}
+        for uk in unique_keys:
+            if uk in last_arg.lower().split(",")[-1]:
+                prop = {"class": "T", "tiebreak": uk, "line": line}
+                break
+        sw[key] = prop
+    ow = {}
+    for entry, func, clause, last in oracle_window_sites(sqls):
+        if entry in decls.get("oracle_windows", {}) or entry in ow:
+            continue
+        prop = {"class": "", "tails": []}
+        for uk in unique_keys:
+            if uk in last:
+                prop = {"class": "T", "tails": [uk]}
+                break
+        ow[entry] = prop
+    rs = {}
+    for rel, line, arg in round_quotient_sites_scala():
+        key = f"{rel}::{arg}"
+        if key not in decls.get("round_scala", {}):
+            rs[key] = {"class": "", "line": line}
+    rq = {}
+    for entry, arg in round_quotient_sites_sql(sqls):
+        if entry not in decls.get("round_sql", {}) and entry not in rq:
+            rq[entry] = {"class": "", "site": arg[:80]}
+    print(json.dumps({"scala_windows": sw, "oracle_windows": ow,
+                      "round_scala": rs, "round_sql": rq}, indent=1))
+
+
+def selftest(sqls, decls):
+    """The lint must fail on planted violations of every guarded class."""
+    planted = dict(sqls)
+    planted["zz_planted_window"] = (
+        "SELECT row_number() OVER (PARTITION BY a ORDER BY ts) AS rn "
+        "FROM t")
+    planted["zz_planted_round"] = (
+        "SELECT round(sum(x) / count(*), 4) AS r FROM t GROUP BY k")
+    bad = lint(planted, decls, verbose=False)
+    checks = [
+        ("undeclared oracle window",
+         any("zz_planted_window" in b for b in bad)),
+        ("undeclared oracle round-on-quotient",
+         any("zz_planted_round" in b for b in bad)),
+    ]
+    # planted scala violation: lie about a T tiebreak
+    d2 = json.loads(json.dumps(decls))
+    for k, v in d2.get("scala_windows", {}).items():
+        if v.get("class") == "T":
+            v["tiebreak"] = "zz_not_a_column"
+            break
+    bad2 = lint(sqls, d2, verbose=False)
+    checks.append(("T tiebreak mismatch detected",
+                   any("zz_not_a_column" in b for b in bad2)))
+    # planted: drop one scala declaration entirely
+    d3 = json.loads(json.dumps(decls))
+    if d3.get("scala_windows"):
+        d3["scala_windows"].pop(sorted(d3["scala_windows"])[0])
+        bad3 = lint(sqls, d3, verbose=False)
+        checks.append(("undeclared scala window detected",
+                       len(bad3) > len(lint(sqls, decls, verbose=False))))
+    ok = all(c for _, c in checks)
+    for name, c in checks:
+        print(f"[discipline selftest] {'OK' if c else 'FAIL'}: {name}")
+    return ok
+
+
+def main():
+    try:
+        sqls = json.load(open(ORACLES))
+    except FileNotFoundError:
+        print(f"[discipline] no {ORACLES} — run the full graft.Verify "
+              "first")
+        return 2
+    decls = load_decls()
+    if "--dump-undeclared" in sys.argv:
+        dump_undeclared(sqls, decls)
+        return 0
+    if "--selftest" in sys.argv:
+        return 0 if selftest(sqls, decls) else 1
+    bad = lint(sqls, decls)
+    if bad:
+        print(f"[discipline] {len(bad)} violation(s)")
+        return 1
+    n_sw = len(decls.get("scala_windows", {}))
+    n_ow = len(decls.get("oracle_windows", {}))
+    print(f"[discipline] OK — {n_sw} scala window specs and {n_ow} "
+          "oracle entries classified; all round-on-quotient sites "
+          "declared")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,6 +26,9 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+# optional trailing args: restrict the check to these entry names
+# (tools/replay_scale.py uses this for per-entry isolated replay)
+ONLY = set(sys.argv[3:])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -66,6 +69,8 @@ def main():
             p = f"{p}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+    if ONLY:
+        oracle = {k: v for k, v in oracle.items() if k in ONLY}
 
     # one-shot wide-type audit across ALL oracles — planner-only (lazy
     # relation, nothing executes), so it runs even for entries whose spark
@@ -134,12 +139,13 @@ def main():
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     for n, v in sorted(results.items()):
         print(f"{n:<{width}}  {v}")
-    # queries with no oracle entry
-    declared = {os.path.basename(p) for p in glob.glob(f"{OUT_DIR}/*")
-                if os.path.isdir(p)}
-    no_oracle = declared - set(oracle)
-    if no_oracle:
-        print(f"-- rows-only (no oracle): {sorted(no_oracle)}")
+    # queries with no oracle entry (meaningless under an ONLY filter)
+    if not ONLY:
+        declared = {os.path.basename(p) for p in glob.glob(f"{OUT_DIR}/*")
+                    if os.path.isdir(p)}
+        no_oracle = declared - set(oracle)
+        if no_oracle:
+            print(f"-- rows-only (no oracle): {sorted(no_oracle)}")
     print(f"== {n_ok}/{len(results)} oracle-checked OK")
     return 0 if n_ok == len(results) and audit_bad == 0 else 1
 

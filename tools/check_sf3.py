@@ -107,6 +107,32 @@ def check_triangles(con, sf3dir, dumpdir) -> bool:
               f"corpus of {BASE}")
         return False
     k = ns // nb
+    # Provenance guard beyond the row-count ratio: ScaleUp shifts every
+    # key by copy*(max_base_key+1), so a genuine ScaleUp corpus must
+    # (a) have max keys exactly k*(max_base+1)-1 for both join keys and
+    # (b) partition into k copy-slots of EXACTLY nb rows each under
+    # integer division by the offset. A non-ScaleUp corpus with a
+    # coincidentally integral row ratio fails here.
+    for key in ("l_orderkey", "l_partkey"):
+        mb = con.sql(f"SELECT max({key}) FROM "
+                     f"'{table_path(BASE, 'lineitem')}'").fetchone()[0]
+        ms = con.sql(f"SELECT max({key}) FROM "
+                     f"'{table_path(sf3dir, 'lineitem')}'").fetchone()[0]
+        if ms != k * (mb + 1) - 1:
+            print(f"[sf3] ext_triangle_count FAIL: max({key})={ms} is not "
+                  f"the copy-shifted k*(max_base+1)-1 = {k * (mb + 1) - 1} "
+                  f"— not a ScaleUp corpus of {BASE}")
+            return False
+    ord_off = con.sql(f"SELECT max(l_orderkey)+1 FROM "
+                      f"'{table_path(BASE, 'lineitem')}'").fetchone()[0]
+    slots = con.sql(
+        f"SELECT l_orderkey // {ord_off} AS copy, count(*) AS n "
+        f"FROM '{table_path(sf3dir, 'lineitem')}' GROUP BY 1").fetchall()
+    if sorted(slots) != [(c, nb) for c in range(k)]:
+        print(f"[sf3] ext_triangle_count FAIL: copy-slot histogram "
+              f"{sorted(slots)[:5]}... is not {k} slots of {nb} rows — "
+              f"not a ScaleUp corpus of {BASE}")
+        return False
     con.execute(
         f"CREATE OR REPLACE VIEW lineitem AS "
         f"SELECT * FROM '{table_path(BASE, 'lineitem')}'")
