@@ -150,9 +150,11 @@ object EventsStream {
   /** The multi-batch rehearsal knob, parsed ONCE with a clear error: a
     * malformed value fails identically at every use site (readEvents
     * passes it to Spark, upsertMerge consumes it as an Int — before this
-    * helper the two sites validated differently). */
+    * helper the two sites validated differently). The system property
+    * is the in-process override (specs can't set env vars); env wins. */
   private[streaming] def streamMaxFiles: Option[Int] =
-    sys.env.get("GRAFT_STREAM_MAX_FILES").map { v =>
+    sys.env.get("GRAFT_STREAM_MAX_FILES")
+      .orElse(sys.props.get("graft.stream.maxFiles")).map { v =>
       try v.trim.toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
@@ -250,6 +252,38 @@ object EventsStream {
     root.resolve(s"stream_${name}_p$pid").toString
   }
 
+  /** Late-drop observer (round-9 verdict ask #3): the multi-batch
+    * rehearsal proved append-mode entries SILENTLY lose ~40% of rows
+    * when source files arrive out of time order — every later file is
+    * late vs the already-advanced watermark; correct Structured
+    * Streaming semantics, but at 100 TB "silently" is an incident. The
+    * engine now enforces the time-ordered ingest contract: after the
+    * drain, the summed `numRowsDroppedByWatermark` across every
+    * stateful operator and micro-batch must be ZERO, else the entry
+    * fails loudly with the drop count instead of returning short
+    * counts under green plumbing. A deployment that genuinely accepts
+    * late-data loss (or widened its watermark deliberately) sets
+    * GRAFT_STREAM_ALLOW_LATE_DROPS=1 to downgrade to a stderr warning.
+    * Complete-mode aggregations are immune (watermark GCs nothing
+    * there) and carry no assertion. */
+  private def assertNoWatermarkDrops(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      entry: String): Unit = {
+    val drops = q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
+    if (drops > 0) {
+      val msg = s"[graft.stream] $entry dropped $drops late row(s) at " +
+        "the watermark: source files violated the time-ordered ingest " +
+        "contract (feed files in event-time order, or widen the " +
+        "watermark to the disorder span). Set " +
+        "GRAFT_STREAM_ALLOW_LATE_DROPS=1 to accept the loss."
+      if (sys.env.contains("GRAFT_STREAM_ALLOW_LATE_DROPS"))
+        System.err.println(msg)
+      else throw new IllegalStateException(msg)
+    }
+  }
+
   /** ST2 — tumbling 1-hour windowed aggregation per event_type, run to
     * completion with AvailableNow into a memory sink. The returned frame is
     * deterministic and equals the batch `groupBy(date_trunc)` — which is
@@ -343,6 +377,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    assertNoWatermarkDrops(q, "stream_chained_agg")
     s.table("graft_stream_chained")
       .orderBy(col("day"), col("event_type"))
     }
@@ -375,6 +410,7 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      assertNoWatermarkDrops(q, "stream_dedup_counts")
     }
     // count_distinct(user_id) ignores NULL user_ids (events with no user
     // still count in n_events but are not users) — batch semantics
@@ -500,6 +536,7 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      assertNoWatermarkDrops(q, "stream_interval_join")
       s.table("graft_stream_attrib")
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }
@@ -547,6 +584,7 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      assertNoWatermarkDrops(q, "stream_interval_left_join")
       s.table("graft_stream_attrib_left")
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }

@@ -354,4 +354,60 @@ class StreamingSpec extends SparkSpec {
     // the INNER variant is trivially empty: no pair can exist
     EventsStream.intervalJoin(spark, srcSf).count() shouldBe 0L
   }
+
+  test("late-drop observer: unordered multi-batch arrival fails LOUDLY " +
+       "with the drop count; time-ordered arrival drains clean " +
+       "(round-9 rehearsal contract made mechanical)") {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+    // lay the events table as a 2-part directory with ascending mtimes
+    // (FileStreamSource's arrival order)
+    def lay(dst: String,
+            parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+      val dir = Paths.get(dst, "events.parquet")
+      Files.createDirectories(dir)
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val stage = tmp(s"lay$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = dir.resolve(f"part-$i%05d.parquet")
+        Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(1000000000L + i * 60000L): Unit
+      }
+      dst
+    }
+    sys.props("graft.stream.maxFiles") = "1" // 1 file per micro-batch
+    try {
+      // UNORDERED: 4 round-robin files, each spanning the whole time
+      // range. Lateness needs >= 3 batches: batch 0 fills state under a
+      // still-initial watermark, batch 1 advances it, and only rows of
+      // batches 2+ arrive behind windows ALREADY emitted and evicted —
+      // the measured drop regime. Before the observer this returned
+      // silently SHORT counts.
+      val uDir = lay(tmp("unord_sf"),
+        (0 until 4).map(r => base.filter(col("event_id") % 4 === r)))
+      val ex = intercept[IllegalStateException] {
+        EventsStream.dedupCounts(spark, uDir).collect()
+      }
+      ex.getMessage should include("late row")
+      ex.getMessage should include("time-ordered")
+      // TIME-ORDERED: same rows in 4 time-quartile files — the watermark
+      // never outruns an arriving file, zero drops, and the drained
+      // counts equal the batch truth (1000 unique events)
+      val qs = base.selectExpr(
+        "percentile_approx(cast(ts as long), array(0.25, 0.5, 0.75))")
+        .first().getSeq[Long](0)
+      val tsL = col("ts").cast("long")
+      val oDir = lay(tmp("ord_sf"), Seq(
+        base.filter(tsL <= qs(0)),
+        base.filter(tsL > qs(0) && tsL <= qs(1)),
+        base.filter(tsL > qs(1) && tsL <= qs(2)),
+        base.filter(tsL > qs(2))))
+      EventsStream.dedupCounts(spark, oDir)
+        .agg(sum("n_events")).first().getLong(0) shouldBe 1000L
+    } finally sys.props.remove("graft.stream.maxFiles"): Unit
+  }
 }

@@ -21,9 +21,17 @@ exercised (k batches, monotone event time) and every entry must equal
 its batch oracle EXACTLY — any miss is a real state/watermark bug.
 
 Usage:
-    python3 tools/stream_rehearsal.py <sfDir> [k_files]
+    python3 tools/stream_rehearsal.py <sfDir> [k_files] [--unordered]
 Builds target/stream_rehearsal/<basename>/ and prints the Verify +
 check commands' results. Exit 0 iff all 12 streaming entries are OK.
+
+--unordered deliberately VIOLATES the contract (round-robin split: every
+file spans the whole time range) to prove the failure mode is loud, not
+silent: the four watermark/append entries now carry a late-drop observer
+(EventsStream.assertNoWatermarkDrops) that fails the drain with the
+exact drop count when files arrive out of time order. In this mode the
+tool reports each observer message and exits 0 iff ALL four guarded
+entries raised it (and none returned short counts quietly).
 
 Dev-only tool (driver-side python); not part of the shipped library.
 """
@@ -50,10 +58,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings"]
 
 
+# the entries guarded by EventsStream.assertNoWatermarkDrops — the ones
+# the sf1 rehearsal measured losing ~40% of rows on unordered arrival
+GUARDED = ["stream_chained_agg", "stream_dedup_counts",
+           "stream_interval_join", "stream_interval_left_join"]
+
+
 def main() -> int:
-    sf_dir = os.path.abspath(sys.argv[1])
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    name = os.path.basename(sf_dir.rstrip("/"))
+    unordered = "--unordered" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--unordered"]
+    sf_dir = os.path.abspath(args[0])
+    k = int(args[1]) if len(args) > 1 else 8
+    name = os.path.basename(sf_dir.rstrip("/")) + \
+        ("_unordered" if unordered else "")
     rdir = f"{REPO}/target/stream_rehearsal/{name}"
     shutil.rmtree(rdir, ignore_errors=True)
     os.makedirs(rdir)
@@ -72,27 +89,62 @@ def main() -> int:
     out = f"{rdir}/events.parquet"
     os.makedirs(out)
     n = tbl.num_rows
-    step = (n + k - 1) // k
     t0 = time.time() - 3600
-    for i in range(k):
-        chunk = tbl.slice(i * step, step)
-        if not chunk.num_rows:
-            continue
-        p = f"{out}/part-{i:05d}.parquet"
-        pq.write_table(chunk, p)
-        os.utime(p, (t0 + i, t0 + i))   # ascending mtimes = arrival order
-    print(f"[rehearsal] {n} events -> {k} time-ordered files in {out}",
-          flush=True)
+    if unordered:
+        # round-robin: every file spans the whole time range, so from
+        # file 2 on, ~everything is late vs the advanced watermark
+        import pyarrow.compute as _pc
+        idx = pa.array([i % k for i in range(n)])
+        for i in range(k):
+            chunk = tbl.filter(_pc.equal(idx, i))
+            if not chunk.num_rows:
+                continue
+            p = f"{out}/part-{i:05d}.parquet"
+            pq.write_table(chunk, p)
+            os.utime(p, (t0 + i, t0 + i))
+        print(f"[rehearsal] {n} events -> {k} UNORDERED (round-robin) "
+              f"files in {out}", flush=True)
+    else:
+        step = (n + k - 1) // k
+        for i in range(k):
+            chunk = tbl.slice(i * step, step)
+            if not chunk.num_rows:
+                continue
+            p = f"{out}/part-{i:05d}.parquet"
+            pq.write_table(chunk, p)
+            os.utime(p, (t0 + i, t0 + i))  # ascending mtimes = arrival order
+        print(f"[rehearsal] {n} events -> {k} time-ordered files in {out}",
+              flush=True)
     vdir = f"{REPO}/target/stream_rehearsal/verify_{name}"
     shutil.rmtree(vdir, ignore_errors=True)
     env = dict(os.environ, GRAFT_STREAM_MAX_FILES="1")
+    entries = GUARDED if unordered else ENTRIES
     r = subprocess.run(
         ["sbt", "-batch",
-         "runMain graft.Verify %s %s %s" % (rdir, vdir, " ".join(ENTRIES))],
+         "runMain graft.Verify %s %s %s" % (rdir, vdir, " ".join(entries))],
         cwd=REPO, env=env, capture_output=True, text=True)
-    for l in r.stdout.splitlines():
+    # Verify prints per-entry failures on STDERR — scan both streams
+    vlines = r.stdout.splitlines() + r.stderr.splitlines()
+    for l in vlines:
         if "[verify]" in l:
             print(f"[rehearsal] {l}", flush=True)
+    if unordered:
+        # the observer's message carries the drop count; Verify prints it
+        # per entry as "[verify] <name> failed: ..." — all four guarded
+        # entries must raise it (a quiet short-count return is the bug)
+        raised = {e for e in GUARDED
+                  for l in vlines
+                  if f"[verify] {e} failed" in l
+                  and "dropped" in l and "watermark" in l}
+        for e in sorted(raised):
+            print(f"[rehearsal] observer fired for {e}", flush=True)
+        quiet = [e for e in GUARDED if e not in raised]
+        for e in quiet:
+            print(f"[rehearsal] QUIET LOSS: {e} did not raise the "
+                  "late-drop observer on unordered input", flush=True)
+        print(f"[rehearsal] unordered mode: {len(raised)}/{len(GUARDED)} "
+              f"observers fired")
+        return 0 if not quiet else 1
     chk = subprocess.run(
         [sys.executable, f"{REPO}/tools/check_local.py", rdir, vdir],
         cwd=REPO, capture_output=True, text=True)
