@@ -135,12 +135,27 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     # lower path on multi-byte UTF-8. Empty-string docs (the driver
     # generator's floor is 1 token) exercise split('') == [''] handling.
     n_docs = rng.choice([8, 30, 120])
-    if rng.random() < 0.25:
+    nfc_nfd = False
+    force_nfd = os.environ.get("GRAFT_FUZZ_NFD") == "1"
+    if force_nfd or rng.random() < 0.25:
         vocab = ["café", "naïve", "数据", "模型", "🙂ok", "résumé",
                  "δdata", "ključ", "tövär", "中文词", "vector", "a"]
         vocab = vocab[: rng.choice([4, len(vocab)])]
+        # NFC/NFD axis (round-10): mix BOTH normalization forms of the
+        # same visual token into the vocabulary. No engine normalizes —
+        # "café"(NFC, é=U+00E9) and "café"(NFD, e+U+0301) must be
+        # DIFFERENT tokens byte-for-byte on BOTH sides, with different
+        # lengths, md5s, grams and sort positions. Any path that
+        # normalizes (an ICU collation, a python .casefold() in an
+        # oracle helper) diverges the contract here.
+        if force_nfd or rng.random() < 0.5:
+            import unicodedata
+            nfc_nfd = True
+            vocab = vocab + [unicodedata.normalize("NFD", w) for w in vocab
+                             if unicodedata.normalize("NFD", w) != w]
     else:
         vocab = VOCAB_FULL[: rng.choice([3, 12, len(VOCAB_FULL)])]
+    dials["nfc_nfd"] = nfc_nfd
     n_sources = rng.choice([1, 2, 8])
     langs = ["en", "fr", "de", "es", "zh"]
     dials["docs"] = (n_docs, len(vocab), n_sources,
