@@ -177,7 +177,11 @@ object Advanced {
     val total = partials
       .groupBy(col("bkt"))
       .agg(expr("bitmap_or_agg(bm)").as("bm"))
-      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      // coalesce(…, 0): this is a GLOBAL aggregate, so an EMPTY events
+      // table still emits the __all__ row — SUM over zero buckets is
+      // NULL where the oracle's COUNT(DISTINCT) of nothing is 0 (fuzz
+      // seed 702, empty-table axis)
+      .agg(coalesce(sum(expr("bitmap_count(bm)")), lit(0L)).as("n_users"))
       .select(lit("__all__").as("event_type"), col("n_users"))
     perType.unionByName(total).orderBy(col("event_type"))
   }

@@ -434,7 +434,12 @@ object Aggregates {
         // both engines agree on (oracle carries the same CASE).
         struct((s1 / n).as("mean_c"),
                when(col("n") > 1,
-                 sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))))
+                 // greatest(…, 0) — seed-700 class: integer cents sums
+                 // beyond 2^53 round in the double cast, so n·s2 − s1²
+                 // can cancel to −ε on a constant group; DuckDB's
+                 // sqrt(−ε) throws, Spark's is NaN. Clamped both sides.
+                 sqrt(greatest(n * s2 - s1 * s1, lit(0d)) /
+                   (n * (n - lit(1.0)))))
                  .as("std_c"))
       }.as("ms"))
     val nD   = col("n").cast("decimal(38,0)")
@@ -1309,8 +1314,8 @@ object Aggregates {
         |  SELECT o_orderpriority, n, s1, s2,
         |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
         |    CASE WHEN n > 1 THEN
-        |      sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
-        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      sqrt(greatest(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
         |           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
         |    END AS std_c
         |  FROM m)

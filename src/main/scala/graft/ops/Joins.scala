@@ -453,10 +453,13 @@ object Joins {
     * plan; the oracle replays the join over the flat table. */
   val joinPartitionPrune: Q = (s, d) => {
     val scratch = Ingest.scratchDir("dpp_events")
-    Tables.events(s, d)
+    val staged = Tables.events(s, d)
       .withColumn("day", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("day").parquet(scratch)
-    val fact = s.read.parquet(scratch)
+    staged.write.mode("overwrite").partitionBy("day").parquet(scratch)
+    // explicit schema: an EMPTY events table writes only _SUCCESS (no
+    // day= dirs, no footers) and schema inference would throw
+    // UNABLE_TO_INFER_SCHEMA (fuzz seed 702, empty-table axis)
+    val fact = s.read.schema(staged.schema).parquet(scratch)
     val dim = Tables.events(s, d)
       .select(to_date(col("ts")).as("day")).distinct()
       .filter(dayofmonth(col("day")) <= 5)

@@ -267,7 +267,14 @@ object Windows {
         val n = col("rn").cast("double")
         val rs = col("rs").cast("double"); val rss = col("rss").cast("double")
         val mean = rs / n
-        val std = sqrt((n * rss - rs * rs) / (n * (n - lit(1.0))))
+        // greatest(…, 0) — fuzz seed 700 class: the exact sums are cast
+        // to DOUBLE before n·rss − rs², so a constant window of values
+        // whose squares aren't double-exact (999.99² = 999980.0001)
+        // cancels to −ε; DuckDB's sqrt(−ε) THROWS (even inside the CASE
+        // guard, which evaluates it), Spark's returns NaN. Clamped in
+        // BOTH engines' formulas.
+        val std = sqrt(greatest(n * rss - rs * rs, lit(0d)) /
+          (n * (n - lit(1.0))))
         when(col("rn") >= 2 && std > 0,
              round((col("sv").cast("double") - mean) / std, 6))
           .as("z6")
@@ -869,24 +876,24 @@ object Windows {
         |  CAST(sv AS DOUBLE) AS daily_total,
         |  CAST(rn AS BIGINT) AS n_window,
         |  CASE WHEN rn >= 2 AND
-        |    sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
-        |          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |    sqrt(greatest(CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE), 0.0)
         |         / (CAST(rn AS DOUBLE) * (CAST(rn AS DOUBLE) - 1.0))) > 0
         |  THEN round((CAST(sv AS DOUBLE)
         |              - CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE))
-        |             / sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
-        |                     - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |             / sqrt(greatest(CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |                     - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE), 0.0)
         |                    / (CAST(rn AS DOUBLE)
         |                       * (CAST(rn AS DOUBLE) - 1.0))), 6)
         |  END AS z6,
         |  abs(CASE WHEN rn >= 2 AND
-        |    sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
-        |          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |    sqrt(greatest(CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |          - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE), 0.0)
         |         / (CAST(rn AS DOUBLE) * (CAST(rn AS DOUBLE) - 1.0))) > 0
         |  THEN round((CAST(sv AS DOUBLE)
         |              - CAST(rs AS DOUBLE) / CAST(rn AS DOUBLE))
-        |             / sqrt((CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
-        |                     - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE))
+        |             / sqrt(greatest(CAST(rn AS DOUBLE) * CAST(rss AS DOUBLE)
+        |                     - CAST(rs AS DOUBLE) * CAST(rs AS DOUBLE), 0.0)
         |                    / (CAST(rn AS DOUBLE)
         |                       * (CAST(rn AS DOUBLE) - 1.0))), 6)
         |  END) > 2.0 AS is_outlier

@@ -90,13 +90,20 @@ package object ops {
     val n = count(lit(1)).cast("double")
     // n=1 guard (fuzz seed 209): sample stddev is UNDEFINED for a
     // single-row group — ANSI /(n−1)=0 throws where DuckDB's /0 is
-    // NULL; the explicit branch makes the stddev_samp contract match
-    when(n > 1d, round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), scale))
+    // NULL; the explicit branch makes the stddev_samp contract match.
+    // greatest(…, 0) (fuzz seed 700): the exact decimal sums are cast
+    // to DOUBLE before the subtraction, so a (near-)constant column can
+    // cancel to −ε — mathematically variance ≥ 0, but DuckDB's sqrt(−ε)
+    // THROWS where Spark's returns NaN. The clamp is applied in BOTH
+    // engines' formulas, changing nothing except that class.
+    when(n > 1d, round(sqrt(
+      greatest(sxx - sx * sx / n, lit(0d)) / (n - lit(1.0))), scale))
   }
 
   def rstddevSql(e: String, scale: Int = 2): String = {
     val sx = dsumSql(e)
     val sxx = s"CAST(SUM(CAST($e AS DECIMAL(18,2)) * CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
-    s"round(sqrt(($sxx - $sx * $sx / count(*)) / (count(*) - 1.0)), $scale)"
+    s"round(sqrt(greatest($sxx - $sx * $sx / count(*), 0.0) " +
+      s"/ (count(*) - 1.0)), $scale)"
   }
 }

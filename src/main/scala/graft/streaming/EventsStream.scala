@@ -866,8 +866,9 @@ object EventsStream {
     * everything ingested so far. */
   def incrementalDaily(s: SparkSession, sfDir: String, ckptDir: String,
                        outDir: String): DataFrame = {
-    val q = readEvents(s, sfDir)
+    val staged = readEvents(s, sfDir)
       .withColumn("day", to_date(col("ts")))
+    val q = staged
       .writeStream
       .format("parquet")
       .option("path", outDir)
@@ -881,7 +882,11 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir)
+    // explicit schema (= the staged stream's own): an EMPTY source
+    // drains zero batches and the sink holds no footers — inference
+    // would throw UNABLE_TO_INFER_SCHEMA (fuzz seed 702, empty-table
+    // axis); non-empty reads are unchanged (same columns, day last)
+    s.read.schema(staged.schema).parquet(outDir)
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("day"))

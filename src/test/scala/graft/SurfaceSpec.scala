@@ -1246,6 +1246,76 @@ class SurfaceSpec extends SparkSpec {
     ks.isNullAt(ks.fieldIndex("ks_ppm")) shouldBe true
   }
 
+  test("fuzz regression (seed 700): constant non-dyadic values cancel to " +
+       "-eps variance under the double cast — stddev/zscore must clamp, " +
+       "not throw or NaN") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/fuzzreg_eps"
+    // 999.99^2 = 999980.0001 is not double-exact: with TWO equal prices,
+    // sxx_double - sx_double^2/n = -2.3e-10 — mathematically zero.
+    // Pre-fix: DuckDB's sqrt(-eps) THREW (Out of Range) and Spark's was
+    // NaN; post-fix both clamp to exactly 0.0.
+    def li(o: Long, ln: Int) =
+      (o, 0L, 0L, ln, 5.0, 999.99, 0.0, 0.0, "N", "O",
+       java.sql.Timestamp.valueOf("1995-06-04 00:00:00"))
+    Seq(li(0, 1), li(1, 1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val sd = graft.ops.Aggregates.aggStddev(spark, dir).first()
+    sd.getAs[Double]("sd_price") shouldBe 0.0
+    sd.getAs[Double]("sd_qty") shouldBe 0.0
+    // the same class in win_rolling_zscore's 7-row window: days of
+    // identical 999.99 daily totals. The cancellation can land on
+    // EITHER side of zero per window size: -eps is clamped to 0 (std=0,
+    // guard false, z6 NULL — pre-fix DuckDB threw here); +eps gives a
+    // ~1e-5 std whose numerator is a 0-or-ulp difference, so z6 rounds
+    // to 0.0 — IDENTICAL doubles on both engines either way. Assert: no
+    // throw, and every non-NULL z6 is exactly 0.0 (a constant series
+    // must never read as an outlier).
+    def ev(id: Long, day: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 01:00:00"),
+       0L, "click", 999.99, """{"k": 1}""")
+    Seq(ev(0, 1), ev(1, 2), ev(2, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val z = graft.ops.Windows.winRollingZscore(spark, dir).collect()
+    z.length shouldBe 3
+    z.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("z6")))
+        math.abs(r.getAs[Double]("z6")) shouldBe 0.0
+      (r.isNullAt(r.fieldIndex("is_outlier")) ||
+        !r.getAs[Boolean]("is_outlier")) shouldBe true
+    }
+  }
+
+  test("fuzz regression (seed 702, empty-table axis): an EMPTY events " +
+       "table yields empty/zero results, not schema-inference throws " +
+       "or NULL-vs-0 divergence") {
+    import spark.implicits._
+    val dir = "/root/repo/target/scratch/fuzzreg_empty"
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // bitmap distinct: the GLOBAL __all__ row must read 0 (the oracle's
+    // COUNT(DISTINCT) of nothing), not SUM-over-no-buckets NULL
+    val bd = graft.ops.Advanced.aggBitmapDistinct(spark, dir).collect()
+    bd.map(r => r.getString(0) -> r.isNullAt(1)).toMap shouldBe
+      Map("__all__" -> false)
+    bd.head.getAs[Long]("n_users") shouldBe 0L
+    // partition-prune join: writing an empty frame day-partitioned
+    // leaves no footers — the read-back must use the staged schema, not
+    // throw UNABLE_TO_INFER_SCHEMA
+    graft.ops.Joins.joinPartitionPrune(spark, dir).count() shouldBe 0L
+    // streaming incremental daily: an empty source drains zero batches
+    // and writes nothing — same inference hazard on the sink read-back
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/scratch"), "inc_empty")
+    graft.streaming.EventsStream.incrementalDaily(
+      spark, dir, s"$base/ckpt", s"$base/out").count() shouldBe 0L
+  }
+
   test("fuzz regressions: negative event values and credit-line prices " +
        "(seed 400) — log/sqrt domains go NULL, modulo stays non-negative") {
     import spark.implicits._
