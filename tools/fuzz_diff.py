@@ -115,6 +115,17 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     # GRAFT_FUZZ_TIE=1; otherwise drawn at ~25%.
     tie_dense = os.environ.get("GRAFT_FUZZ_TIE") == "1" or rng.random() < 0.25
     dials["tie_dense"] = tie_dense
+    # Empty-table axis (round-10): one of {documents, embeddings, events}
+    # may be COMPLETELY EMPTY (0 rows, schema preserved) — the empty
+    # shard / empty day a 100 TB ingest inevitably produces somewhere.
+    # Both engines must agree on the degenerate output (empty frames,
+    # NULL aggregates, zero-row streams), not throw. Forced via
+    # GRAFT_FUZZ_EMPTY=<table>; drawn at ~15% otherwise. lineitem and
+    # orders keep the driver generator's non-empty floor (FK-parented).
+    empty_t = os.environ.get("GRAFT_FUZZ_EMPTY")
+    if empty_t is None and rng.random() < 0.15:
+        empty_t = rng.choice(["documents", "embeddings", "events"])
+    dials["empty"] = empty_t
     for t in ("region", "nation"):
         shutil.copy(f"{TD}/{t}.parquet", f"{out}/{t}.parquet")
     # physical-layout dial: each fact table independently lands as a
@@ -134,7 +145,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     # engine-divergent ones like Turkish İ/ß) exercises every md5/length/
     # lower path on multi-byte UTF-8. Empty-string docs (the driver
     # generator's floor is 1 token) exercise split('') == [''] handling.
-    n_docs = rng.choice([8, 30, 120])
+    n_docs = 0 if empty_t == "documents" else rng.choice([8, 30, 120])
     nfc_nfd = False
     force_nfd = os.environ.get("GRAFT_FUZZ_NFD") == "1"
     if force_nfd or rng.random() < 0.25:
@@ -179,12 +190,18 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         texts.append(t)
         rows.append((i, t, rng.choice(langs), f"src{rng.randrange(n_sources)}",
                      len(t)))
+    # explicit arrow schema: an EMPTY pandas object column would infer
+    # pa.null() and re-type Spark's read
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                            ("lang", pa.string()), ("source", pa.string()),
+                            ("n_chars", pa.int64())])
     pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"]) \
         .astype({"doc_id": "int64", "n_chars": "int64"}) \
-        .pipe(write, f"{out}/documents.parquet", parts=lay["documents"])
+        .pipe(write, f"{out}/documents.parquet", doc_schema,
+              parts=lay["documents"])
 
     # ---- embeddings: duplicates allowed, norms bounded away from 0
-    n_vec = rng.choice([32, 64, 200])
+    n_vec = 0 if empty_t == "embeddings" else rng.choice([32, 64, 200])
     dials["vecs"] = n_vec
     base = [np.array([rng.uniform(-1, 1) for _ in range(64)], dtype=np.float32)
             for _ in range(max(8, n_vec // 4))]
@@ -330,11 +347,28 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         .pipe(write, f"{out}/lineitem.parquet", parts=lay["lineitem"])
 
     # ---- events: identical-timestamp ties, single-user option
-    n_ev = rng.choice([20, 200, 1000])
+    n_ev = 0 if empty_t == "events" else rng.choice([20, 200, 1000])
     one_user = rng.random() < 0.25
     dials["events"] = (n_ev, one_user)
     et = ["click", "view", "purchase", "signup", "error"]
-    ts0 = pd.Timestamp("2024-01-01")
+    # epoch-extreme dial (round-10): the events base has always been
+    # 2024-pinned while ORDERS got 1970/2098 extremes — watermark
+    # arithmetic, window(ts, '1 hour') bucketing, day/hour extracts and
+    # sessionize gaps near the epoch and far future were never hit.
+    # (1970-01-01 00:xx itself is excluded: a watermark can underflow
+    # the epoch only in engines storing unsigned time — both engines
+    # here are int64 micros, but the driver corpus floor is 1970+1d.)
+    forced_epoch = os.environ.get("GRAFT_FUZZ_EPOCH")  # e.g. 1970-01-02
+    er = rng.random()
+    if forced_epoch:
+        ts0 = pd.Timestamp(forced_epoch)
+    elif er < 0.1:
+        ts0 = pd.Timestamp("1970-01-02")
+    elif er < 0.2:
+        ts0 = pd.Timestamp("2098-06-01")
+    else:
+        ts0 = pd.Timestamp("2024-01-01")
+    dials["ev_epoch"] = str(ts0.date())
     # tie-dense: ALL timestamps from a tiny pool (2-10 slots) so every
     # (user, ts) and (type, ts) window partition is saturated with tied
     # ORDER BY keys — interval islands, sweep deltas, sessionize flags,
@@ -378,10 +412,19 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         else:
             props = '{"k": %d}' % rng.randrange(100)
         erows.append((i, ts, uid, rng.choice(et), val, props))
-    pd.DataFrame(erows, columns=["event_id", "ts", "user_id", "event_type",
-                                 "value", "props"]) \
-        .astype({"event_id": "int64", "user_id": "int64"}) \
-        .pipe(write, f"{out}/events.parquet", parts=lay["events"])
+    ev_schema = pa.schema([("event_id", pa.int64()),
+                           ("ts", pa.timestamp("us")),
+                           ("user_id", pa.int64()),
+                           ("event_type", pa.string()),
+                           ("value", pa.float64()),
+                           ("props", pa.string())])
+    edf = pd.DataFrame(erows, columns=["event_id", "ts", "user_id",
+                                       "event_type", "value", "props"]) \
+        .astype({"event_id": "int64", "user_id": "int64"})
+    if edf.empty:
+        edf["ts"] = edf["ts"].astype("datetime64[us]")
+        edf["value"] = edf["value"].astype("float64")
+    edf.pipe(write, f"{out}/events.parquet", ev_schema, parts=lay["events"])
     return dials
 
 
