@@ -28,7 +28,13 @@ object Bench {
     // the methodology. Run order is sorted by name so it is identical
     // across rounds, not HashMap-order.
     val passes = math.max(2,
-      sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.trim.toInt).getOrElse(3))
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").map { v =>
+        try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'")
+        }
+      }.getOrElse(3))
     var errors = Set.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = collection.mutable.Map.empty[String, Double]

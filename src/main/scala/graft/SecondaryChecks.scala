@@ -124,7 +124,10 @@ object SecondaryChecks {
       val agg = SparkEntry.queries(e)(spark, sfDir)
         .agg(max(col("cluster_size")).cast("double").as("mx"),
              count(lit(1)).cast("double").as("n")).head
-      e -> agg.getDouble(0) / agg.getDouble(1)
+      // zero-row clusters output (empty corpus on a non-driver dir):
+      // max() is NULL — report share 0.0 instead of NPE'ing the run
+      e -> (if (agg.isNullAt(0) || agg.getDouble(1) == 0.0) 0.0
+            else agg.getDouble(0) / agg.getDouble(1))
     }
     val percTol = 0.02
     val percPass = percShare.forall { case (e, sh) =>

@@ -163,6 +163,8 @@ object EventsStream {
     }
 
   private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
+    // before any query starts: the drop observer must see every run
+    DropTracker.ensureRegistered(s)
     val dir = eventsSourceDir(sfDir)
     val tsLong = tsStoredAsLong(s, dir)
     val reader = s.readStream.schema(eventsRawSchema(tsLong))
@@ -252,6 +254,73 @@ object EventsStream {
     root.resolve(s"stream_${name}_p$pid").toString
   }
 
+  /** Cross-batch drop accumulator backing [[assertNoWatermarkDrops]].
+    * `q.recentProgress` is a RING BUFFER capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100): a
+    * drain with more micro-batches than the cap — exactly the
+    * maxFilesPerTrigger=1 scaled-ingest rehearsal the observer is
+    * motivated by — would silently forget early-batch drop counts, so
+    * the observer must not read the buffer. Instead this listener
+    * (registered once per session, at [[readEvents]] time — i.e.
+    * strictly before any query it must watch starts) accumulates
+    * `numRowsDroppedByWatermark` per query RUN as each progress event
+    * is posted. The listener bus is ASYNCHRONOUS — events can trail
+    * `awaitTermination()` — but per-query delivery is ordered, so once
+    * the terminated event for a run has arrived every progress event
+    * of that run has too; [[totalDrops]] therefore waits (bounded) for
+    * the terminated marker before reading the counter. Per-run state
+    * is dropped on read; a run never read retains one map entry
+    * (bounded by queries per process, not by batches). */
+  private object DropTracker
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import java.util.concurrent.ConcurrentHashMap
+    private val drops = new ConcurrentHashMap[java.util.UUID, java.lang.Long]
+    private val terminated =
+      ConcurrentHashMap.newKeySet[java.util.UUID]()
+    // identity set: one registration per SparkSession instance
+    private val sessions = java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkSession, java.lang.Boolean]))
+    def ensureRegistered(s: SparkSession): Unit =
+      if (sessions.add(s)) s.streams.addListener(this)
+    override def onQueryStarted(e: QueryStartedEvent): Unit = {
+      drops.put(e.runId, 0L): Unit
+    }
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val d = e.progress.stateOperators.iterator
+        .map(_.numRowsDroppedByWatermark).sum
+      drops.merge(e.progress.runId, d, (a, b) => a + b): Unit
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      terminated.add(e.runId): Unit
+    }
+    /** Total watermark drops across EVERY micro-batch of the run, or
+      * None when the run was never observed (query started before the
+      * listener registered — a caller bug the assert reports). */
+    def totalDrops(runId: java.util.UUID, waitMs: Long = 30000L)
+        : Option[Long] = {
+      // wait for the TERMINATED marker first: event delivery is ordered
+      // per run, so its arrival proves the started + every progress
+      // event arrived too (checking `drops` before waiting would race
+      // a trailing started event into a spurious never-observed)
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      while (!terminated.contains(runId) && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      if (!terminated.contains(runId)) {
+        // never-terminated AND never-started = the query predates the
+        // listener (caller bug, reported as None); started-but-hung is
+        // a certification failure
+        if (!drops.containsKey(runId)) return None
+        throw new IllegalStateException(
+          s"DropTracker: terminated event for run $runId not delivered " +
+          s"within $waitMs ms — cannot certify the zero-drop contract")
+      }
+      terminated.remove(runId)
+      Option(drops.remove(runId)).map(_.longValue)
+    }
+  }
+
   /** Late-drop observer (round-9 verdict ask #3): the multi-batch
     * rehearsal proved append-mode entries SILENTLY lose ~40% of rows
     * when source files arrive out of time order — every later file is
@@ -261,24 +330,30 @@ object EventsStream {
     * drain, the summed `numRowsDroppedByWatermark` across every
     * stateful operator and micro-batch must be ZERO, else the entry
     * fails loudly with the drop count instead of returning short
-    * counts under green plumbing. A deployment that genuinely accepts
-    * late-data loss (or widened its watermark deliberately) sets
-    * GRAFT_STREAM_ALLOW_LATE_DROPS=1 to downgrade to a stderr warning.
+    * counts under green plumbing. Drop totals come from [[DropTracker]]
+    * (every micro-batch), not `recentProgress` (ring buffer, cap 100 —
+    * a >100-batch drain would under-count there). A deployment that
+    * genuinely accepts late-data loss (or widened its watermark
+    * deliberately) sets GRAFT_STREAM_ALLOW_LATE_DROPS=1 (the value
+    * must be exactly "1") to downgrade to a stderr warning.
     * Complete-mode aggregations are immune (watermark GCs nothing
     * there) and carry no assertion. */
   private def assertNoWatermarkDrops(
       q: org.apache.spark.sql.streaming.StreamingQuery,
       entry: String): Unit = {
-    val drops = q.recentProgress.iterator
-      .flatMap(_.stateOperators.iterator)
-      .map(_.numRowsDroppedByWatermark).sum
+    val drops = DropTracker.totalDrops(q.runId).getOrElse {
+      throw new IllegalStateException(
+        s"[graft.stream] $entry started before DropTracker registered — " +
+        "the zero-drop contract cannot be certified; route the source " +
+        "through readEvents (which registers the listener) before start()")
+    }
     if (drops > 0) {
       val msg = s"[graft.stream] $entry dropped $drops late row(s) at " +
         "the watermark: source files violated the time-ordered ingest " +
         "contract (feed files in event-time order, or widen the " +
         "watermark to the disorder span). Set " +
         "GRAFT_STREAM_ALLOW_LATE_DROPS=1 to accept the loss."
-      if (sys.env.contains("GRAFT_STREAM_ALLOW_LATE_DROPS"))
+      if (sys.env.get("GRAFT_STREAM_ALLOW_LATE_DROPS").contains("1"))
         System.err.println(msg)
       else throw new IllegalStateException(msg)
     }

@@ -410,4 +410,59 @@ class StreamingSpec extends SparkSpec {
         .agg(sum("n_events")).first().getLong(0) shouldBe 1000L
     } finally sys.props.remove("graft.stream.maxFiles"): Unit
   }
+
+  test("late-drop observer survives the recentProgress ring buffer: " +
+       "drops in an EARLY batch still fail loudly after enough clean " +
+       "batches rolled the buffer past its cap (listener accumulates " +
+       "every micro-batch; buffer-summing would report zero)") {
+    import java.nio.file.{Files, Paths}
+    val base = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+    val tsL = col("ts").cast("long")
+    val qs = base.selectExpr(
+      "percentile_approx(cast(ts as long), array(0.25, 0.75))")
+      .first().getSeq[Long](0)
+    val top = base.filter(tsL > qs(1))          // batch 0: advances wm
+    val old = base.filter(tsL <= qs(0))         // batch 1: ALL late
+    val nOld = old.count()
+    nOld should be > 0L
+    val maxRow = base.orderBy(col("ts").desc, col("event_id")).limit(1)
+    def lay(dst: String,
+            parts: Seq[org.apache.spark.sql.DataFrame]): String = {
+      val dir = Paths.get(dst, "events.parquet")
+      Files.createDirectories(dir)
+      parts.zipWithIndex.foreach { case (df, i) =>
+        val stage = tmp(s"rblay$i")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, dir.resolve(f"part-$i%05d.parquet"))
+        dir.resolve(f"part-$i%05d.parquet").toFile
+          .setLastModified(1000000000L + i * 60000L): Unit
+      }
+      dst
+    }
+    // batch 0 fills state under the still-initial watermark, batch 1 (a
+    // max-ts duplicate — deduped away, never late) lets the advanced
+    // watermark take effect, batch 2 delivers the old rows ALL LATE,
+    // then six more clean single-row batches roll the progress ring
+    // buffer (cap lowered to 2) past the dropping batch: a
+    // buffer-summing observer reads zero drops while nOld rows were lost.
+    val dir = lay(tmp("ringbuf_sf"),
+                  Seq(top, maxRow, old) ++ Seq.fill(6)(maxRow))
+    sys.props("graft.stream.maxFiles") = "1"
+    val capKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevCap = spark.conf.get(capKey)
+    spark.conf.set(capKey, "2")
+    try {
+      val ex = intercept[IllegalStateException] {
+        EventsStream.dedupCounts(spark, dir).collect()
+      }
+      ex.getMessage should include(s"dropped $nOld late row")
+    } finally {
+      spark.conf.set(capKey, prevCap)
+      sys.props.remove("graft.stream.maxFiles"): Unit
+    }
+  }
 }

@@ -104,14 +104,92 @@ CHAIN_CALLS = ("partitionBy", "orderBy", "rowsBetween", "rangeBetween")
 
 
 def strip_comments(text):
-    """Blank out scaladoc/block comments and full-line // comments
-    (length-preserving so line numbers survive) — prose mentions of
-    round()/Window must not be lint sites."""
-    def blank(m):
-        return re.sub(r"[^\n]", " ", m.group(0))
-    text = re.sub(r"/\*.*?\*/", blank, text, flags=re.S)
-    text = re.sub(r"^\s*//[^\n]*", blank, text, flags=re.M)
-    return text
+    """Blank out scaladoc/block comments (nested, as Scala allows) and
+    // line comments INCLUDING trailing ones, length-preserving so line
+    numbers survive — prose mentions of round()/Window must not be lint
+    sites, and comment edits must not churn fingerprints. String
+    literals are respected: the oracle SQL lives in triple-quoted
+    strings full of DuckDB `//` integer division, which must NOT be
+    treated as comments (the prior regex only blanked full-line //
+    comments precisely to dodge this; the scanner handles both)."""
+    out = []
+    i, n = 0, len(text)
+    mode = 0          # 0 code, 1 line comment, 2 block, 3 "str", 4 triple
+    depth = 0         # block-comment nesting
+    while i < n:
+        c = text[i]
+        if mode == 0:
+            if text.startswith("//", i):
+                mode = 1
+                out.append("  ")
+                i += 2
+            elif text.startswith("/*", i):
+                mode, depth = 2, 1
+                out.append("  ")
+                i += 2
+            elif text.startswith('"""', i):
+                mode = 4
+                out.append('"""')
+                i += 3
+            elif c == '"':
+                mode = 3
+                out.append(c)
+                i += 1
+            elif c == "'":
+                # char literal ('x', '\n', '\"'): copy wholesale so a
+                # quote char inside never flips string mode
+                m = re.match(r"'(\\.|[^\\'])'", text[i:])
+                if m:
+                    out.append(m.group(0))
+                    i += len(m.group(0))
+                else:          # symbol literal / lone quote
+                    out.append(c)
+                    i += 1
+            else:
+                out.append(c)
+                i += 1
+        elif mode == 1:        # // line comment
+            if c == "\n":
+                mode = 0
+                out.append(c)
+            else:
+                out.append(" ")
+            i += 1
+        elif mode == 2:        # block comment (nested)
+            if text.startswith("/*", i):
+                depth += 1
+                out.append("  ")
+                i += 2
+            elif text.startswith("*/", i):
+                depth -= 1
+                out.append("  ")
+                i += 2
+                if depth == 0:
+                    mode = 0
+            else:
+                out.append(c if c == "\n" else " ")
+                i += 1
+        elif mode == 3:        # "string"
+            if c == "\\" and i + 1 < n:
+                out.append(text[i:i + 2])
+                i += 2
+            else:
+                if c == '"' or c == "\n":   # unterminated: bail at EOL
+                    mode = 0
+                out.append(c)
+                i += 1
+        else:                  # """triple""" (ends at the LAST quote of
+            if text.startswith('"""', i):   # a quote run, per Scala)
+                j = i
+                while j < n and text[j] == '"':
+                    j += 1
+                out.append(text[i:j])
+                i = j
+                mode = 0
+            else:
+                out.append(c)
+                i += 1
+    return "".join(out)
 
 
 def scala_window_sites():

@@ -37,6 +37,20 @@ dates/prices and lineitem quantities/prices from tiny pools, fixed
 doc token counts — aimed at the ~29 win_* entries, interval joins and
 sweep ops (the round-8 seed-454 finding class, made deliberate).
 
+Round-11 axes (the round-10 verdict's #1 and #5):
+- ZIPFIAN KEY SKEW (GRAFT_FUZZ_SKEW=1 forces; else ~25%): one hot key
+  owns 20-40%% of rows and the remainder follows zipf(s=1.2) — on
+  events.user_id, documents.source, orders.o_custkey,
+  lineitem.l_suppkey/l_partkey. Every prior axis perturbed VALUES;
+  this is the first perturbing the KEY DISTRIBUTION, the #1
+  operational killer at 100 TB (hot-partition windows, skewed
+  shuffles, one-reducer aggregations).
+- GIANT ROW (GRAFT_FUZZ_GIANT=1 forces; else ~10%): one document of
+  100k+ tokens (stride-1 window entries, shingle loops and per-row
+  HOF folds must stay linear per row) and one embedding vector
+  duplicated across ~60%% of rows (a corpus-wide exact-dup clique —
+  the fully-degenerate nearest-neighbor structure).
+
 Dev-only tool (driver-side python); not part of the shipped library.
 """
 import os
@@ -126,6 +140,38 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     if empty_t is None and rng.random() < 0.15:
         empty_t = rng.choice(["documents", "embeddings", "events"])
     dials["empty"] = empty_t
+    # Zipfian key-skew axis (round-11 verdict ask #1): key 0 owns
+    # hot_share (20-40%) of draws, keys 1.. follow zipf(s=1.2). Applied
+    # to every fan-out key the uniform driver generator never skews.
+    skew_share = None
+    if os.environ.get("GRAFT_FUZZ_SKEW") == "1" or rng.random() < 0.25:
+        skew_share = rng.uniform(0.2, 0.4)
+    dials["skew_share"] = round(skew_share, 3) if skew_share else None
+
+    def zipf_pick(n):
+        """Key picker over [0, n): uniform when the axis is off; else
+        key 0 is the hot key and the tail is zipf(1.2)-distributed."""
+        if n <= 1:
+            return lambda: 0
+        if skew_share is None:
+            return lambda: rng.randrange(n)
+        import bisect
+        w = [1.0 / (r ** 1.2) for r in range(1, n)]
+        tot = sum(w)
+        cum, acc = [], 0.0
+        for x in w:
+            acc += x
+            cum.append(acc / tot)
+
+        def pick():
+            if rng.random() < skew_share:
+                return 0
+            return 1 + bisect.bisect_left(cum, rng.random())
+        return pick
+    # Giant-row axis (round-11 verdict ask #5): one pathological row,
+    # not a pathological corpus — per-row cost paths must stay linear.
+    giant = os.environ.get("GRAFT_FUZZ_GIANT") == "1" or rng.random() < 0.1
+    dials["giant"] = giant
     for t in ("region", "nation"):
         shutil.copy(f"{TD}/{t}.parquet", f"{out}/{t}.parquet")
     # physical-layout dial: each fact table independently lands as a
@@ -172,6 +218,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     dials["docs"] = (n_docs, len(vocab), n_sources,
                      "uni" if vocab[0] == "café" else "ascii")
     texts, rows = [], []
+    pick_src = zipf_pick(n_sources)
     for i in range(n_docs):
         r = rng.random()
         if r < 0.2 and texts:            # exact duplicate of an earlier doc
@@ -188,8 +235,15 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
             k = 8 if tie_dense else rng.randint(5, 80)
             t = " ".join(rng.choices(vocab, k=k))
         texts.append(t)
-        rows.append((i, t, rng.choice(langs), f"src{rng.randrange(n_sources)}",
+        rows.append((i, t, rng.choice(langs), f"src{pick_src()}",
                      len(t)))
+    if giant and n_docs:
+        # one 100k+-token document: per-row paths (shingling, BPE-ish
+        # token loops, stride-1 windows) must stay linear per row
+        gt = " ".join(rng.choices(vocab, k=100000 + rng.randrange(20000)))
+        gi = rng.randrange(n_docs)
+        r0 = rows[gi]
+        rows[gi] = (r0[0], gt, r0[2], r0[3], len(gt))
     # explicit arrow schema: an EMPTY pandas object column would infer
     # pa.null() and re-type Spark's read
     doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
@@ -205,10 +259,21 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     dials["vecs"] = n_vec
     base = [np.array([rng.uniform(-1, 1) for _ in range(64)], dtype=np.float32)
             for _ in range(max(8, n_vec // 4))]
+    # giant axis: ONE vector duplicated across ~60% of rows — a corpus-
+    # wide exact-dup clique (complete cosine subgraph, degenerate ANN
+    # neighborhoods, single dominating cluster)
+    gvec = np.array([rng.uniform(-1, 1) for _ in range(64)],
+                    dtype=np.float32) if giant else None
+    if gvec is not None and float(np.linalg.norm(gvec)) < 0.1:
+        gvec = gvec + np.float32(0.5)
     embs = []
     for i in range(n_vec):
-        v = rng.choice(base) if rng.random() < 0.3 else \
-            np.array([rng.uniform(-1, 1) for _ in range(64)], dtype=np.float32)
+        if gvec is not None and rng.random() < 0.6:
+            v = gvec
+        else:
+            v = rng.choice(base) if rng.random() < 0.3 else \
+                np.array([rng.uniform(-1, 1) for _ in range(64)],
+                         dtype=np.float32)
         if float(np.linalg.norm(v)) < 0.1:
             v = v + np.float32(0.5)
         embs.append((i, v.tolist(), rng.randrange(10)))
@@ -252,6 +317,9 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
         .pipe(write, f"{out}/part.parquet", parts=lay["part"])
 
     active_cust = max(1, int(n_cust * rng.choice([0.3, 1.0])))
+    pick_cust = zipf_pick(active_cust)
+    pick_supp = zipf_pick(n_supp)
+    pick_part = zipf_pick(n_part)
     stat = ["F", "O", "P"]
     prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     orows = []
@@ -288,7 +356,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
             price = round(rng.uniform(-999, -0.01), 2)
         else:
             price = round(rng.uniform(1000, 300000), 2)
-        orows.append((i, rng.randrange(active_cust), rng.choice(stat),
+        orows.append((i, pick_cust(), rng.choice(stat),
                       price, d, rng.choice(prio)))
     pd.DataFrame(orows, columns=["o_orderkey", "o_custkey", "o_orderstatus",
                                  "o_totalprice", "o_orderdate",
@@ -303,7 +371,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
     for o, _, _, _, od, _ in orows:
         for ln in range(rng.randrange(0, 7)):  # 0 => order w/o lineitems
             pk = 0 if (hot_part and rng.random() < 0.7) \
-                else rng.randrange(n_part)
+                else pick_part()
             # zero quantities and sub-1/negative prices: the leading-digit
             # / division / log hazard zones the driver band never reaches.
             # NEGATIVE quantities (round-9): credit/return lines — the
@@ -327,7 +395,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                 ep = round(rng.uniform(-9999, -0.01), 2)
             else:
                 ep = round(rng.uniform(100, 50000), 2)
-            lrows.append((o, pk, rng.randrange(n_supp), ln + 1, q,
+            lrows.append((o, pk, pick_supp(), ln + 1, q,
                           ep,
                           round(rng.choice([0.0, 0.05, 0.1]), 2),
                           round(rng.choice([0.0, 0.04, 0.08]), 2),
@@ -380,6 +448,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                     for _ in range(n_slots)]
         dials["tie_slots"] = n_slots
     erows, last_ts = [], ts0
+    pick_user = zipf_pick(max(2, n_ev // 10))
     for i in range(n_ev):
         if tie_pool is not None:
             ts = rng.choice(tie_pool)
@@ -389,7 +458,7 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
             ts = ts0 + pd.Timedelta(seconds=rng.randrange(0, 30 * 86400),
                                     microseconds=rng.randrange(0, 1000000))
         last_ts = ts
-        uid = 0 if one_user else rng.randrange(max(2, n_ev // 10))
+        uid = 0 if one_user else pick_user()
         # value extremes (zero / negative refund-shaped) and hostile props
         # payloads (empty object, missing key, nested, null value)
         vr = rng.random()
@@ -445,12 +514,14 @@ def main() -> int:
         shutil.rmtree(odir, ignore_errors=True)
         dials = gen_corpus(rng, cdir)
         print(f"[fuzz] seed={seed} dials={dials}", flush=True)
-        sel = "" if run_all else " " + " ".join(names)
+        sel = [] if run_all else names
+        # plain-java runner (tools/run_main.sh): no sbt startup tax or
+        # project lock per trial — REQUIRES a fresh `sbt compile` first
         r = subprocess.run(
-            ["sbt", "-batch",
-             "runMain graft.Verify %s %s%s" % (cdir, odir, sel)],
+            [f"{REPO}/tools/run_main.sh", "graft.Verify", cdir, odir] + sel,
             cwd=REPO, capture_output=True, text=True)
-        verr = [l for l in r.stdout.splitlines() if "[verify]" in l]
+        verr = [l for l in (r.stdout + r.stderr).splitlines()
+                if "[verify]" in l]
         for l in verr:
             print(f"[fuzz] seed={seed} {l}", flush=True)
         chk = subprocess.run(
