@@ -12,6 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * always pass the path (file OR directory of part-files works identically).
   */
 object Tables {
+  /** Test-only transient-fault injector backing graft.RetryProbe: with
+    * sys.prop `graft.test.failonce=<token>` set, the FIRST attempt of
+    * partition 0 of each table scan throws once per (token, table) —
+    * exercising Spark's task-retry path (requires a master with
+    * maxFailures >= 2, e.g. local[4, 2]). The fired-set lives in this
+    * JVM, which is exactly where local-mode tasks run; the hook is a
+    * no-op in any real deployment (the prop is never set there). */
+  private[graft] object RetryFault {
+    val fired = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[String]()
+  }
+
+  private def maybeInjectFault(df: DataFrame, name: String): DataFrame =
+    sys.props.get("graft.test.failonce") match {
+      case Some(token) =>
+        val schema = df.schema
+        val key = s"$token/$name"
+        val rdd = df.rdd.mapPartitionsWithIndex { (i, it) =>
+          if (i == 0 && RetryFault.fired.add(key))
+            throw new RuntimeException(
+              s"graft.test.failonce: injected transient failure ($key)")
+          it
+        }
+        df.sparkSession.createDataFrame(rdd, schema)
+      case None => df
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // nanos column; see events() below. The legacy flag stays set ONLY
@@ -28,8 +55,9 @@ object Tables {
           case Some(v) => spark.conf.set(key, v)
           case None    => spark.conf.unset(key)
         }
-      df
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+      maybeInjectFault(df, name)
+    } else maybeInjectFault(
+      spark.read.parquet(s"$sfDir/$name.parquet"), name)
   }
 
   /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) in some

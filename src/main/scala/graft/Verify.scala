@@ -10,7 +10,7 @@ object Verify {
     // (driver passes none; dev runs use it to re-check changed entries)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,8 +19,51 @@ object Verify {
       // against DuckDB's timestamp[us] results
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Config-robustness hook (round-10 verdict ask #3): the contract must
+    // hold under OTHER Spark configurations than the one blessed default —
+    // codegen off (the interpreted evaluator is a genuinely different
+    // execution engine for the custom Catalyst expressions), AQE off,
+    // shuffle-partition extremes. `k=v;k=v` pairs, applied LAST so they
+    // override the defaults above. Correctness must be config-invariant;
+    // the tools/config_matrix.py sweep asserts exactly that.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF entry must be key=value, got '$kv'")
+        }
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spill-path witness (round-10 verdict ask #2): local[32]/128 GiB
+    // never spills, so the ExternalSorter / ExternalAppendOnlyMap /
+    // UnsafeExternalSorter paths that dominate a real cluster's behavior
+    // would otherwise go unexecuted under this contract. With
+    // SPARK_GRAFT_ASSERT_SPILL=1 (paired with force-spill thresholds via
+    // SPARK_GRAFT_EXTRA_CONF — see tools/config_matrix.py's spill cell),
+    // a listener accumulates task spill metrics and the run FAILS unless
+    // something actually spilled — proving the hashes that check_local
+    // then verifies were produced through the spill machinery, not past
+    // it. (Same assert-the-instrument discipline as the late-drop
+    // observer: a rehearsal that can silently not-exercise its target
+    // path proves nothing.)
+    val spillAssert = sys.env.get("SPARK_GRAFT_ASSERT_SPILL").contains("1")
+    val spillMem = new java.util.concurrent.atomic.LongAdder
+    val spillDisk = new java.util.concurrent.atomic.LongAdder
+    if (spillAssert)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null) {
+              spillMem.add(m.memoryBytesSpilled)
+              spillDisk.add(m.diskBytesSpilled)
+            }
+          }
+        })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -46,6 +89,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (spillAssert) {
+      // the listener bus is async; a run-total across hundreds of
+      // queries is stable long before stop, but give trailing task-end
+      // events a beat
+      Thread.sleep(3000)
+      println(s"[verify] SPILL mem=${spillMem.sum} disk=${spillDisk.sum}")
+      if (spillMem.sum + spillDisk.sum == 0) {
+        System.err.println("[verify] SPILL-ASSERT FAILED: no task " +
+          "spilled — the rehearsal did not exercise the spill path")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
     spark.stop()
   }
 }

@@ -53,7 +53,10 @@ class ClusteringSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = "/root/repo/target/scratch/ccspec"
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = Clustering.extDedupClusters(spark, dir).collect()
+    val rows = Clustering.extDedupClusters(spark, dir).collect()
+    // percolation canary column: largest cluster 3 of 5 nodes, on every row
+    rows.map(_.getDouble(4)).distinct.toSeq shouldBe Seq(0.6)
+    val out = rows
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     out(0L) shouldBe ((0L, 3L, true))
@@ -79,7 +82,10 @@ class ClusteringSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val dir = "/root/repo/target/scratch/embccspec"
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val out = graft.ops.Clustering.extEmbedClusters(spark, dir).collect()
+    val rows = graft.ops.Clustering.extEmbedClusters(spark, dir).collect()
+    // canary: 3-vector family of 4 nodes => share 0.75
+    rows.map(_.getDouble(4)).distinct.toSeq shouldBe Seq(0.75)
+    val out = rows
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     out(1L) shouldBe ((1L, 3L, true))

@@ -44,6 +44,44 @@ the audits load-bearing:
    Row-grain rounding has no legal class — a new row-grain site cannot
    be declared as anything and must be respelled.
 
+4. TASK-RETRY DETERMINISM (round-10 verdict ask #4, Scala side):
+   under speculative execution or executor loss, Spark re-runs
+   individual TASKS; any construct whose value depends on
+   partition-internal evaluation order, PRNG draws, or truncated
+   lineage can return a DIFFERENT answer on retry — silently, since
+   the job still succeeds. Every such construct in src/main must be
+   declared in tools/discipline.json -> retry_scala with a class:
+     ordered        first/last/collect over an explicitly ordered
+                    frame whose ordering is total (ties broken) — the
+                    value is the same under any execution order
+     windowed       first_value/last_value/lag-family over a Window
+                    spec already classified by the tie-break lint
+     single-valued  the aggregated group is proven single-valued;
+                    any element IS the element
+     sorted-output  collect_list/collect_set wrapped in
+                    sort_array/array_sort before the value is used
+     order-free     the collected multiset is consumed order-
+                    insensitively (exploded, size(), containment) so
+                    element order cannot reach the output
+     seeded         rand(seed)/randn(seed): Spark reseeds per
+                    partition INDEX, so a retried task reproduces its
+                    exact draws — deterministic given deterministic
+                    parent partitioning (spark.range / file scans)
+     scan-metadata  input_file_name(): the row<->file binding is
+                    fixed by the scan, identical on retry
+     stateless      mapPartitions whose function is a pure per-row
+                    transform of its own partition (no cross-
+                    partition or external mutable state)
+     failfast       localCheckpoint(): an executor loss makes the
+                    job FAIL LOUDLY (lineage truncated, no recompute)
+                    rather than silently diverge; cluster deployments
+                    swap in reliable checkpoint()
+     driver-action  a driver-side .first()/.head on a 1-row frame
+   Each class requires a reason. String literals are blanked for this
+   scan (SQL text is the oracle lints' jurisdiction: order-sensitive
+   OVER clauses in SQL entries are already forced through
+   oracle_windows).
+
 Usage:
     python3 tools/check_discipline.py            # lint (exit 1 on fail)
     python3 tools/check_discipline.py --dump-undeclared
@@ -327,6 +365,97 @@ def round_quotient_sites_scala():
                 yield rel, line, norm_scala_arg(arg)[:120]
 
 
+# ---------------------------------------------------------------- retry
+
+RETRY_CLASSES = {"ordered", "windowed", "single-valued", "sorted-output",
+                 "order-free", "seeded", "scan-metadata", "stateless",
+                 "failfast", "driver-action"}
+# value-bearing functions whose result can depend on evaluation order /
+# PRNG state; first/last with EMPTY args are driver Row actions and are
+# skipped (they act on an already-computed 1-row frame)
+RETRY_FUNCS = ("first", "last", "first_value", "last_value",
+               "collect_list", "collect_set", "rand", "randn",
+               "input_file_name", "shuffle", "uuid",
+               "monotonically_increasing_id", "spark_partition_id")
+RETRY_METHODS = ("mapPartitionsWithIndex", "mapPartitions",
+                 "foreachPartition", "localCheckpoint")
+
+
+def blank_strings(text):
+    """Blank the CONTENTS of string literals (quotes kept, length
+    preserved) — the retry scan must see code, not SQL prose."""
+    out = []
+    i, n = 0, len(text)
+    mode = 0                       # 0 code, 3 "str", 4 """triple"""
+    while i < n:
+        c = text[i]
+        if mode == 0:
+            if text.startswith('"""', i):
+                mode = 4
+                out.append('"""')
+                i += 3
+            elif c == '"':
+                mode = 3
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        elif mode == 3:
+            if c == "\\" and i + 1 < n:
+                out.append("  ")
+                i += 2
+            elif c == '"' or c == "\n":    # end (or unterminated: EOL)
+                mode = 0
+                out.append(c)
+                i += 1
+            else:
+                out.append(" ")
+                i += 1
+        else:
+            if text.startswith('"""', i):
+                j = i
+                while j < n and text[j] == '"':
+                    j += 1
+                out.append(text[i:j])
+                i = j
+                mode = 0
+            else:
+                out.append(c if c == "\n" else " ")
+                i += 1
+    return "".join(out)
+
+
+def retry_sites_scala():
+    """Yield (relpath, line, key, construct) for every retry-hazard
+    construct in main source (comments AND string contents blanked)."""
+    func_re = re.compile(r"\b(%s)\s*\(" % "|".join(RETRY_FUNCS))
+    meth_re = re.compile(r"\.\s*(%s)\b" % "|".join(RETRY_METHODS))
+    for path in sorted(glob.glob(f"{SRC}/**/*.scala", recursive=True)):
+        text = blank_strings(strip_comments(open(path).read()))
+        rel = os.path.relpath(path, REPO)
+        for m in func_re.finditer(text):
+            name = m.group(1)
+            op = m.end() - 1
+            end = balanced(text, op)
+            raw = text[op + 1:end - 1]
+            arg = norm_scala_arg(raw)
+            # skip ONLY a truly-empty .first()/.last() (driver Row action
+            # on a 1-row frame); a blanked col("...") arg is NOT empty in
+            # the raw text, so aggregate first(col(x)) still lints
+            if name in ("first", "last") and not raw.strip():
+                continue
+            line = text.count("\n", 0, m.start()) + 1
+            yield rel, line, f"{rel}::{name}({arg[:80]})", name
+        for m in meth_re.finditer(text):
+            name = m.group(1)
+            ls = text.rfind("\n", 0, m.start()) + 1
+            le = text.find("\n", m.end())
+            ctx = re.sub(r"\s+", "", text[ls:le if le > 0 else len(text)])
+            line = text.count("\n", 0, m.start()) + 1
+            yield rel, line, f"{rel}::{name}@{ctx[:80]}", name
+
+
 # ----------------------------------------------------------------- lint
 
 def load_decls():
@@ -414,6 +543,22 @@ def lint(sqls, decls, verbose=True):
         elif d.get("class") not in ROUND_CLASSES:
             bad.append(f"oracle[{entry}]: invalid round class "
                        f"'{d.get('class')}'")
+    rt = decls.get("retry_scala", {})
+    for rel, line, key, construct in retry_sites_scala():
+        d = rt.get(key)
+        if d is None:
+            bad.append(f"{rel}:{line}: UNDECLARED retry-hazard "
+                       f"'{construct}' ('{key.split('::', 1)[1][:90]}') — "
+                       "classify it in tools/discipline.json retry_scala "
+                       "(ordered/windowed/single-valued/sorted-output/"
+                       "seeded/scan-metadata/stateless/failfast/"
+                       "driver-action)")
+        elif d.get("class") not in RETRY_CLASSES:
+            bad.append(f"{rel}:{line}: retry site '{key}' declares "
+                       f"invalid class '{d.get('class')}'")
+        elif not d.get("reason"):
+            bad.append(f"{rel}:{line}: retry site '{key}' class "
+                       f"{d['class']} needs a reason")
     if verbose:
         for b in bad:
             print(f"[discipline] {b}")
@@ -458,8 +603,13 @@ def dump_undeclared(sqls, decls):
     for entry, arg in round_quotient_sites_sql(sqls):
         if entry not in decls.get("round_sql", {}) and entry not in rq:
             rq[entry] = {"class": "", "site": arg[:80]}
+    rt = {}
+    for rel, line, key, construct in retry_sites_scala():
+        if key not in decls.get("retry_scala", {}) and key not in rt:
+            rt[key] = {"class": "", "reason": "", "line": line}
     print(json.dumps({"scala_windows": sw, "oracle_windows": ow,
-                      "round_scala": rs, "round_sql": rq}, indent=1))
+                      "round_scala": rs, "round_sql": rq,
+                      "retry_scala": rt}, indent=1))
 
 
 def selftest(sqls, decls):
@@ -493,6 +643,20 @@ def selftest(sqls, decls):
         bad3 = lint(sqls, d3, verbose=False)
         checks.append(("undeclared scala window detected",
                        len(bad3) > len(lint(sqls, decls, verbose=False))))
+    # planted: drop one retry declaration; and corrupt one class
+    d4 = json.loads(json.dumps(decls))
+    if d4.get("retry_scala"):
+        k0 = sorted(d4["retry_scala"])[0]
+        d4["retry_scala"].pop(k0)
+        bad4 = lint(sqls, d4, verbose=False)
+        checks.append(("undeclared retry hazard detected",
+                       any("UNDECLARED retry-hazard" in b for b in bad4)))
+        d5 = json.loads(json.dumps(decls))
+        k1 = sorted(d5["retry_scala"])[0]
+        d5["retry_scala"][k1]["class"] = "zz-bogus"
+        bad5 = lint(sqls, d5, verbose=False)
+        checks.append(("invalid retry class detected",
+                       any("invalid class 'zz-bogus'" in b for b in bad5)))
     ok = all(c for _, c in checks)
     for name, c in checks:
         print(f"[discipline selftest] {'OK' if c else 'FAIL'}: {name}")
@@ -518,9 +682,10 @@ def main():
         return 1
     n_sw = len(decls.get("scala_windows", {}))
     n_ow = len(decls.get("oracle_windows", {}))
-    print(f"[discipline] OK — {n_sw} scala window specs and {n_ow} "
-          "oracle entries classified; all round-on-quotient sites "
-          "declared")
+    n_rt = len(decls.get("retry_scala", {}))
+    print(f"[discipline] OK — {n_sw} scala window specs, {n_ow} "
+          f"oracle entries and {n_rt} retry-hazard sites classified; "
+          "all round-on-quotient sites declared")
     return 0
 
 

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Config-robustness matrix (round-10 verdict ask #3): the full contract
+must be green under OTHER Spark configurations than the one blessed
+default — a plan that is only accidentally correct under one config
+(codegen'd path, AQE re-planning, one shuffle-partition count) is a
+latent 100 TB incident, because a real cluster differs in all three.
+
+Cells (each = full graft.Verify at the gate scale + check_local.py):
+  codegen_off   wholeStage codegen AND expression codegen disabled —
+                the interpreted evaluator is a genuinely different
+                execution engine for the custom Catalyst expressions
+                (FloatVecDot, MaskAndCount, SortedIntersectCount,
+                CdcBoundaries), whose eval() path the default config
+                never runs at bench scale
+  aqe_off       adaptive execution off — static shuffle planning,
+                no runtime coalesce/skew-split/replan
+  shuffle7      spark.sql.shuffle.partitions=7 (odd, smaller than the
+                default 4-cpu count is not possible; 7 forces uneven
+                key->partition regrouping vs the blessed 4)
+  shuffle2048   spark.sql.shuffle.partitions=2048 (the 100 TB-ish
+                setting: most partitions EMPTY at gate scale — empty-
+                partition handling, per-partition init paths)
+
+State is per-cell resumable in the state JSON; a cell is re-run only if
+not already OK. Usage:
+    python3 tools/config_matrix.py [sfDir] [state.json]
+
+Dev-only tool (driver-side python); not part of the shipped library.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CELLS = {
+    "codegen_off": {"conf": ("spark.sql.codegen.wholeStage=false;"
+                             "spark.sql.codegen.factoryMode=NO_CODEGEN")},
+    "aqe_off": {"conf": "spark.sql.adaptive.enabled=false"},
+    "shuffle7": {"conf": "spark.sql.shuffle.partitions=7"},
+    "shuffle2048": {"conf": "spark.sql.shuffle.partitions=2048"},
+    # Spill rehearsal (verdict ask #2): deterministic force-spill
+    # thresholds push every sort / window buffer / sort-merge-join
+    # buffer / hash-agg fallback through the external-spill machinery
+    # (UnsafeExternalSorter, ExternalAppendOnlyUnsafeRowArray,
+    # sort-based agg fallback) that ample local[32] memory never
+    # exercises. SPARK_GRAFT_ASSERT_SPILL=1 makes graft.Verify FAIL
+    # unless task metrics show real spill bytes — the rehearsal proves
+    # the hashes were produced THROUGH the spill path, not around it.
+    "spill": {
+        "conf": ("spark.shuffle.spill.numElementsForceSpillThreshold=500;"
+                 "spark.sql.windowExec.buffer.in.memory.threshold=32;"
+                 "spark.sql.windowExec.buffer.spill.threshold=32;"
+                 "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=32;"
+                 "spark.sql.sortMergeJoinExec.buffer.spill.threshold=32;"
+                 "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=8"),
+        "env": {"SPARK_GRAFT_ASSERT_SPILL": "1"},
+        "expect_spill": True,
+    },
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    state_path = sys.argv[2] if len(sys.argv) > 2 else \
+        f"{REPO}/target/config_matrix_state.json"
+    state = {}
+    if os.path.exists(state_path):
+        state = json.load(open(state_path))
+
+    def save():
+        tmp = state_path + ".tmp"
+        json.dump(state, open(tmp, "w"), indent=1, sort_keys=True)
+        os.replace(tmp, state_path)
+
+    for cell, spec in CELLS.items():
+        conf = spec["conf"]
+        if str(state.get(cell, {}).get("status", "")) == "OK":
+            print(f"[matrix] {cell}: already OK, skipping", flush=True)
+            continue
+        out = f"{REPO}/target/matrix/{cell}"
+        subprocess.run(["rm", "-rf", out])
+        env = dict(os.environ, SPARK_GRAFT_EXTRA_CONF=conf,
+                   **spec.get("env", {}))
+        t0 = time.time()
+        print(f"[matrix] {cell}: verify ({conf})", flush=True)
+        rv = subprocess.run(
+            [f"{REPO}/tools/run_main.sh", "graft.Verify", sf_dir, out],
+            cwd=REPO, env=env, capture_output=True, text=True)
+        t_verify = time.time() - t0
+        allout = (rv.stdout + rv.stderr).splitlines()
+        spill_line = next((l.strip() for l in allout
+                           if "[verify] SPILL" in l), "")
+        verr = [l for l in allout
+                if "[verify]" in l and "SPILL mem=" not in l]
+        if spec.get("expect_spill") and rv.returncode != 0:
+            verr.append(f"spill-assert exit {rv.returncode}: {spill_line}")
+        t1 = time.time()
+        rc = subprocess.run(
+            [sys.executable, f"{REPO}/tools/check_local.py", sf_dir, out],
+            cwd=REPO, capture_output=True, text=True)
+        t_check = time.time() - t1
+        summary = next((l for l in rc.stdout.splitlines()
+                        if l.startswith("==") and "oracle-checked" in l), "")
+        bad = [l for l in rc.stdout.splitlines()
+               if l and "OK" not in l and not l.startswith(("==", "--"))]
+        m = re.search(r"== (\d+)/(\d+) oracle-checked OK", summary)
+        ok = bool(m) and m.group(1) == m.group(2) and not verr
+        state[cell] = {
+            "status": "OK" if ok else "FAIL",
+            "conf": conf,
+            "summary": summary,
+            "spill": spill_line,
+            "verify_errors": verr[:20],
+            "check_failures": bad[:40],
+            "verify_sec": round(t_verify, 1),
+            "check_sec": round(t_check, 1),
+        }
+        save()
+        print(f"[matrix] {cell}: {state[cell]['status']} {summary} "
+              f"(verify {t_verify:.0f}s, check {t_check:.0f}s)", flush=True)
+        for l in (verr + bad)[:20]:
+            print(f"[matrix] {cell} FINDING: {l}", flush=True)
+    n_ok = sum(1 for v in state.values() if v.get("status") == "OK")
+    print(f"[matrix] {n_ok}/{len(CELLS)} cells OK")
+    return 0 if n_ok == len(CELLS) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -517,16 +517,22 @@ def main() -> int:
         sel = [] if run_all else names
         # plain-java runner (tools/run_main.sh): no sbt startup tax or
         # project lock per trial — REQUIRES a fresh `sbt compile` first
+        import time as _time
+        t0 = _time.time()
         r = subprocess.run(
             [f"{REPO}/tools/run_main.sh", "graft.Verify", cdir, odir] + sel,
             cwd=REPO, capture_output=True, text=True)
+        t_verify = _time.time() - t0
         verr = [l for l in (r.stdout + r.stderr).splitlines()
                 if "[verify]" in l]
         for l in verr:
             print(f"[fuzz] seed={seed} {l}", flush=True)
+        t1 = _time.time()
         chk = subprocess.run(
             [sys.executable, f"{REPO}/tools/check_local.py", cdir, odir],
             cwd=REPO, capture_output=True, text=True)
+        print(f"[fuzz] seed={seed} wall: verify {t_verify:.0f}s, "
+              f"oracle {_time.time() - t1:.0f}s", flush=True)
         bad = [l for l in chk.stdout.splitlines()
                if l and "OK" not in l and "MISSING-SPARK-OUTPUT" not in l
                and not l.startswith("==") and not l.startswith("--")]

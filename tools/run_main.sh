@@ -9,7 +9,10 @@
 # Usage: tools/run_main.sh <MainClass> [args...]
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-CLASSES="$REPO/target/scala-2.13/classes"
+# GRAFT_CLASSES overrides for FROZEN-SNAPSHOT runs: a long background
+# sweep must not race an sbt recompile rewriting class files under it —
+# cp -r the classes dir and point the sweep here.
+CLASSES="${GRAFT_CLASSES:-$REPO/target/scala-2.13/classes}"
 [ -d "$CLASSES" ] || { echo "run sbt compile first" >&2; exit 2; }
 SCALA_LIB="$(ls "$HOME"/.cache/coursier/v1/https/*/org/scala-lang/scala-library/*/scala-library-*.jar 2>/dev/null | head -1 || true)"
 # /opt/spark/jars already ships the scala library; only add a cached one
