@@ -37,6 +37,20 @@ private[graft] object Registration {
     ctor(children.head, children(1))
   }
 
+  def arityThreeBuilder(name: String,
+                        ctor: (Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = children => {
+    if (children.length != 3)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> "3",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    ctor(children.head, children(1), children(2))
+  }
+
   def register(spark: SparkSession, name: String, className: String,
                builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(

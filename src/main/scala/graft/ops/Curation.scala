@@ -200,11 +200,13 @@ object Curation {
     // position (O(len²) char copies), the same repeated-inlining trap
     // shingles3 hit in round 2. A/B at sf0.1: 4.6 s inlined → 2.9 s
     // bound (with the postings-grain rework below already in place).
+    // native one-pass window expression (Dedup.extSubstringDedup note):
+    // per-position substr is O(len²) on a giant row
+    graft.expressions.SlidingWindows.register(s)
     def chargrams(c: String): Column =
       bindOnce(lower(col(c))) { lt =>
         when(length(lt) >= 3,
-          transform(sequence(lit(1), length(lt) - 2),
-                    i => lt.substr(i, lit(3))))
+          call_function("sliding_windows", lt, lit(3), lit(1)))
           .otherwise(array(lt))
       }
     // Postings grain, not occurrence grain: per-doc trigram COUNTS are

@@ -536,13 +536,18 @@ object Dedup {
   val extSubstringDedup: Q = (s, d) => {
     // explode the window strings NARROWLY (no shuffle yet), then map to
     // hash60 in a codegen'd projection — a hash inside the transform
-    // lambda would run interpreted (HOF lambdas don't codegen)
+    // lambda would run interpreted (HOF lambdas don't codegen).
+    // sliding_windows (native, one forward pass) replaces the
+    // per-position substring spelling, whose O(len²) UTF-8 re-seek a
+    // single 100k-token doc turns into a 15-min task (round-11
+    // giant-row fuzz finding); the oracle keeps the declarative substr
+    // replay, SlidingWindowsSpec pins row-by-row equivalence
+    graft.expressions.SlidingWindows.register(s)
     val sh = Tables.documents(s, d)
       .filter(length(col("text")) >= 32)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 31, 8)," +
-            " p -> substring(text, p, 32))")).as("shingle"))
+        explode(call_function("sliding_windows",
+          col("text"), lit(32), lit(8))).as("shingle"))
       .select(col("doc_id"), col("source"), hash60(col("shingle")).as("wkey"))
     val dup = sh.groupBy(col("wkey"))
       .agg(count_distinct(col("doc_id")).as("nd"))
@@ -671,12 +676,12 @@ object Dedup {
     * to (shingle, source) grain BEFORE the self-join so the pair join is
     * over distinct source-postings, not raw occurrences. */
   val extSourceOverlap: Q = (s, d) => {
+    graft.expressions.SlidingWindows.register(s)
     val sh = Tables.documents(s, d)
       .filter(length(col("text")) >= 32)
       .select(col("source"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 31, 8)," +
-            " p -> substring(text, p, 32))")).as("shingle"))
+        explode(call_function("sliding_windows",
+          col("text"), lit(32), lit(8))).as("shingle"))
       .distinct()
     sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") &&
@@ -694,12 +699,12 @@ object Dedup {
     * per-doc ratio is one division of exact longs, averaged per source
     * via the 12-decimal quantized sum. */
   val extNoveltyRate: Q = (s, d) => {
+    graft.expressions.SlidingWindows.register(s)
     val sh = Tables.documents(s, d)
       .filter(length(col("text")) >= 32)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 31, 8)," +
-            " p -> substring(text, p, 32))")).as("shingle"))
+        explode(call_function("sliding_windows",
+          col("text"), lit(32), lit(8))).as("shingle"))
       .distinct()
     val firstSeen = sh.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
@@ -784,10 +789,13 @@ object Dedup {
     * tiebreak; the join back is fingerprint-grain (bounded by selected
     * hashes, ~len/2.5 per doc), never doc×doc. */
   val extWinnowing: Q = (s, d) => {
+    // native one-pass window expression (see extSubstringDedup): the
+    // per-position substr spelling is O(len²) on a giant row
+    graft.expressions.SlidingWindows.register(s)
     val lt = lower(col("text"))
     val grams = bindOnce(lt) { t =>
       when(length(t) >= 8,
-        transform(sequence(lit(1), length(t) - 7), i => t.substr(i, lit(8))))
+        call_function("sliding_windows", t, lit(8), lit(1)))
         .otherwise(array(t))
     }
     // window minimum as least-of-4 element_ats: A/B'd against

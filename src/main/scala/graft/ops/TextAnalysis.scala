@@ -206,10 +206,12 @@ object TextAnalysis {
     * (count DESC, trigram) and the same bindOnce'd trigram explode as
     * [[Curation.extLmScore]] (inlined lower() is O(len²)). */
   val extNgramProfile: Q = (s, d) => {
+    // native one-pass window expression (Dedup.extSubstringDedup note):
+    // per-position substr is O(len²) on a giant row
+    graft.expressions.SlidingWindows.register(s)
     val grams = bindOnce(lower(col("text"))) { lt =>
       when(length(lt) >= 3,
-        transform(sequence(lit(1), length(lt) - 2),
-                  i => lt.substr(i, lit(3))))
+        call_function("sliding_windows", lt, lit(3), lit(1)))
         .otherwise(array(lt))
     }
     val counts = fanout(Tables.documents(s, d), col("doc_id"))

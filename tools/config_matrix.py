@@ -50,13 +50,21 @@ CELLS = {
     # exercises. SPARK_GRAFT_ASSERT_SPILL=1 makes graft.Verify FAIL
     # unless task metrics show real spill bytes — the rehearsal proves
     # the hashes were produced THROUGH the spill path, not around it.
+    # Threshold choice (round-11 finding): 32-row thresholds spill a
+    # 10k-row window partition into ~300 files, and the merge's
+    # per-file 1 MB read-ahead buffers OOM an 8 GB driver heap
+    # (join_asof_forward died, taking the context with it). 2000-row
+    # thresholds + read-ahead off still spill ~4.3 GB across the
+    # contract (sorts, windows, SMJ buffers, hash-agg fallback) with
+    # single-digit files per merge.
     "spill": {
-        "conf": ("spark.shuffle.spill.numElementsForceSpillThreshold=500;"
-                 "spark.sql.windowExec.buffer.in.memory.threshold=32;"
-                 "spark.sql.windowExec.buffer.spill.threshold=32;"
-                 "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=32;"
-                 "spark.sql.sortMergeJoinExec.buffer.spill.threshold=32;"
-                 "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=8"),
+        "conf": ("spark.shuffle.spill.numElementsForceSpillThreshold=2000;"
+                 "spark.sql.windowExec.buffer.in.memory.threshold=2000;"
+                 "spark.sql.windowExec.buffer.spill.threshold=2000;"
+                 "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold=2000;"
+                 "spark.sql.sortMergeJoinExec.buffer.spill.threshold=2000;"
+                 "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=128;"
+                 "spark.unsafe.sorter.spill.read.ahead.enabled=false"),
         "env": {"SPARK_GRAFT_ASSERT_SPILL": "1"},
         "expect_spill": True,
     },
