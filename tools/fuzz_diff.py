@@ -239,8 +239,19 @@ def gen_corpus(rng: random.Random, out: str) -> dict:
                      len(t)))
     if giant and n_docs:
         # one 100k+-token document: per-row paths (shingling, BPE-ish
-        # token loops, stride-1 windows) must stay linear per row
-        gt = " ".join(rng.choices(vocab, k=100000 + rng.randrange(20000)))
+        # token loops, stride-1 windows) must stay linear per row.
+        # ASCII tokens and a 35k-token cap, both for ORACLE tractability:
+        # the engine side is one-pass at any charset and any length
+        # (sliding_windows; SlidingWindowsSpec pins 150k chars < 10 s and
+        # unicode equivalence), but the DuckDB oracle replays per-position
+        # substr, measured O(position) per call even on ASCII (36 us at
+        # 100k chars) — quadratic with no linear spelling available
+        # (RE2 has no lookahead, no byte-indexed blob substring). 35k
+        # tokens ~ 200 KB keeps the stride-1 oracles ~2 min while the
+        # PRE-fix engine would still burn ~100 s in one task — the
+        # pathology stays visible, the trial stays runnable.
+        gvocab = [w for w in vocab if w.isascii()] or ["gw", "token", "x"]
+        gt = " ".join(rng.choices(gvocab, k=35000 + rng.randrange(5000)))
         gi = rng.randrange(n_docs)
         r0 = rows[gi]
         rows[gi] = (r0[0], gt, r0[2], r0[3], len(gt))
