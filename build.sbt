@@ -34,3 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Freshness stamp for tools/run_main.sh's staleness gate: zinc content-
+// hashes sources, so a no-op recompile (e.g. after a pure touch) does
+// NOT rewrite .class files — comparing src mtimes to class mtimes alone
+// could wedge the gate stale forever. This file is touched on EVERY
+// successful `sbt compile`, no-op or not, so "newest .scala vs stamp"
+// is exactly "has sbt compile succeeded since the last source edit".
+Compile / compile := {
+  val result = (Compile / compile).value
+  IO.touch(target.value / "graft_compile_stamp")
+  result
+}

@@ -30,6 +30,16 @@ object AB {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // same box-speed calibration probe as Bench (pure CPU, data- and
+    // repo-independent) so cross-round AB comparisons can separate box
+    // drift from code drift mechanically
+    val calibration = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 400000000L, 1, 32)
+        .selectExpr("sum(id * 3 + (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"AB calibration_sec=$calibration%.3f")
     val times = collection.mutable.Map.empty[String, List[Double]]
     for (i <- 1 to iters; name <- names) {
       val t0 = System.nanoTime()
@@ -54,7 +64,9 @@ object AB {
     val json = summary.map { case (n, mn, md) =>
       f""""$n": {"min": $mn%.3f, "med": $md%.3f}"""
     }.mkString(
-      s"""{"sf": "$sfDir", "iters": $iters, "queries": {""", ", ", "}}")
+      f"""{"sf": "$sfDir", "iters": $iters, """ +
+        f""""calibration_sec": $calibration%.3f, "queries": {""",
+      ", ", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"AB wrote $out")
     spark.stop()

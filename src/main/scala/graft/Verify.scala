@@ -10,8 +10,16 @@ object Verify {
     // (driver passes none; dev runs use it to re-check changed entries)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Multi-JVM cell (round-11 verdict ask #1): SPARK_GRAFT_MASTER lets
+    // tools/config_matrix.py run the whole contract under
+    // local-cluster[n,cores,mem] — true separate executor JVMs, so
+    // broadcast serialization, remote shuffle-block fetch, and
+    // executor-side classloading of the custom expressions actually
+    // cross a process boundary (local[*] never exercises any of them).
+    // The jar + executor JVM flags ride in via SPARK_GRAFT_EXTRA_CONF.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -91,9 +99,13 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (spillAssert) {
       // the listener bus is async; a run-total across hundreds of
-      // queries is stable long before stop, but give trailing task-end
-      // events a beat
-      Thread.sleep(3000)
+      // queries is stable long before stop, but trailing task-end
+      // events can straggle on a loaded box — poll until a spill is
+      // visible (or a generous deadline) instead of one fixed sleep,
+      // so the assert can't spuriously fail on bus latency alone
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spillMem.sum + spillDisk.sum == 0 && System.nanoTime() < deadline)
+        Thread.sleep(250)
       println(s"[verify] SPILL mem=${spillMem.sum} disk=${spillDisk.sum}")
       if (spillMem.sum + spillDisk.sum == 0) {
         System.err.println("[verify] SPILL-ASSERT FAILED: no task " +

@@ -149,11 +149,18 @@ def strip_comments(text):
     literals are respected: the oracle SQL lives in triple-quoted
     strings full of DuckDB `//` integer division, which must NOT be
     treated as comments (the prior regex only blanked full-line //
-    comments precisely to dodge this; the scanner handles both)."""
+    comments precisely to dodge this; the scanner handles both).
+    Interpolated strings (s"…${ expr }…", incl. triple-quoted) re-enter
+    CODE mode inside ${…} with brace-depth tracking — a quote or //
+    inside the interpolation braces must not flip string/comment state
+    for the rest of the file (round-11 ADVICE)."""
     out = []
     i, n = 0, len(text)
     mode = 0          # 0 code, 1 line comment, 2 block, 3 "str", 4 triple
     depth = 0         # block-comment nesting
+    braces = 0        # code-mode brace depth (for interpolation frames)
+    frames = []       # (string-mode to return to, brace depth at entry)
+    interp = False    # current string literal is s/f/raw-interpolated
     while i < n:
         c = text[i]
         if mode == 0:
@@ -167,10 +174,14 @@ def strip_comments(text):
                 i += 2
             elif text.startswith('"""', i):
                 mode = 4
+                interp = i > 0 and (text[i - 1].isalnum()
+                                    or text[i - 1] == "_")
                 out.append('"""')
                 i += 3
             elif c == '"':
                 mode = 3
+                interp = i > 0 and (text[i - 1].isalnum()
+                                    or text[i - 1] == "_")
                 out.append(c)
                 i += 1
             elif c == "'":
@@ -183,6 +194,16 @@ def strip_comments(text):
                 else:          # symbol literal / lone quote
                     out.append(c)
                     i += 1
+            elif c == "{":
+                braces += 1
+                out.append(c)
+                i += 1
+            elif c == "}":
+                braces -= 1
+                out.append(c)
+                i += 1
+                if frames and braces == frames[-1][1]:
+                    mode, interp = frames.pop()[0], True
             else:
                 out.append(c)
                 i += 1
@@ -208,7 +229,16 @@ def strip_comments(text):
                 out.append(c if c == "\n" else " ")
                 i += 1
         elif mode == 3:        # "string"
-            if c == "\\" and i + 1 < n:
+            if interp and text.startswith("${", i):
+                frames.append((3, braces))
+                braces += 1
+                mode, interp = 0, False
+                out.append("${")
+                i += 2
+            elif interp and text.startswith("$$", i):
+                out.append("$$")     # escaped $, NOT an interpolation
+                i += 2
+            elif c == "\\" and i + 1 < n:
                 out.append(text[i:i + 2])
                 i += 2
             else:
@@ -217,7 +247,16 @@ def strip_comments(text):
                 out.append(c)
                 i += 1
         else:                  # """triple""" (ends at the LAST quote of
-            if text.startswith('"""', i):   # a quote run, per Scala)
+            if interp and text.startswith("${", i):
+                frames.append((4, braces))
+                braces += 1
+                mode, interp = 0, False
+                out.append("${")
+                i += 2
+            elif interp and text.startswith("$$", i):
+                out.append("$$")
+                i += 2
+            elif text.startswith('"""', i):   # a quote run, per Scala)
                 j = i
                 while j < n and text[j] == '"':
                     j += 1
@@ -657,6 +696,20 @@ def selftest(sqls, decls):
         bad5 = lint(sqls, d5, verbose=False)
         checks.append(("invalid retry class detected",
                        any("invalid class 'zz-bogus'" in b for b in bad5)))
+    # round-11 ADVICE: a quote or // inside s"...${ expr }..."
+    # interpolation braces must re-enter code mode, not flip
+    # string/comment state for the rest of the file — the scanner
+    # feeds the load-bearing window/retry lints
+    snippet = ('object T {\n'
+               '  val msg = s"n=${df.where("a // b").count()} of ${x}"\n'
+               '  val w = Window.partitionBy($"k").orderBy($"ts")\n'
+               '  // a real comment\n'
+               '}\n')
+    st = strip_comments(snippet)
+    checks.append(
+        ("interpolation braces re-enter code mode",
+         len(st) == len(snippet) and "Window.partitionBy" in st
+         and ".count()" in st and "a real comment" not in st))
     ok = all(c for _, c in checks)
     for name, c in checks:
         print(f"[discipline selftest] {'OK' if c else 'FAIL'}: {name}")

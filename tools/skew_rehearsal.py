@@ -48,9 +48,17 @@ VOCAB = ("the fast key order sort table scan merge part window small "
 
 
 def zipf_keys(rng, n_rows, n_keys):
-    """Hot key 0 owns HOT of rows; tail ranks follow zipf(1.2)."""
+    """Hot key 0 owns HOT of rows; tail ranks follow zipf(1.2),
+    REJECTION-sampled into [1, n_keys): clamping (the round-11
+    spelling) piled the ~10-12% of zipf(1.2) draws above the cap onto
+    key n_keys-1, manufacturing a second hot key the AB then
+    mis-attributed to 'zipf shape' (round-11 ADVICE)."""
     hot = rng.random(n_rows) < HOT
-    tail = np.minimum(rng.zipf(1.2, n_rows), n_keys - 1)
+    tail = rng.zipf(1.2, n_rows)
+    bad = tail >= n_keys
+    while bad.any():
+        tail[bad] = rng.zipf(1.2, int(bad.sum()))
+        bad = tail >= n_keys
     return np.where(hot, 0, tail).astype(np.int64)
 
 
