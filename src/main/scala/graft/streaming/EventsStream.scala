@@ -162,6 +162,25 @@ object EventsStream {
       }
     }
 
+  /** Await a drain, honoring the crash-rehearsal stop hook: with
+    * `graft.stream.stopAfterBatches=n` set (test-only sys prop, spec
+    * use), the query is stopped as soon as ~n micro-batches have
+    * committed instead of draining to completion — the graceful half
+    * of the round-12 kill-and-restart rehearsal (the hard half is
+    * [[graft.StreamKillProbe]]'s JVM halt and the deleted-commit-file
+    * replay). A restart over the same checkpoint must then complete
+    * the drain to the exact batch answer. Without the prop this is
+    * `awaitTermination()` verbatim. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    sys.props.get("graft.stream.stopAfterBatches").map(_.trim.toInt) match {
+      case None => q.awaitTermination()
+      case Some(n) =>
+        while (q.isActive && q.recentProgress.length < n)
+          Thread.sleep(20)
+        if (q.isActive) q.stop()
+        q.awaitTermination()
+    }
+
   private def readEvents(s: SparkSession, sfDir: String): DataFrame = {
     // before any query starts: the drop observer must see every run
     DropTracker.ensureRegistered(s)
@@ -432,28 +451,41 @@ object EventsStream {
     * terminal watermark (max ts − 1 h), the same deterministic
     * boundary as [[intervalLeftJoin]]. */
   def chainedAgg(s: SparkSession, sfDir: String): DataFrame = {
+    // APPEND-MODE PARQUET sink (round 12; was a memory sink): the file
+    // sink's per-batch manifest is the fault-tolerant half of
+    // exactly-once — a memory sink forgets every window emitted before
+    // a crash, so a kill-and-restart over the same checkpoint could
+    // never recover the full result (Spark documents the memory sink
+    // as non-fault-tolerant). Output rows are identical; the sink dir
+    // is scoped per (source, process, mtime) like the other file-sink
+    // entries, which also fixes the old per-PID-only checkpoint being
+    // shared across DIFFERENT sfDirs in one process.
+    val base = scopedStreamBase("chained", sfDir)
     withStatePartitions(s, 8) {
     val hourly = readEvents(s, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val q = hourly
+    val result = hourly
       .groupBy(window(window_time(col("w")), "1 day").as("day_w"),
                col("event_type"))
       .agg(max(col("n_events")).as("max_hourly"),
            count(lit(1)).as("n_hours"))
       .select(col("day_w.start").cast("timestamp_ntz").cast("date").as("day"),
               col("event_type"), col("max_hourly"), col("n_hours"))
+    val q = result
       .writeStream
-      .format("memory")
-      .queryName("graft_stream_chained")
+      .format("parquet")
+      .option("path", s"$base/out")
       .outputMode("append")
-      .option("checkpointLocation", scratch("chained_ckpt"))
+      .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     assertNoWatermarkDrops(q, "stream_chained_agg")
-    s.table("graft_stream_chained")
+    // explicit schema: an empty source drains zero batches and the sink
+    // holds no footers (same empty-table axis as incrementalDaily)
+    s.read.schema(result.schema).parquet(s"$base/out")
       .orderBy(col("day"), col("event_type"))
     }
   }
@@ -484,7 +516,7 @@ object EventsStream {
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
       assertNoWatermarkDrops(q, "stream_dedup_counts")
     }
     // count_distinct(user_id) ignores NULL user_ids (events with no user
@@ -703,7 +735,16 @@ object EventsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val agg = reduceBatch(batch)
-        val merged = versions.lastOption match {
+        // REPLAY-SAFE prev selection (round-12 kill-and-restart
+        // rehearsal finding): foreachBatch is at-least-once — after a
+        // crash between the v<id> snapshot write and the offset commit,
+        // batch <id> is REPLAYED, and `versions.last` would then be the
+        // batch's OWN half-committed snapshot (already containing this
+        // batch) → the merge double-counts every user in it. The prev
+        // snapshot must be the latest version STRICTLY BEFORE this
+        // batch id, which makes the overwrite idempotent under replay.
+        val merged = versions.filter(
+            _.getFileName.toString < f"v$id%05d").lastOption match {
           case Some(prev) =>
             batch.sparkSession.read.parquet(prev.toString)
               .unionByName(agg)
@@ -719,7 +760,7 @@ object EventsStream {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     // an empty source directory drains zero batches and writes no
     // snapshot; surface that as an empty result, not a missing-path read
     versions.lastOption match {
@@ -956,7 +997,7 @@ object EventsStream {
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     // explicit schema (= the staged stream's own): an EMPTY source
     // drains zero batches and the sink holds no footers — inference
     // would throw UNABLE_TO_INFER_SCHEMA (fuzz seed 702, empty-table
