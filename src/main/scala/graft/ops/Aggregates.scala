@@ -596,24 +596,58 @@ object Aggregates {
     * (cutoff aggregate broadcast back), same shape as the z-score
     * screen. */
   val aggWinsorizedMean: Q = (s, d) => {
-    val zi = floor(col("o_totalprice") * 100).cast("long")
+    // FULLY-EXACT integer spelling (round-12 fuzz seed 1705: the prior
+    // spelling's round(clamped, 6) over interpolated-percentile DOUBLE
+    // cutoffs left one ulp-coincidence residual — a cutoff one
+    // cross-engine ulp from a 6-dp boundary flipped the final rounded
+    // quotient by 1e-6). With p = 1/20, the type-7 interpolated cutoff
+    // over integer cents is EXACTLY rational with denominator 20:
+    //   pos = (n-1)p; k = ⌊pos⌋; cut·20 = 20·z[k+1] + (pos mod 1)·20·Δ
+    // so the whole pipeline — order statistics (row_number over z; ties
+    // hold equal VALUES, so which tied row takes rank k is irrelevant),
+    // 20ths-scaled cutoffs, clamp, sum, and the ⌊(2a·10⁶+b)/(2b)⌋
+    // half-up round — runs in int64 with no float op anywhere. A fixed
+    // +1e10-cent offset keeps every div/% operand positive (fuzz draws
+    // negative totals; Spark div truncates where DuckDB // floors on
+    // negatives) and cancels exactly at the end (OFF/100 = 1e8 is an
+    // integer, and integer shifts commute with winsorize + round).
+    // Overflow audit: z' ≤ ~1e10+6e7 cents, z'·20 ≤ 2.1e11/row,
+    // Σ ≤ n·2.1e11 ≈ 1e18 at sf3 ≪ 2⁶³; 2·(Σ mod 2000n)·10⁶ ≤ 2e16.
+    val off = 10000000000L
+    val zi = floor(col("o_totalprice") * 100).cast("long") + off
     val o = Tables.orders(s, d).select(col("o_orderpriority"), zi.as("z"))
-    val cuts = o.groupBy(col("o_orderpriority"))
-      .agg(percentile(col("z"), lit(0.05)).as("lo"),
-           percentile(col("z"), lit(0.95)).as("hi"))
-    o.join(cuts, Seq("o_orderpriority"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("z"))
+    val r = o.select(col("o_orderpriority"), col("z"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(
+        Window.partitionBy(col("o_orderpriority"))).as("n"))
+    val cuts = r.groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === expr("(n-1) div 20 + 1"), col("z")))
+          .as("z1lo"),
+        max(when(col("rn") === expr("(n-1) div 20 + 2"), col("z")))
+          .as("z2lo"),
+        max(when(col("rn") === expr("(19*(n-1)) div 20 + 1"), col("z")))
+          .as("z1hi"),
+        max(when(col("rn") === expr("(19*(n-1)) div 20 + 2"), col("z")))
+          .as("z2hi"),
+        max(col("n")).as("n"))
       .select(col("o_orderpriority"),
-        greatest(least(col("z").cast("double"), col("hi")), col("lo"))
-          .as("zc"))
+        expr("20*z1lo + ((n-1) % 20) * (coalesce(z2lo, z1lo) - z1lo)")
+          .as("lo20"),
+        expr("20*z1hi + ((19*(n-1)) % 20) * (coalesce(z2hi, z1hi) - z1hi)")
+          .as("hi20"))
+    o.join(broadcast(cuts), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        greatest(least(col("z") * 20, col("hi20")), col("lo20"))
+          .as("zc20"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
-           // final round(6): the decimal sum is order-free, but the clamp
-           // cutoffs are interpolated-percentile DOUBLES whose last ulp
-           // can differ cross-engine; unrounded, that ulp surfaces in the
-           // quotient at 10× data (seen at sf0.1, invisible at sf0.01)
-           round(sum(round(col("zc"), 6).cast("decimal(28,6)"))
-                   .cast("double") /
-             count(lit(1)) / 100.0, 6).as("winsorized_mean"))
+      .agg(count(lit(1)).as("n"), sum(col("zc20")).as("s20"))
+      .select(col("o_orderpriority"), col("n"),
+        expr("cast((s20 div (2000*n)) * 1000000" +
+             " + (2*(s20 % (2000*n))*1000000 + 2000*n) div (2*(2000*n))" +
+             " - 100000000000000 as double) / 1000000.0")
+          .as("winsorized_mean"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -1187,18 +1221,35 @@ object Aggregates {
     "agg_winsorized_mean" ->
       """WITH o AS (
         |  SELECT o_orderpriority,
-        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS z
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + 10000000000 AS z
         |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, z,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY z) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM o),
         |c AS (
         |  SELECT o_orderpriority,
-        |    quantile_cont(z, 0.05) AS lo, quantile_cont(z, 0.95) AS hi
-        |  FROM o GROUP BY 1)
-        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(SUM(CAST(round(greatest(least(CAST(z AS DOUBLE), hi), lo), 6)
-        |                AS DECIMAL(28,6))) AS DOUBLE)
-        |    / count(*) / 100.0, 6) AS winsorized_mean
-        |FROM o JOIN c USING (o_orderpriority)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    max(CASE WHEN rn = (n-1) // 20 + 1 THEN z END) AS z1lo,
+        |    max(CASE WHEN rn = (n-1) // 20 + 2 THEN z END) AS z2lo,
+        |    max(CASE WHEN rn = (19*(n-1)) // 20 + 1 THEN z END) AS z1hi,
+        |    max(CASE WHEN rn = (19*(n-1)) // 20 + 2 THEN z END) AS z2hi,
+        |    max(n) AS n
+        |  FROM r GROUP BY 1),
+        |cut AS (
+        |  SELECT o_orderpriority,
+        |    20*z1lo + ((n-1) % 20) * (coalesce(z2lo, z1lo) - z1lo) AS lo20,
+        |    20*z1hi + ((19*(n-1)) % 20) * (coalesce(z2hi, z1hi) - z1hi) AS hi20
+        |  FROM c),
+        |g AS (
+        |  SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(greatest(least(z * 20, hi20), lo20)) AS BIGINT) AS s20
+        |  FROM o JOIN cut USING (o_orderpriority) GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST((s20 // (2000*n)) * 1000000
+        |    + (2*(s20 % (2000*n))*1000000 + 2000*n) // (2*(2000*n))
+        |    - 100000000000000 AS DOUBLE) / 1000000.0 AS winsorized_mean
+        |FROM g ORDER BY 1""".stripMargin,
     // dow convention: Spark dayofweek() is 1=Sunday..7=Saturday;
     // DuckDB dayofweek() is 0=Sunday..6 — hence the +1
     "agg_seasonality" ->
