@@ -13,46 +13,6 @@ import org.scalatest.matchers.should.Matchers._
   * repo-local, and because the probe kills executor JVMs. */
 class StageRetrySpec extends AnyFunSuite {
 
-  /** Jar the CURRENT compiled classes for executor-side classloading —
-    * the packaged sbt artifact can be stale relative to the classes
-    * under test, and a stale closure class in the executors would fail
-    * (or worse, silently test old code). */
-  private def jarFromClasses(): String = {
-    import scala.jdk.CollectionConverters._
-    val classes =
-      java.nio.file.Paths.get("/root/repo/target/scala-2.13/classes")
-    val scratch = java.nio.file.Paths.get("/root/repo/target/scratch")
-    java.nio.file.Files.createDirectories(scratch)
-    val out = java.nio.file.Files.createTempFile(
-      scratch, "graft_probe_", ".jar")
-    val zos = new java.util.zip.ZipOutputStream(
-      java.nio.file.Files.newOutputStream(out))
-    val files = java.nio.file.Files.walk(classes)
-    try files.iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_)).foreach { p =>
-        zos.putNextEntry(new java.util.zip.ZipEntry(
-          classes.relativize(p).toString.replace('\\', '/')))
-        java.nio.file.Files.copy(p, zos)
-        zos.closeEntry()
-      }
-    finally { files.close(); zos.close() }
-    out.toString
-  }
-
-  /** Repo-local SPARK_HOME (symlinks to /opt/spark): the standalone
-    * Worker hardcodes its executor work dir to $SPARK_HOME/work. */
-  private def sparkHomeShim(): String = {
-    val shim = java.nio.file.Paths.get("/root/repo/target/spark_home_shim")
-    java.nio.file.Files.createDirectories(shim)
-    Seq("jars", "bin", "sbin", "conf", "RELEASE").foreach { d =>
-      val l = shim.resolve(d)
-      if (!java.nio.file.Files.exists(l))
-        java.nio.file.Files.createSymbolicLink(
-          l, java.nio.file.Paths.get(s"/opt/spark/$d"))
-    }
-    shim.toString
-  }
-
   test("executor halt mid-reduce loses shuffle output; FetchFailed + " +
        "map-stage replay recompute to identical rows") {
     val java = s"${sys.props("java.home")}/bin/java"
@@ -68,8 +28,8 @@ class StageRetrySpec extends AnyFunSuite {
       "graft.StageRetryProbe", "/root/testdata/sf0.001",
       "agg_multikey", "ext_exact_dedup")
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-    pb.environment().put("GRAFT_JAR", jarFromClasses())
-    pb.environment().put("SPARK_HOME", sparkHomeShim())
+    pb.environment().put("GRAFT_JAR", ProbeEnv.jarFromClasses())
+    pb.environment().put("SPARK_HOME", ProbeEnv.sparkHomeShim())
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     val p = pb.start()
     val out = new StringBuilder
