@@ -33,21 +33,32 @@ object AB {
     // same box-speed calibration probe as Bench (pure CPU, data- and
     // repo-independent) so cross-round AB comparisons can separate box
     // drift from code drift mechanically
-    val calibration = (1 to 3).map { _ =>
+    // sampled INTERLEAVED through the run (before each round), median
+    // reported: session-level clock/JIT state spreads a start-of-session
+    // min-of-k probe ±13-15% across sessions (measured); the median over
+    // the run's own window is the right drift-normalization anchor
+    val calSamples = collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(): Unit = {
       val t0 = System.nanoTime()
-      spark.range(0, 400000000L, 1, 32)
+      spark.range(0, 1200000000L, 1, 32)
         .selectExpr("sum(id * 3 + (id % 7))").collect()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    println(f"AB calibration_sec=$calibration%.3f")
+      calSamples += (System.nanoTime() - t0) / 1e9: Unit
+    }
     val times = collection.mutable.Map.empty[String, List[Double]]
     for (i <- 1 to iters; name <- names) {
+      if (name == names.head) calibrate()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
       times(name) = t :: times.getOrElse(name, Nil)
       println(f"AB $name round$i rows=$n t=$t%.3f")
     }
+    calibrate()
+    val csAB = calSamples.sorted
+    val calibration =
+      if (csAB.size % 2 == 1) csAB(csAB.size / 2)
+      else (csAB(csAB.size / 2 - 1) + csAB(csAB.size / 2)) / 2.0
+    println(f"AB calibration_sec=$calibration%.3f (${csAB.size} samples)")
     val summary = names.map { name =>
       val ts = times(name).sorted
       val med = // conventional midpoint average for even sample counts
