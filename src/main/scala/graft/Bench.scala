@@ -63,16 +63,23 @@ object Bench {
     var errors = Set.empty[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = collection.mutable.Map.empty[String, Double]
-    for (pass <- 1 to passes; name <- names if !errors(name)) {
-      if (name == names.head && pass > 1) calibrate()
-      val t0 = System.nanoTime()
-      // a failed query must NOT report its (fast) exception time — it is
-      // marked -1 and listed under "errors"
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val t = (System.nanoTime() - t0) / 1e9
-      if (!ok) errors += name
-      else best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    // calibrate() keys on the PASS BOUNDARY itself, not on re-seeing
+    // names.head — keying on the head entry would silently collapse the
+    // interleaved probe to its start+end samples whenever that entry
+    // errored in pass 1 and dropped out of later passes (round-12
+    // ADVICE).
+    for (pass <- 1 to passes) {
+      if (pass > 1) calibrate()
+      for (name <- names if !errors(name)) {
+        val t0 = System.nanoTime()
+        // a failed query must NOT report its (fast) exception time — it
+        // is marked -1 and listed under "errors"
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!ok) errors += name
+        else best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      }
     }
     errors.foreach(best(_) = -1.0)
     calibrate()
@@ -97,18 +104,21 @@ object Bench {
     // "value" still covers the whole suite, and hard-caps itself at
     // 1700 chars (drop-fastest-first) as a backstop. The FULL per-query
     // map goes to target/bench_full.json, a truncation-proof artifact.
+    // driver-memory envelope fields (round-12 verdict ask #3) — sampled
+    // ONCE here so the stdout line and bench_full.json agree
+    val peakFields = DriverPeak.jsonFields
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/target/bench_full.json"),
       (s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec",""" +
         s""""passes":$passes,"calibration_sec":${fmt(calibration, 4)},""" +
-        s""""queries":${dict(all, 4)},""" +
+        s"""$peakFields,"queries":${dict(all, 4)},""" +
         s""""errors":$errJson,"sf":"$sfDir"}""").getBytes("UTF-8"))
     var shown = all.filter { case (_, v) => v >= 0.15 || v < 0 }
     def line(): String = {
       val rest = all.filterNot(shown.contains)
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
         s""""passes":$passes,"calibration_sec":${fmt(calibration, 3)},""" +
-        s""""queries":${dict(shown, 2)},"fast_n":${rest.size},""" +
+        s"""$peakFields,"queries":${dict(shown, 2)},"fast_n":${rest.size},""" +
         s""""fast_sec":${fmt(rest.map(_._2).sum, 2)},"errors":$errJson,""" +
         s""""full":"target/bench_full.json","sf":"$sfDir"}"""
     }

@@ -82,21 +82,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    DumpContract.write(outDir)
+    // Driver-memory envelope (round-12 verdict ask #3): one line per
+    // run; tools/driver_memory.py diffs it across scales to assert the
+    // driver's retained state is cardinality-bounded, not
+    // corpus-proportional.
+    println(s"""[verify] DRIVER_PEAK {${DriverPeak.jsonFields}}""")
     if (spillAssert) {
       // the listener bus is async; a run-total across hundreds of
       // queries is stable long before stop, but trailing task-end
@@ -116,4 +107,35 @@ object Verify {
     }
     spark.stop()
   }
+}
+
+/** Contract dump shared by [[Verify]] and the pre-commit lint path:
+  * writes `oracle_sql.json` (the doc/discipline lints' truth source)
+  * from the pure [[SparkEntry.oracleSql]] map — no SparkSession, so
+  * `tools/pre_commit.sh` can refresh the lints' input in milliseconds
+  * instead of requiring a full Verify sweep per commit. */
+object DumpContract {
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise make
+    * the driver's json.load fail and silently zero the round's
+    * correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def write(outDir: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json): Unit
+  }
+
+  def main(args: Array[String]): Unit =
+    write(args.headOption.getOrElse("/root/repo/target/verify_out"))
 }

@@ -611,8 +611,16 @@ object Aggregates {
     // negative totals; Spark div truncates where DuckDB // floors on
     // negatives) and cancels exactly at the end (OFF/100 = 1e8 is an
     // integer, and integer shifts commute with winsorize + round).
-    // Overflow audit: z' ≤ ~1e10+6e7 cents, z'·20 ≤ 2.1e11/row,
-    // Σ ≤ n·2.1e11 ≈ 1e18 at sf3 ≪ 2⁶³; 2·(Σ mod 2000n)·10⁶ ≤ 2e16.
+    // Overflow audit (round-13, n-independent): per-row z' ≤ ~1e10+6e7
+    // cents and z'·20 ≤ 2.1e11 stay in int64, but Σ zc20 would wrap
+    // int64 past ~4.4e7 rows/group (non-ANSI Spark wraps silently), so
+    // the SUM runs as decimal(38,0) — exact to n ≈ 5e26 rows/group,
+    // i.e. unbounded at any storage-expressible scale, and overflow
+    // past that nulls/errors loudly instead of wrapping. The quotient
+    // s20 div (2000n) ≈ 1.05e8 and the half-up remainder term
+    // 2·(Σ mod 2000n)·10⁶ + 2000n ≤ 4·10⁹·n remain decimal until the
+    // final integral divide, whose result < 10⁶ — nothing re-enters
+    // int64 at a magnitude that can wrap.
     val off = 10000000000L
     val zi = floor(col("o_totalprice") * 100).cast("long") + off
     val o = Tables.orders(s, d).select(col("o_orderpriority"), zi.as("z"))
@@ -642,7 +650,8 @@ object Aggregates {
         greatest(least(col("z") * 20, col("hi20")), col("lo20"))
           .as("zc20"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("zc20")).as("s20"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("zc20").cast("decimal(38,0)")).as("s20"))
       .select(col("o_orderpriority"), col("n"),
         expr("cast((s20 div (2000*n)) * 1000000" +
              " + (2*(s20 % (2000*n))*1000000 + 2000*n) div (2*(2000*n))" +

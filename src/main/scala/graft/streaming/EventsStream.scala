@@ -715,11 +715,16 @@ object EventsStream {
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val stateRoot = java.nio.file.Paths.get(s"$base/state")
     java.nio.file.Files.createDirectories(stateRoot)
+    // Version ordering parses the NUMERIC suffix, never the name:
+    // f"v$id%05d" zero-pads to 5 digits, so at batch id >= 100000 the
+    // 6-digit name sorts lexicographically BEFORE v99999 and a
+    // string-compare prev-selection would merge from a wrong snapshot.
+    def versionId(name: String): Long = name.drop(1).toLong
     def versions: Seq[java.nio.file.Path] = {
       val fs = stateRoot.toFile.listFiles()
       (if (fs == null) Array.empty[java.io.File] else fs)
-        .filter(f => f.isDirectory && f.getName.startsWith("v"))
-        .sortBy(_.getName).map(_.toPath).toSeq
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .sortBy(f => versionId(f.getName)).map(_.toPath).toSeq
     }
     def reduceBatch(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(col("user_id"))
@@ -743,8 +748,8 @@ object EventsStream {
         // batch) → the merge double-counts every user in it. The prev
         // snapshot must be the latest version STRICTLY BEFORE this
         // batch id, which makes the overwrite idempotent under replay.
-        val merged = versions.filter(
-            _.getFileName.toString < f"v$id%05d").lastOption match {
+        val merged = versions.filter(p =>
+            versionId(p.getFileName.toString) < id).lastOption match {
           case Some(prev) =>
             batch.sparkSession.read.parquet(prev.toString)
               .unionByName(agg)

@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Mechanical cross-round bench drift (round-12 verdict ask #2).
+
+This box's bench totals swing +/-20% between sessions with identical
+code (measured round 12: the same AB tail read 71.5 s and 58.2 s three
+hours apart). Since round 12 every Bench/AB artifact carries
+`calibration_sec` — the median of a fixed pure-CPU probe interleaved
+through the run, a code-independent measure of that session's box
+speed. Engine drift is therefore computable instead of arguable:
+
+    engine_drift = (total_new / total_old) / (cal_new / cal_old)
+
+Per-entry, the same normalization applies and entries whose normalized
+ratio moves more than the flag threshold (default 25%) are listed for
+explain-diff attribution. Two artifact families are compared:
+
+  - BENCH_r{N}.json (driver-run, min-of-3 interleaved full bench):
+    per-entry values only exist for the >=0.15 s slots the stdout line
+    keeps; the intersection is compared.
+  - BENCH_AB_r{N}.json (builder-run idle-box AB of the >=1.0 s tail,
+    min over iters): the preferred per-entry signal (PLANS.md r12:
+    "the judge should diff the freshest AB artifact, not a single
+    bench total").
+
+Usage: tools/bench_drift.py [roundNew] [roundOld] [--flag PCT]
+  defaults: roundNew = highest BENCH_r*.json present, roundOld = the
+  previous one present. Writes BENCH_DRIFT_r{N}.json in the repo root
+  and prints the table. Exit 0 always (the artifact records flags; a
+  flagged mover is a finding to attribute, not a gate failure — box
+  weather can exceed any threshold on a loaded session).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_bench(n):
+    p = os.path.join(REPO, f"BENCH_r{n:02d}.json")
+    if not os.path.exists(p):
+        return None
+    d = json.load(open(p))
+    d = d.get("parsed", d)
+    return d if d and "queries" in d else None
+
+
+def load_ab(n):
+    p = os.path.join(REPO, f"BENCH_AB_r{n:02d}.json")
+    if not os.path.exists(p):
+        return None
+    d = json.load(open(p))
+    return d if "queries" in d else None
+
+
+def rounds_present():
+    ns = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            ns.append(int(m.group(1)))
+    return sorted(ns)
+
+
+def compare(kind, new, old, flag_pct):
+    """Return a dict block comparing two artifacts of one kind. When
+    the OLD artifact predates the calibration probe (r11 and earlier),
+    ratios are raw and flagged as such — the caveat is recorded in the
+    artifact, never silently dropped."""
+    calibrated = ("calibration_sec" in new and "calibration_sec" in old)
+    cal_ratio = (new["calibration_sec"] / old["calibration_sec"]
+                 if calibrated else 1.0)
+    nq, oq = new["queries"], old["queries"]
+
+    def val(q):
+        # AB entries are {"min":..,"med":..}; bench entries are floats
+        return q["min"] if isinstance(q, dict) else q
+
+    common = sorted(k for k in nq if k in oq
+                    and val(nq[k]) > 0 and val(oq[k]) > 0)
+    tot_new = sum(val(nq[k]) for k in common)
+    tot_old = sum(val(oq[k]) for k in common)
+    raw_ratio = tot_new / tot_old if tot_old else float("nan")
+    eng_ratio = raw_ratio / cal_ratio
+    per = {}
+    movers = []
+    for k in common:
+        r = val(nq[k]) / val(oq[k]) / cal_ratio
+        per[k] = {"old_sec": round(val(oq[k]), 3),
+                  "new_sec": round(val(nq[k]), 3),
+                  "normalized_ratio": round(r, 3)}
+        if abs(r - 1.0) * 100 >= flag_pct:
+            movers.append(k)
+    return {
+        "kind": kind,
+        "common_entries": len(common),
+        "total_old_sec": round(tot_old, 2),
+        "total_new_sec": round(tot_new, 2),
+        "calibrated": calibrated,
+        "calibration_old_sec": old.get("calibration_sec"),
+        "calibration_new_sec": new.get("calibration_sec"),
+        "calibration_ratio": round(cal_ratio, 4),
+        "raw_total_ratio": round(raw_ratio, 4),
+        "engine_drift_ratio": round(eng_ratio, 4),
+        "flag_threshold_pct": flag_pct,
+        "flagged_movers": sorted(
+            movers, key=lambda k: -abs(per[k]["normalized_ratio"] - 1)),
+        "per_entry": per,
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag_pct = 25.0
+    for i, a in enumerate(sys.argv):
+        if a == "--flag":
+            flag_pct = float(sys.argv[i + 1])
+    ns = rounds_present()
+    n_new = int(args[0]) if len(args) > 0 else ns[-1]
+    n_old = int(args[1]) if len(args) > 1 else max(
+        x for x in ns if x < n_new)
+    out = {"round_new": n_new, "round_old": n_old, "blocks": []}
+    for kind, loader in (("bench", load_bench), ("ab", load_ab)):
+        new, old = loader(n_new), loader(n_old)
+        if new is None or old is None:
+            out["blocks"].append(
+                {"kind": kind,
+                 "skipped": f"missing artifact or no calibration_sec "
+                            f"(r{n_old}: {old is not None}, "
+                            f"r{n_new}: {new is not None})"})
+            continue
+        out["blocks"].append(compare(kind, new, old, flag_pct))
+    dst = os.path.join(REPO, f"BENCH_DRIFT_r{n_new:02d}.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    for b in out["blocks"]:
+        if "skipped" in b:
+            print(f"[drift] {b['kind']}: SKIPPED — {b['skipped']}")
+            continue
+        cal = (f"calibration {b['calibration_old_sec']}→"
+               f"{b['calibration_new_sec']} (×{b['calibration_ratio']})"
+               if b["calibrated"] else
+               "UNCALIBRATED (old artifact predates the probe) — raw")
+        print(f"[drift] {b['kind']}: r{n_old}→r{n_new} over "
+              f"{b['common_entries']} common entries: "
+              f"total {b['total_old_sec']}→{b['total_new_sec']} s "
+              f"(raw ×{b['raw_total_ratio']}), {cal} ⇒ ENGINE DRIFT "
+              f"×{b['engine_drift_ratio']}")
+        if b["flagged_movers"]:
+            print(f"[drift]   movers >{b['flag_threshold_pct']}%:")
+            for k in b["flagged_movers"]:
+                e = b["per_entry"][k]
+                print(f"[drift]     {k}: {e['old_sec']}→{e['new_sec']} s "
+                      f"(normalized ×{e['normalized_ratio']})")
+        else:
+            print(f"[drift]   no normalized mover exceeds "
+                  f"{b['flag_threshold_pct']}%")
+    print(f"[drift] wrote {dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

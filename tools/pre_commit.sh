@@ -1,0 +1,34 @@
+#!/bin/bash
+# Pre-commit lint gate (round-12 verdict ask #1): the discipline and
+# doc-claim lints run AT EVERY COMMIT, staleness-gated, so a
+# final-commit probe can never land past a stale "lint green" claim
+# again (the round-12 finding: ConcurrencyProbe landed one commit after
+# the closing lint run).
+#
+# Fast path: graft.DumpContract refreshes the lints' truth source
+# (target/verify_out/oracle_sql.json) from the compiled contract map in
+# one JVM start — no SparkSession, no query execution. run_main.sh's
+# staleness gate makes this honest: if src/main has a .scala newer than
+# the last successful sbt compile, the dump (and thus the commit) is
+# refused rather than linting old code.
+#
+# Install (once per clone): ln -sf ../../tools/pre_commit.sh .git/hooks/pre-commit
+# Escape hatch (e.g. mid-bisect): GRAFT_SKIP_HOOK=1 git commit ...
+set -euo pipefail
+# $0 is .git/hooks/pre-commit (a symlink) when run by git — resolve the
+# repo root via git itself, not the script's own path
+REPO="$(git rev-parse --show-toplevel 2>/dev/null)"
+[ -n "$REPO" ] || REPO="$(cd "$(dirname "$0")/.." && pwd)"
+if [ "${GRAFT_SKIP_HOOK:-}" = "1" ]; then
+  echo "[pre-commit] GRAFT_SKIP_HOOK=1 — lints skipped" >&2
+  exit 0
+fi
+cd "$REPO"
+if ! tools/run_main.sh graft.DumpContract target/verify_out \
+     >/dev/null 2>target/pre_commit_dump.err; then
+  echo "[pre-commit] contract dump failed (stale classes? run sbt compile):" >&2
+  tail -3 target/pre_commit_dump.err >&2
+  exit 1
+fi
+python3 tools/check_discipline.py
+python3 tools/check_docs.py

@@ -40,6 +40,12 @@ SCALA_LIB="$(ls "$HOME"/.cache/coursier/v1/https/*/org/scala-lang/scala-library/
 # /opt/spark/jars already ships the scala library; only add a cached one
 # if spark's copy is somehow absent
 CP="$CLASSES:/opt/spark/jars/*"
+# Probe mains (StageRetryProbe, StreamLossProbe, ...) live in
+# test-classes since round 13 (ADVICE: keep fault-injection harness out
+# of the shipped jar); append when built so run_main.sh can still
+# launch them. scalatest jars aren't needed — probes are plain mains.
+TEST_CLASSES="${GRAFT_TEST_CLASSES:-$REPO/target/scala-2.13/test-classes}"
+[ -d "$TEST_CLASSES" ] && CP="$CP:$TEST_CLASSES"
 if ! ls /opt/spark/jars/scala-library-*.jar >/dev/null 2>&1; then
   [ -n "$SCALA_LIB" ] || { echo "scala-library jar not found in /opt/spark/jars or the coursier cache" >&2; exit 2; }
   CP="$CP:$SCALA_LIB"
