@@ -20,13 +20,29 @@ object AB {
     require(names.nonEmpty, "usage: AB <iters> <name> [name...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-JVM pricing (round-12 verdict ask #5): SPARK_GRAFT_MASTER +
+    // SPARK_GRAFT_EXTRA_CONF mirror graft.Verify's hooks so the AB tail
+    // can be timed under local-cluster[n,cores,mem] — real broadcast
+    // serialization, remote shuffle fetch, executor classloading — and
+    // per-entry ratios vs local[32] expose driver-adjacent work or
+    // oversized broadcasts that single-JVM timing hides.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').iterator.map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF entry must be key=value, got '$kv'")
+        }
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -75,8 +91,9 @@ object AB {
     val json = summary.map { case (n, mn, md) =>
       f""""$n": {"min": $mn%.3f, "med": $md%.3f}"""
     }.mkString(
-      f"""{"sf": "$sfDir", "iters": $iters, """ +
-        f""""calibration_sec": $calibration%.3f, "queries": {""",
+      f"""{"sf": "$sfDir", "iters": $iters, "master": "$master", """ +
+        f""""calibration_sec": $calibration%.3f, """ +
+        s"${DriverPeak.jsonFields}, " + """"queries": {""",
       ", ", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"AB wrote $out")

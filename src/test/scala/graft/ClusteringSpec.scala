@@ -94,6 +94,50 @@ class ClusteringSpec extends SparkSpec {
     out(9L) shouldBe ((9L, 1L, true))
   }
 
+  test("mutual-kNN clusters: bridge node that percolates a threshold graph " +
+       "stays singleton; exact ties break on neighbor id") {
+    import spark.implicits._
+    // Two tight angular families joined by a BRIDGE vector equidistant
+    // from both: every threshold that admits the intra-family edges
+    // also admits the bridge's, so the threshold graph percolates into
+    // one component — but the bridge is in NOBODY's top-2 (family
+    // members are closer to each other than to it), so mutual-kNN
+    // leaves it a singleton and the families separate. v10/v11/v12 are
+    // EXACT duplicates (cos = 1 ties everywhere) — the tie must break
+    // on neighbor id, deterministically.
+    def ang(t: Double) = Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f)
+    val df = (Seq(
+      (1L, ang(0.00)), (2L, ang(0.05)), (3L, ang(0.10)),   // family A
+      (4L, ang(0.50)),                                     // bridge
+      (5L, ang(0.90)), (6L, ang(0.95)), (7L, ang(1.00))) ++ // family B
+      Seq((10L, Array(0f, 0f, 1f)), (11L, Array(0f, 0f, 1f)),
+          (12L, Array(0f, 0f, 1f)))).toDF("vec_id", "embedding")
+    val dir = "/root/repo/target/scratch/knnmspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Clustering.extKnnMutualClusters(spark, dir).collect()
+    val cl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the duplicate triple is one cluster labeled by its min id, and the
+    // exact-tie kNN choice (nbr ASC) keeps all three mutually linked
+    Seq(10L, 11L, 12L).map(cl) shouldBe Seq(10L, 10L, 10L)
+    // families stay separate and the bridge stays a singleton — the
+    // transitivity a threshold graph would percolate through is cut
+    Seq(1L, 2L, 3L).map(cl).distinct shouldBe Seq(1L)
+    Seq(5L, 6L, 7L).map(cl).distinct shouldBe Seq(5L)
+    assert(cl(1L) != cl(5L))
+    cl(4L) shouldBe 4L
+    rows.find(_.getLong(0) == 4L).get.getLong(2) shouldBe 1L
+    // share canary reflects the largest (size-3) cluster, not a giant one
+    val sizes = rows.map(_.getLong(2))
+    sizes.max shouldBe 3L
+    rows.map(_.getDouble(4)).distinct.toSeq shouldBe Seq(0.3)
+    // scale shape: the rank-k cut must compile to WindowGroupLimit
+    // (per-partition heaps), never a full per-node sort of the pair list
+    val plan = Clustering.mutualKnnEdges(
+      spark, spark.read.parquet(s"$dir/embeddings.parquet"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("triangle count matches an in-memory brute force at sf0.001") {
     val d = sf("sf0.001")
     val row = Clustering.extTriangleCount(spark, d).collect().head
