@@ -96,13 +96,26 @@ def main():
             sys.exit(f"[scaling] missing corpus {d} — run graft.ScaleUp")
     abs_ = {tag: run_ab(tag, d, names, iters) for tag, d, _ in SCALES}
     cal = {tag: abs_[tag].get("calibration_sec") for tag, _, _ in SCALES}
+    # Calibration-normalize each scale's times before fitting: the four
+    # scales run in four JVM sessions, and session-level box speed
+    # swings ±10-25% on this box (measured; see bench-box-variance).
+    # Each session's interleaved-median calibration_sec measures exactly
+    # that swing, so t' = t * cal_ref/cal_session divides it out — a
+    # slow sf1 session can no longer flatten (or a fast sf3 session
+    # flatter) the tail slope. cal_ref is the median across sessions.
+    cals = sorted(v for v in cal.values() if v)
+    cal_ref = cals[len(cals) // 2] if cals else None
+
+    def norm(tag):
+        c = cal.get(tag)
+        return cal_ref / c if (c and cal_ref) else 1.0
     rows = []
     for n in names:
         pts = []
         for tag, _, scale in SCALES:
             t = abs_[tag]["queries"].get(n, {}).get("min")
             if t and t > 0:
-                pts.append((scale, t))
+                pts.append((scale, t * norm(tag)))
         if len(pts) < 3:
             rows.append({"entry": n, "error": "insufficient points"})
             continue
@@ -121,7 +134,11 @@ def main():
             "times": {tag: abs_[tag]["queries"].get(n, {}).get("min")
                       for tag, _, _ in SCALES}})
     flagged = [r for r in rows if r.get("flag")]
-    out = {"iters": iters, "calibration_sec": cal, "rows": rows,
+    out = {"iters": iters, "calibration_sec": cal,
+           "calibration_ref_sec": cal_ref,
+           "note": "alphas fit on calibration-normalized times "
+                   "(t * cal_ref/cal_session); per-row 'times' are raw",
+           "rows": rows,
            "flagged": [r["entry"] for r in flagged]}
     with open(f"{REPO}/target/scaling/scaling_exponents.json", "w") as f:
         json.dump(out, f, indent=1)
