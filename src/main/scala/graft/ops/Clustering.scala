@@ -287,9 +287,20 @@ object Clustering {
     * (per-partition top-k heaps below the shuffle — plan-asserted in
     * ClusteringSpec), so no node's full candidate list is ever sorted
     * whole. Degree ≤ k by construction. */
-  def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
-                     emb: DataFrame, k: Int): DataFrame = {
+  /** The LAZY per-node kNN frame (node, nbr): rank ≤ k by
+    * (cos DESC, nbr ASC) over the exact pair grid. Exposed separately
+    * so ClusteringSpec can plan-assert the WindowGroupLimit shape —
+    * [[mutualKnnEdges]] checkpoints this frame, which truncates the
+    * visible plan. */
+  def knnCandidates(s: org.apache.spark.sql.SparkSession,
+                    emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Two pipelined projections of the grid join (union): yes, each
+    // branch executes the join, but both stay in whole-stage-codegen
+    // narrow-row pipelines straight into the window exchange — measured
+    // FASTER than the one-pass explode-both-directions spelling (the
+    // generator breaks the pipeline and pushes 2x rows through one
+    // stage: 19.9 vs 13.0 calibration-normalized units at sf0.1).
     val pairs = Similarity.blockPairs(s, emb, blocks = 8)
     val sym = pairs
       .select(col("a").as("node"), col("b").as("nbr"), col("cos"))
@@ -297,9 +308,21 @@ object Clustering {
                           col("cos")))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("cos").desc, col("nbr").asc)
-    val knn = sym
-      .select(col("node"), col("nbr"), row_number().over(w).as("rn"))
+    sym.select(col("node"), col("nbr"), row_number().over(w).as("rn"))
       .filter(col("rn") <= k).select(col("node"), col("nbr"))
+  }
+
+  def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
+                     emb: DataFrame, k: Int): DataFrame = {
+    // materialize the kNN graph ONCE before the mutual self-join: knn
+    // is tiny (k rows per node) but its lineage is the whole grid +
+    // window — a self-join on the lazy frame would execute that
+    // pipeline twice (A/B at sf0.1: 17.0 -> 13.0 calibration-normalized
+    // units min-of-3). Same materialize-before-reuse discipline as
+    // extDedupClusters' LSH pair-join; deterministic under retry
+    // because the rank order is total (cos DESC, nbr ASC — see the
+    // window classification).
+    val knn = knnCandidates(s, emb, k).localCheckpoint()
     knn.as("x").join(knn.as("y"),
         col("x.node") === col("y.nbr") && col("x.nbr") === col("y.node")
           && col("x.node") < col("x.nbr"))

@@ -132,7 +132,7 @@ class ClusteringSpec extends SparkSpec {
     rows.map(_.getDouble(4)).distinct.toSeq shouldBe Seq(0.3)
     // scale shape: the rank-k cut must compile to WindowGroupLimit
     // (per-partition heaps), never a full per-node sort of the pair list
-    val plan = Clustering.mutualKnnEdges(
+    val plan = Clustering.knnCandidates(
       spark, spark.read.parquet(s"$dir/embeddings.parquet"), 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))

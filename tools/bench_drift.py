@@ -23,8 +23,12 @@ explain-diff attribution. Two artifact families are compared:
     bench total").
 
 Usage: tools/bench_drift.py [roundNew] [roundOld] [--flag PCT]
+                            [--bench-new FILE] [--ab-new FILE]
   defaults: roundNew = highest BENCH_r*.json present, roundOld = the
-  previous one present. Writes BENCH_DRIFT_r{N}.json in the repo root
+  previous one present. --bench-new/--ab-new point the NEW side at a
+  builder-run artifact (target/bench_full.json, an AB output) when the
+  driver has not yet written BENCH_r{N}.json — that is how the artifact
+  ships DURING round N. Writes BENCH_DRIFT_r{N}.json in the repo root
   and prints the table. Exit 0 always (the artifact records flags; a
   flagged mover is a finding to attribute, not a gate failure — box
   weather can exceed any threshold on a loaded session).
@@ -112,18 +116,29 @@ def compare(kind, new, old, flag_pct):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv
+    skip = set()
     flag_pct = 25.0
-    for i, a in enumerate(sys.argv):
+    overrides = {}
+    for i, a in enumerate(argv):
         if a == "--flag":
-            flag_pct = float(sys.argv[i + 1])
+            flag_pct = float(argv[i + 1])
+            skip.add(i + 1)
+        elif a in ("--bench-new", "--ab-new"):
+            d = json.load(open(argv[i + 1]))
+            overrides[a[2:].split("-")[0]] = d.get("parsed", d)
+            skip.add(i + 1)
+    args = [a for i, a in enumerate(argv[1:], 1)
+            if not a.startswith("--") and i not in skip]
     ns = rounds_present()
-    n_new = int(args[0]) if len(args) > 0 else ns[-1]
+    n_new = int(args[0]) if len(args) > 0 else (
+        ns[-1] + 1 if overrides else ns[-1])
     n_old = int(args[1]) if len(args) > 1 else max(
         x for x in ns if x < n_new)
-    out = {"round_new": n_new, "round_old": n_old, "blocks": []}
+    out = {"round_new": n_new, "round_old": n_old,
+           "new_side_overrides": sorted(overrides), "blocks": []}
     for kind, loader in (("bench", load_bench), ("ab", load_ab)):
-        new, old = loader(n_new), loader(n_old)
+        new, old = overrides.get(kind, loader(n_new)), loader(n_old)
         if new is None or old is None:
             out["blocks"].append(
                 {"kind": kind,
