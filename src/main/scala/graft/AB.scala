@@ -88,10 +88,14 @@ object AB {
     // (interleaved min-of-N is the only trustworthy per-query number)
     val out = sys.env.getOrElse("SPARK_GRAFT_AB_OUT",
       "/root/repo/target/bench_ab.json")
+    // sfDir/master are env-sourced — escape them (DumpContract.q) so a
+    // quote or backslash in the env can never yield an unparseable
+    // artifact for bench_drift/lc_bench (round-13 ADVICE)
     val json = summary.map { case (n, mn, md) =>
       f""""$n": {"min": $mn%.3f, "med": $md%.3f}"""
     }.mkString(
-      f"""{"sf": "$sfDir", "iters": $iters, "master": "$master", """ +
+      s"""{"sf": ${DumpContract.q(sfDir)}, "iters": $iters, """ +
+        s""""master": ${DumpContract.q(master)}, """ +
         f""""calibration_sec": $calibration%.3f, """ +
         s"${DriverPeak.jsonFields}, " + """"queries": {""",
       ", ", "}}")

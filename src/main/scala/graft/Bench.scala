@@ -112,7 +112,7 @@ object Bench {
       (s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec",""" +
         s""""passes":$passes,"calibration_sec":${fmt(calibration, 4)},""" +
         s"""$peakFields,"queries":${dict(all, 4)},""" +
-        s""""errors":$errJson,"sf":"$sfDir"}""").getBytes("UTF-8"))
+        s""""errors":$errJson,"sf":${DumpContract.q(sfDir)}}""").getBytes("UTF-8"))
     var shown = all.filter { case (_, v) => v >= 0.15 || v < 0 }
     def line(): String = {
       val rest = all.filterNot(shown.contains)
@@ -120,7 +120,7 @@ object Bench {
         s""""passes":$passes,"calibration_sec":${fmt(calibration, 3)},""" +
         s"""$peakFields,"queries":${dict(shown, 2)},"fast_n":${rest.size},""" +
         s""""fast_sec":${fmt(rest.map(_._2).sum, 2)},"errors":$errJson,""" +
-        s""""full":"target/bench_full.json","sf":"$sfDir"}"""
+        s""""full":"target/bench_full.json","sf":${DumpContract.q(sfDir)}}"""
     }
     while (line().length > 1700 && shown.nonEmpty)
       shown = shown.sortBy(-_._2).dropRight(1).sortBy(_._1)

@@ -149,7 +149,7 @@ object SecondaryChecks {
       s""""sample_seeded":{"stable_across_runs":$stable,"subset_of_source":$subset,""" +
       s""""fraction":${f(frac)},"expected_fraction":0.1,"tolerance_4sigma":${f(4 * sigma)},""" +
       s""""pass":$samplePass},""" +
-      s""""sf":"$sfDir""""
+      s""""sf":${DumpContract.q(sfDir)}"""
     (frag, approxPass && samplePass && percPass)
   }
 

@@ -138,6 +138,56 @@ class ClusteringSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("ANN mutual-kNN clusters: same clusters as the exact entry on the " +
+       "planted geometry; audit recall columns ride on every row") {
+    import spark.implicits._
+    // the exact mutual-kNN geometry (two angular families, a bridge, an
+    // exact-duplicate triple), with the LOW vec_ids spread one-per-group:
+    // on 10 vectors the scale-adaptive codebook is S=4 (4²≥10), so seeds
+    // {1,2,3} span the three directions, cells align with the families,
+    // and every node's nprobe=2 candidate set contains its exact top-2 —
+    // the ANN graph must reproduce the exact one, measurably (recall 10⁶)
+    def ang(t: Double) = Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f)
+    val dup = Array(0f, 0f, 1f)
+    val df = Seq(
+      (1L, ang(0.00)), (4L, ang(0.05)), (5L, ang(0.10)),   // family A
+      (6L, ang(0.50)),                                     // bridge
+      (2L, ang(1.00)), (7L, ang(0.90)), (8L, ang(0.95)),   // family B
+      (3L, dup), (10L, dup), (11L, dup))                   // duplicate triple
+      .toDF("vec_id", "embedding")
+    val dir = "/root/repo/target/scratch/knnannspec"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Clustering.extKnnAnnClusters(spark, dir).collect()
+    val cl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(3L, 10L, 11L).map(cl) shouldBe Seq(3L, 3L, 3L)
+    Seq(1L, 4L, 5L).map(cl).distinct shouldBe Seq(1L)
+    Seq(2L, 7L, 8L).map(cl).distinct shouldBe Seq(2L)
+    assert(cl(1L) != cl(2L))
+    cl(6L) shouldBe 6L // bridge: in nobody's top-2, stays singleton
+    // agreement audit: all 10 nodes are in the vec_id<32 batch, so the
+    // audit covers the whole graph — and on a fixture where the ANN
+    // candidates recover every exact mutual edge, recall is exactly 10⁶
+    val r0 = rows.head
+    r0.getAs[Long]("knn_edge_recall_ppm") shouldBe 1000000L
+    r0.getAs[Long]("audit_exact_edges") should be >= 3L
+    r0.getAs[Long]("audit_ann_edges") should be >=
+      r0.getAs[Long]("audit_exact_edges")
+    // every row carries the same audit scalars (broadcast 1-row join)
+    rows.map(_.getAs[Long]("knn_edge_recall_ppm")).distinct.length shouldBe 1
+    // scale shape: the ANN rank-k cut must also compile to
+    // WindowGroupLimit — per-partition heaps, no full candidate sort
+    val plan = Clustering.annKnnCandidates(
+      spark, spark.read.parquet(s"$dir/embeddings.parquet"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // and the candidate source must NOT be the exact grid: no
+    // BroadcastNestedLoopJoin / CartesianProduct anywhere except the
+    // bounded seed-codebook broadcast (which is a BroadcastNestedLoop
+    // over S≈√N seed rows — assert the cell join itself is an equi-join
+    // by checking the plan joins on the cell key)
+    assert(plan.contains("cell"), plan.take(2000))
+  }
+
   test("triangle count matches an in-memory brute force at sf0.001") {
     val d = sf("sf0.001")
     val row = Clustering.extTriangleCount(spark, d).collect().head

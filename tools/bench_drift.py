@@ -68,7 +68,7 @@ def rounds_present():
     return sorted(ns)
 
 
-def compare(kind, new, old, flag_pct):
+def compare(kind, new, old, flag_pct, flag_floor_sec=1.0):
     """Return a dict block comparing two artifacts of one kind. When
     the OLD artifact predates the calibration probe (r11 and earlier),
     ratios are raw and flagged as such — the caveat is recorded in the
@@ -95,7 +95,13 @@ def compare(kind, new, old, flag_pct):
         per[k] = {"old_sec": round(val(oq[k]), 3),
                   "new_sec": round(val(nq[k]), 3),
                   "normalized_ratio": round(r, 3)}
-        if abs(r - 1.0) * 100 >= flag_pct:
+        # flag floor (round-13 verdict ask #4): sub-second entries swing
+        # ±25% on timer jitter alone — every flag r13 raised was one of
+        # them. Only entries at ≥ flag_floor_sec on EITHER side can be
+        # movers, matching the AB cohort's own ≥1 s membership rule, so
+        # the flag list is always code-attributable.
+        if (abs(r - 1.0) * 100 >= flag_pct
+                and max(val(nq[k]), val(oq[k])) >= flag_floor_sec):
             movers.append(k)
     return {
         "kind": kind,
@@ -109,10 +115,33 @@ def compare(kind, new, old, flag_pct):
         "raw_total_ratio": round(raw_ratio, 4),
         "engine_drift_ratio": round(eng_ratio, 4),
         "flag_threshold_pct": flag_pct,
+        "flag_floor_sec": flag_floor_sec,
         "flagged_movers": sorted(
             movers, key=lambda k: -abs(per[k]["normalized_ratio"] - 1)),
         "per_entry": per,
     }
+
+
+def selftest():
+    """Prove the flag floor: a 2× mover at 0.3 s must NOT flag, the
+    same ratio at 2 s must; and engine drift normalizes calibration."""
+    old = {"calibration_sec": 0.4,
+           "queries": {"fast": 0.3, "slow": 2.0, "steady": 1.5}}
+    new = {"calibration_sec": 0.4,
+           "queries": {"fast": 0.6, "slow": 4.0, "steady": 1.5}}
+    b = compare("selftest", new, old, 25.0)
+    assert b["flagged_movers"] == ["slow"], b["flagged_movers"]
+    assert b["per_entry"]["fast"]["normalized_ratio"] == 2.0
+    # calibration normalization: a box running 2x slower with times 2x
+    # slower is zero engine drift and flags nothing
+    new2 = {"calibration_sec": 0.8,
+            "queries": {k: v * 2 for k, v in old["queries"].items()}}
+    b2 = compare("selftest", new2, old, 25.0)
+    assert b2["flagged_movers"] == [], b2["flagged_movers"]
+    assert abs(b2["engine_drift_ratio"] - 1.0) < 1e-9
+    print("[drift] selftest OK — floor suppresses sub-second movers, "
+          "flags real ones, calibration normalizes")
+    return 0
 
 
 def main():
@@ -128,13 +157,31 @@ def main():
             d = json.load(open(argv[i + 1]))
             overrides[a[2:].split("-")[0]] = d.get("parsed", d)
             skip.add(i + 1)
+    if "--selftest" in argv:
+        return selftest()
     args = [a for i, a in enumerate(argv[1:], 1)
             if not a.startswith("--") and i not in skip]
     ns = rounds_present()
-    n_new = int(args[0]) if len(args) > 0 else (
-        ns[-1] + 1 if overrides else ns[-1])
-    n_old = int(args[1]) if len(args) > 1 else max(
-        x for x in ns if x < n_new)
+    # guarded round resolution (round-13 ADVICE): with zero or one
+    # BENCH_r*.json and no explicit round args there is nothing to
+    # compare — say so and exit 0 instead of tracebacking
+    if len(args) > 0:
+        n_new = int(args[0])
+    elif ns:
+        n_new = ns[-1] + 1 if overrides else ns[-1]
+    else:
+        print("[drift] nothing to compare — no BENCH_r*.json found "
+              "and no round argument given")
+        return 0
+    if len(args) > 1:
+        n_old = int(args[1])
+    else:
+        older = [x for x in ns if x < n_new]
+        if not older:
+            print(f"[drift] nothing to compare — no BENCH_r*.json "
+                  f"older than r{n_new}")
+            return 0
+        n_old = max(older)
     out = {"round_new": n_new, "round_old": n_old,
            "new_side_overrides": sorted(overrides), "blocks": []}
     for kind, loader in (("bench", load_bench), ("ab", load_ab)):

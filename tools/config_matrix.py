@@ -89,6 +89,17 @@ CELLS = {
         "env": {"SPARK_GRAFT_ASSERT_SPILL": "1"},
         "expect_spill": True,
     },
+    # Streaming multi-micro-batch cell (round-13 verdict ask #6): the
+    # 12 stream_* entries re-certify per round like the batch cells do —
+    # tools/stream_rehearsal.py re-lays events TIME-ORDERED into k
+    # files, drains 1 file per micro-batch (real incremental state,
+    # watermark advancement, per-batch sink commits), and requires every
+    # streaming entry to equal its batch oracle exactly, with the
+    # watermark-drop observers armed. Different runner, same gate
+    # semantics: exit 0 iff 12/12 OK.
+    "streaming": {
+        "cmd": [sys.executable, "tools/stream_rehearsal.py", "{sf_dir}"],
+    },
     "local_cluster": {
         "conf": (f"spark.jars={_JAR};"
                  f"spark.executor.extraClassPath={_JAR};"
@@ -128,10 +139,31 @@ def main():
         os.replace(tmp, state_path)
 
     for cell, spec in cells.items():
-        conf = spec["conf"]
         if str(state.get(cell, {}).get("status", "")) == "OK":
             print(f"[matrix] {cell}: already OK, skipping", flush=True)
             continue
+        # command cells (streaming rehearsal): own runner, same gate
+        # semantics — OK iff exit 0; record the summary tail either way
+        if "cmd" in spec:
+            cmd = [a.replace("{sf_dir}", sf_dir) for a in spec["cmd"]]
+            t0 = time.time()
+            print(f"[matrix] {cell}: {' '.join(cmd[1:])}", flush=True)
+            rr = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                                text=True)
+            tail = (rr.stdout + rr.stderr).strip().splitlines()[-12:]
+            state[cell] = {
+                "status": "OK" if rr.returncode == 0 else "FAIL",
+                "cmd": " ".join(cmd[1:]),
+                "summary": tail[-1] if tail else "",
+                "output_tail": tail,
+                "verify_sec": round(time.time() - t0, 1),
+            }
+            save()
+            print(f"[matrix] {cell}: {state[cell]['status']} "
+                  f"({state[cell]['verify_sec']:.0f}s) "
+                  f"{state[cell]['summary']}", flush=True)
+            continue
+        conf = spec["conf"]
         out = f"{REPO}/target/matrix/{cell}"
         subprocess.run(["rm", "-rf", out])
         if "pre" in spec:

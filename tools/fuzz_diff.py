@@ -114,6 +114,7 @@ ext_text_stats ext_lang_id ext_token_count ext_tfidf ext_bm25 ext_winnowing
 ext_knn_cosine ext_ann_ivf ext_pq_encode ext_embedding_drift ext_embed_audit
 ext_hash_split ext_domain_mix ext_seq_pack ext_dp_count ext_k_anon
 ext_dedup_clusters ext_cluster_dilution
+ext_knn_mutual_clusters ext_knn_ann_clusters
 ext_funnel ext_cohort_retention
 """.split()
 

@@ -91,11 +91,22 @@ def main():
     for n in names:
         a = local["queries"].get(n, {}).get("min")
         b = lc["queries"].get(n, {}).get("min")
-        if not a or not b:
+        # None/absent = missing entry; 0.0 would be a legitimate (if
+        # sub-resolution) min and must not be silently dropped with it,
+        # but it cannot divide — report it instead (round-13 ADVICE)
+        if a is None or b is None:
+            continue
+        if a <= 0:
+            print(f"[lc] {n}: local min {a} unusable for a ratio — "
+                  "skipped (sub-timer-resolution)")
             continue
         rows.append({"entry": n, "local_sec": a, "lc_sec": b,
                      "ratio": round(b / a / cal_ratio, 3)})
     ratios = [r["ratio"] for r in rows]
+    if not ratios:
+        print("[lc] no entry has a usable min in BOTH artifacts — "
+              "nothing to compare (wrong names? empty AB runs?)")
+        return 2
     med = statistics.median(ratios)
     for r in rows:
         r["vs_cohort"] = round(r["ratio"] / med, 3)

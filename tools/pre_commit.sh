@@ -16,14 +16,28 @@
 # Escape hatch (e.g. mid-bisect): GRAFT_SKIP_HOOK=1 git commit ...
 set -euo pipefail
 # $0 is .git/hooks/pre-commit (a symlink) when run by git — resolve the
-# repo root via git itself, not the script's own path
-REPO="$(git rev-parse --show-toplevel 2>/dev/null)"
-[ -n "$REPO" ] || REPO="$(cd "$(dirname "$0")/.." && pwd)"
+# repo root via git itself, not the script's own path (one line: under
+# set -e a failing assignment would abort before any separate fallback
+# statement ran — the round-13 ADVICE dead-code finding)
+REPO="$(git rev-parse --show-toplevel 2>/dev/null)" ||
+  REPO="$(cd "$(dirname "$0")/.." && pwd)"
 if [ "${GRAFT_SKIP_HOOK:-}" = "1" ]; then
   echo "[pre-commit] GRAFT_SKIP_HOOK=1 — lints skipped" >&2
   exit 0
 fi
 cd "$REPO"
+# The lints (and DumpContract's compiled classes) see the WORKING TREE,
+# not the staged snapshot. With partial staging the two can differ for
+# exactly the files the lints guard — the commit would then land code
+# the lints never saw (round-13 ADVICE). Refuse that case outright:
+# cheap, honest, and `git stash -k` / full staging are the remedies.
+UNSTAGED="$(git diff --name-only -- src tools README.md SURVEY.md build.sbt)"
+if [ -n "$UNSTAGED" ]; then
+  echo "[pre-commit] lint-relevant files differ between index and working tree:" >&2
+  echo "$UNSTAGED" | sed 's/^/  /' >&2
+  echo "[pre-commit] the lints check the WORKING TREE — stage these (or 'git stash -k') so the snapshot being committed is the one linted" >&2
+  exit 1
+fi
 if ! tools/run_main.sh graft.DumpContract target/verify_out \
      >/dev/null 2>target/pre_commit_dump.err; then
   echo "[pre-commit] contract dump failed (stale classes? run sbt compile):" >&2

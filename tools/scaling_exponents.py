@@ -51,6 +51,15 @@ DOCUMENTED = {
     # still bounding the blowup
     "ext_hamming_hist": 2.1, "ext_minhash_dedup": 2.1,
     "ext_semdedup": 2.1, "ext_dedup_pipeline": 2.1,
+    # exact mutual-kNN: the block-pair grid is Θ(N²) BY CONSTRUCTION
+    # (oracle-mandated exactness — the documented 100 TB swap is
+    # ext_knn_ann_clusters); plus CC log-rounds
+    "ext_knn_mutual_clusters": 2.2,
+    # ANN mutual-kNN: scale-adaptive IVF multiprobe — assignment N·S and
+    # candidates ≈ 2·N²/S with S ≈ √N, i.e. Θ(N^1.5); the measured
+    # contrast against the exact entry's quadratic slope IS the 100 TB
+    # argument (round 14)
+    "ext_knn_ann_clusters": 1.7,
 }
 DEFAULT_CEILING = 1.3    # anything else: linear-ish or gets flagged
 
@@ -58,8 +67,41 @@ DEFAULT_CEILING = 1.3    # anything else: linear-ish or gets flagged
 def run_ab(tag, sf_dir, names, iters):
     out = f"{REPO}/target/scaling/ab_{tag}.json"
     if os.path.exists(out) and "--fresh" not in sys.argv:
-        print(f"[scaling] {tag}: reusing {out}", flush=True)
-        return json.load(open(out))
+        cached = json.load(open(out))
+        missing = [n for n in names if n not in cached.get("queries", {})]
+        if not missing:
+            print(f"[scaling] {tag}: reusing {out}", flush=True)
+            return cached
+        # incremental cohort growth (round-13 verdict ask #2): AB only
+        # the entries the cached artifact lacks and merge them in, so a
+        # new entry gets its cost curve without re-timing the whole
+        # cohort. Cross-session box speed is handled downstream — the
+        # fit normalizes per-entry times by each SESSION's calibration,
+        # and the merged artifact keeps a per-entry calibration override
+        # so entries timed in different sessions normalize by their own.
+        print(f"[scaling] {tag}: extending cache with {missing}",
+              flush=True)
+        part = f"{REPO}/target/scaling/ab_{tag}_add.json"
+        if os.path.exists(part):
+            os.remove(part)
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_AB_OUT=part, SPARK_GRAFT_CPUS="32",
+                   SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM",
+                                                   "24g"))
+        r = subprocess.run(
+            [f"{REPO}/tools/run_main.sh", "graft.AB", str(iters)] + missing,
+            cwd=REPO, env=env, capture_output=True, text=True)
+        if not os.path.exists(part):
+            sys.exit(f"[scaling] {tag}: incremental AB failed\n"
+                     + r.stdout[-2000:] + r.stderr[-2000:])
+        add = json.load(open(part))
+        for n, v in add["queries"].items():
+            cached["queries"][n] = v
+            cached.setdefault("calibration_overrides", {})[n] = \
+                add.get("calibration_sec")
+        with open(out, "w") as f:
+            json.dump(cached, f, indent=1)
+        return cached
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_AB_OUT=out, SPARK_GRAFT_CPUS="32",
                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
@@ -106,8 +148,13 @@ def main():
     cals = sorted(v for v in cal.values() if v)
     cal_ref = cals[len(cals) // 2] if cals else None
 
-    def norm(tag):
-        c = cal.get(tag)
+    def norm(tag, n):
+        # entries merged in from a later session normalize by THAT
+        # session's calibration (calibration_overrides), not the
+        # original run's — otherwise a box-speed delta between the two
+        # sessions would masquerade as slope
+        c = (abs_[tag].get("calibration_overrides", {}).get(n)
+             or cal.get(tag))
         return cal_ref / c if (c and cal_ref) else 1.0
     rows = []
     for n in names:
@@ -115,7 +162,7 @@ def main():
         for tag, _, scale in SCALES:
             t = abs_[tag]["queries"].get(n, {}).get("min")
             if t and t > 0:
-                pts.append((scale, t * norm(tag)))
+                pts.append((scale, t * norm(tag, n)))
         if len(pts) < 3:
             rows.append({"entry": n, "error": "insufficient points"})
             continue
