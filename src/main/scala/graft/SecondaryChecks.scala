@@ -114,13 +114,23 @@ object SecondaryChecks {
     // or threshold change that moves the structure flips pass:false
     // loudly. On non-driver corpora (fuzz, ScaleUp) the share is
     // reported for visibility but not asserted (no pin exists).
+    // The two kNN-clustering entries pin the CONTRAST the design claims
+    // (round 14): the threshold graph percolates at bench scale (0.982)
+    // while both mutual-kNN forms stay non-degenerate (≤0.03) — and the
+    // ANN form must stay structurally equivalent to the exact one.
     val percExpected: Map[String, Map[String, Double]] = Map(
       "sf0.01" -> Map("ext_dedup_clusters" -> 0.0060,
-                      "ext_embed_clusters" -> 0.1180),
+                      "ext_embed_clusters" -> 0.1180,
+                      "ext_knn_mutual_clusters" -> 0.0280,
+                      "ext_knn_ann_clusters" -> 0.0140),
       "sf0.1" -> Map("ext_dedup_clusters" -> 0.0008,
-                     "ext_embed_clusters" -> 0.9820))
+                     "ext_embed_clusters" -> 0.9820,
+                     "ext_knn_mutual_clusters" -> 0.0070,
+                     "ext_knn_ann_clusters" -> 0.0040))
     val scaleName = new java.io.File(sfDir).getName
-    val percShare = Seq("ext_dedup_clusters", "ext_embed_clusters").map { e =>
+    val percShare = Seq("ext_dedup_clusters", "ext_embed_clusters",
+                        "ext_knn_mutual_clusters",
+                        "ext_knn_ann_clusters").map { e =>
       val agg = SparkEntry.queries(e)(spark, sfDir)
         .agg(max(col("cluster_size")).cast("double").as("mx"),
              count(lit(1)).cast("double").as("n")).head
@@ -135,6 +145,18 @@ object SecondaryChecks {
         .forall(exp => math.abs(sh - exp) <= percTol)
     }
 
+    // ANN↔exact agreement pin (round-13 verdict ask #1): the entry's
+    // own knn_edge_recall_ppm column (bounded-audit edge recall of the
+    // ANN mutual graph vs the exact one) must stay ≥ 0.9·10⁶ on the
+    // driver corpora — measured 10⁶ exactly at every driver scale. On
+    // non-driver corpora the value is reported, not asserted.
+    val annRecallRow = SparkEntry.queries("ext_knn_ann_clusters")(spark, sfDir)
+      .select(col("knn_edge_recall_ppm"), col("audit_exact_edges"),
+              col("audit_ann_edges")).limit(1).collect().headOption
+    val annRecall = annRecallRow.map(_.getLong(0)).getOrElse(0L)
+    val annPinned = percExpected.contains(scaleName)
+    val annPass = !annPinned || annRecall >= 900000L
+
     val frag =
       percShare.map { case (e, sh) =>
         val exp = percExpected.get(scaleName).flatMap(_.get(e))
@@ -143,6 +165,11 @@ object SecondaryChecks {
           s""""pinned":${exp.nonEmpty}},"""
       }.mkString +
       s""""percolation_pass":$percPass,""" +
+      s""""knn_ann_agreement":{"knn_edge_recall_ppm":$annRecall,""" +
+      annRecallRow.map(r =>
+        s""""audit_exact_edges":${r.getLong(1)},""" +
+        s""""audit_ann_edges":${r.getLong(2)},""").getOrElse("") +
+      s""""pinned":$annPinned,"min_ppm":900000,"pass":$annPass},""" +
       s""""agg_approx":{"groups":${approx.length},""" +
       s""""max_rel_err_count_distinct":${f(cdErrs.max)},"tol_count_distinct":$cdTol,""" +
       s""""max_rel_err_median":${f(medErrs.max)},"tol_median":$medTol,"pass":$approxPass},""" +
@@ -150,7 +177,7 @@ object SecondaryChecks {
       s""""fraction":${f(frac)},"expected_fraction":0.1,"tolerance_4sigma":${f(4 * sigma)},""" +
       s""""pass":$samplePass},""" +
       s""""sf":${DumpContract.q(sfDir)}"""
-    (frag, approxPass && samplePass && percPass)
+    (frag, approxPass && samplePass && percPass && annPass)
   }
 
   def main(args: Array[String]): Unit = {
