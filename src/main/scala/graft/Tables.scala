@@ -39,6 +39,45 @@ object Tables {
       case None => df
     }
 
+  /** Session-scoped RELATION memo (r14): `spark.read.parquet(path)`
+    * costs ~70–110 ms of driver-side metadata work per call (file
+    * listing + footer schema inference) even for a path read moments
+    * earlier — across ~275 bench entries × 1–3 table references that was
+    * ~30 s/run of pure re-planning. Memoizing the analyzed DataFrame per
+    * (session, path) is exactly what a catalog/metastore gives a
+    * production deployment (one schema+file-index resolution per table,
+    * reused by every query): NO data is cached — every action on the
+    * memoized frame re-scans the parquet from disk — and the memo is
+    * invalidated when the file's (mtime, length) signature changes, so
+    * specs that overwrite a scratch dir and re-read it stay correct.
+    * WeakHashMap on the session: a stopped session's entries are
+    * collectable, and config-matrix cells (fresh sessions) never share
+    * relations. */
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]]
+
+  private def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    val m = relCache.synchronized {
+      var inner = relCache.get(spark)
+      if (inner == null) {
+        inner = new java.util.concurrent.ConcurrentHashMap[
+          String, (Long, Long, DataFrame)]
+        relCache.put(spark, inner)
+      }
+      inner
+    }
+    val f = new java.io.File(path)
+    val (mt, len) = (f.lastModified, f.length)
+    val hit = m.get(path)
+    if (hit != null && hit._1 == mt && hit._2 == len) hit._3
+    else {
+      val df = spark.read.parquet(path)
+      m.put(path, (mt, len, df))
+      df
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // nanos column; see events() below. The legacy flag stays set ONLY
@@ -49,7 +88,10 @@ object Tables {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      val df = cachedRead(spark, s"$sfDir/events.parquet")
+      // (the set/restore dance runs on every call — only the relation
+      // construction is memoized — so a nanos-layout frame always has
+      // the flag re-asserted before execution, memo hit or miss)
       if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
         prev match {
           case Some(v) => spark.conf.set(key, v)
@@ -57,7 +99,7 @@ object Tables {
         }
       maybeInjectFault(df, name)
     } else maybeInjectFault(
-      spark.read.parquet(s"$sfDir/$name.parquet"), name)
+      cachedRead(spark, s"$sfDir/$name.parquet"), name)
   }
 
   /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) in some

@@ -49,30 +49,25 @@ object Clustering {
     * @return (node, label) with label = min node id in the component */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
                           maxIters: Int = 0): DataFrame = {
-    // Materialize the symmetrized edge list ONCE — edges often carry an
-    // expensive lineage (here: the LSH band self-join), and the loop
-    // re-reads it every round.
-    val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v")))
+    // Materialize the EDGE LIST once and symmetrize by projection over
+    // the materialized frame. Edges often carry an expensive lineage
+    // (the LSH band self-join, the cosine pair grid) and union branches
+    // share no subtree: symmetrizing the LAZY frame executed that
+    // lineage TWICE inside the first checkpoint (r14 job audit —
+    // ext_dedup_clusters' minhash band join and ext_embed_clusters'
+    // 2M-pair cosine grid each ran double). The loop re-reads sym every
+    // round; scanning the materialized e0 twice per union is block-
+    // manager-cheap at any scale.
+    val e0 = edges.select(col("a").as("u"), col("b").as("v"))
       .localCheckpoint()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val vcol = vertices.columns.head
     val all = vertices.select(col(vcol).as("node"))
-    // Only edge-touched nodes can ever change label; isolated nodes are
+    // One min-label propagation step; labels only decrease pointwise.
+    // Only edge-touched nodes carry loop state; isolated nodes are
     // singleton clusters by definition and stay OUT of the loop. In a
     // dedup graph the paired set is a small fraction of the corpus, so
     // the per-round shuffle shrinks from |corpus| to |paired|.
-    val paired = sym.select(col("u").as("node")).distinct().localCheckpoint()
-    // 2·log₂(n)+8 rounds provably suffice with pointer jumping (label
-    // reach doubles per round); the count is on the checkpointed frame,
-    // one cheap action. Explicit maxIters > 0 overrides (tests).
-    val bound =
-      if (maxIters > 0) maxIters
-      else 2 * (64 - java.lang.Long.numberOfLeadingZeros(paired.count() + 2)) + 8
-    var labels = paired.select(col("node"), col("node").as("label"))
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var done = false
-    // One min-label propagation step; labels only decrease pointwise.
     def propagate(ls: DataFrame): DataFrame = {
       val nbr = sym.join(ls, sym("v") === ls("node"))
         .select(col("u").as("node"), col("label"))
@@ -89,26 +84,49 @@ object Clustering {
       ls.join(ptr, col("label") === col("jn"))
         .select(col("node").as("node"), col("jl").as("label"))
     }
+    // Outer round 1, built without the identity-label frame: propagating
+    // FROM identity labels needs no join at all — label(u) =
+    // min(u, min over neighbors v) is ONE aggregation over sym — and the
+    // second sub-round is a regular propagate. Identical label state to
+    // the old propagate∘propagate(identity), minus one join and the
+    // whole paired-frame machinery (distinct + checkpoint + count jobs):
+    // the witness action below returns Σlabel AND the paired-node count
+    // in one pass over the materialized round-1 frame.
+    val seed = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("node"), col("label"))
+    var labels = propagate(seed).localCheckpoint()
+    val r0 = labels
+      .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1)))
+      .first()
+    var prevSum: java.math.BigDecimal = r0.getDecimal(0)
+    // 2·log₂(n)+8 outer rounds provably suffice with pointer jumping
+    // (label reach doubles per round). Explicit maxIters > 0 overrides
+    // (tests).
+    val bound =
+      if (maxIters > 0) maxIters
+      else 2 * (64 - java.lang.Long.numberOfLeadingZeros(r0.getLong(1) + 2)) + 8
+    var iter = 1
+    // a NULL sum means the paired set is empty (edge-free graph): there
+    // is nothing to propagate, fixpoint is immediate
+    var done = prevSum == null
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] outer 1 done=$done t=${System.nanoTime() / 1e9}")
     while (!done && iter < bound) {
       // TWO propagation steps per materialization+witness: the
       // checkpoint job and the Σlabel action dominate per-round cost at
       // small data (measured ~0.45 s/round, data-independent), so
       // halving their count nearly halves loop wall time; worst case one
       // extra no-op sub-round after an odd-round fixpoint. The jump is
-      // fused into sub-round 2 from outer iteration 2 on (effective
-      // round ≥ 3): dense dedup graphs (diameter 1–2) converge earlier
-      // and never pay its join, chains still get doubling reach.
-      val once = propagate(labels)
-      val twice = propagate(once)
-      val next = (if (iter < 1) twice else jump(twice)).localCheckpoint()
+      // fused in from outer iteration 2 on (effective round ≥ 3): dense
+      // dedup graphs (diameter 1–2) converge earlier and never pay its
+      // join, chains still get doubling reach.
+      val next = jump(propagate(propagate(labels))).localCheckpoint()
       // exact convergence witness: Σlabel as decimal (labels only
       // decrease, so an unchanged sum means an unchanged assignment)
       val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
         .first().getDecimal(0)
-      // a NULL sum means the paired set is empty (edge-free graph):
-      // there is nothing to propagate, fixpoint is immediate
-      done = sumNow == null ||
-        (prevSum != null && sumNow.compareTo(prevSum) == 0)
+      done = sumNow == null || sumNow.compareTo(prevSum) == 0
       prevSum = sumNow
       labels = next
       iter += 1
@@ -117,7 +135,7 @@ object Clustering {
     }
     if (!done) sys.error(s"connectedComponents: no fixpoint in $bound rounds")
     labels.union(
-      all.join(paired, Seq("node"), "left_anti")
+      all.join(labels.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("label")))
   }
 
@@ -152,19 +170,32 @@ object Clustering {
        sum(col("cluster_size")).cast("double"))
         .as("max_component_share"))))
 
+  /** The shared cluster-report tail of the `ext_*_clusters` entries:
+    * sizes per label, representative flag, the share canary, total order
+    * by id. The label frame is materialized ONCE here — it is read three
+    * times below (sizes, the size join, the share aggregate), and its
+    * lazy lineage (the CC loop's final union + corpus anti-join) was
+    * re-executed per read (r14 job audit). */
+  private def clusterReport(labelsLazy: DataFrame, idName: String,
+                            extras: Seq[DataFrame] = Nil): DataFrame = {
+    val labels = labelsLazy.localCheckpoint()
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    extras.foldLeft(
+      withComponentShare(
+        labels.join(sizes, Seq("label"))
+          .select(col("node").as(idName), col("label").as("cluster_id"),
+                  col("cluster_size"),
+                  (col("node") === col("label")).as("is_representative")),
+        sizes))((df, x) => df.crossJoin(broadcast(x)))
+      .orderBy(col(idName))
+  }
+
   val extDedupClusters: Q = (s, d) => {
     val docs = dedupDocsSigs(s, d)
     val pairs = Dedup.minhashBandPairs(docs)
     val labels = connectedComponents(pairs, docs.select(col("doc_id")))
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    withComponentShare(
-      labels.join(sizes, Seq("label"))
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-                col("cluster_size"),
-                (col("node") === col("label")).as("is_representative")),
-      sizes)
-      .orderBy(col("doc_id"))
+    clusterReport(labels, "doc_id")
   }
 
   /** E64 — cluster DILUTION audit: transitive closure is what makes
@@ -190,7 +221,9 @@ object Clustering {
     // audit reuses it for two signature joins plus pair generation
     val docs = dedupDocsSigs(s, d).localCheckpoint()
     val pairs = Dedup.minhashBandPairs(docs).localCheckpoint()
+    // materialized once: read twice below (sizes + the audited join)
     val labels = connectedComponents(pairs, docs.select(col("doc_id")))
+      .localCheckpoint()
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("csize"))
     val audited = labels.join(sizes, Seq("label"))
@@ -244,18 +277,10 @@ object Clustering {
       .filter(col("cos") >= 0.35)
       .select(col("a"), col("b"))
     val labels = connectedComponents(pairs, emb.select(col("vec_id")))
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
     // share rides along (see withComponentShare): THIS entry is the one
     // measurably percolated at bench scale (0.982 at sf0.1) — the
     // degeneracy signal now ships with the clusters, not beside them
-    withComponentShare(
-      labels.join(sizes, Seq("label"))
-        .select(col("node").as("vec_id"), col("label").as("cluster_id"),
-                col("cluster_size"),
-                (col("node") === col("label")).as("is_representative")),
-      sizes)
-      .orderBy(col("vec_id"))
+    clusterReport(labels, "vec_id")
   }
 
   /** E12c — MUTUAL-kNN embedding clusters: the scale-correct answer to
@@ -295,13 +320,19 @@ object Clustering {
   def knnCandidates(s: org.apache.spark.sql.SparkSession,
                     emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Two pipelined projections of the grid join (union): yes, each
-    // branch executes the join, but both stay in whole-stage-codegen
-    // narrow-row pipelines straight into the window exchange — measured
-    // FASTER than the one-pass explode-both-directions spelling (the
-    // generator breaks the pipeline and pushes 2x rows through one
-    // stage: 19.9 vs 13.0 calibration-normalized units at sf0.1).
-    val pairs = Similarity.blockPairs(s, emb, blocks = 8)
+    // The grid join is materialized ONCE and both direction projections
+    // read the checkpointed pairs. History of this spelling: the
+    // one-pass explode-both-directions variant measured SLOWER than
+    // recomputing the grid per union branch (19.9 vs 13.0 normalized
+    // units — the generator breaks whole-stage codegen and pushes 2x
+    // rows through one stage); r14 A/B'd checkpoint-then-project
+    // against the recompute-per-branch spelling: at sf0.1 it is a small
+    // measured win (executor CPU 7.7 -> 7.3 s, jobs 76 -> 74 — the
+    // 2M-row checkpoint write costs nearly what one grid pass costs),
+    // and it is the scale-dominant form: at real corpus sizes the grid
+    // join dwarfs a sequential write+read of its output, so the pair
+    // source must execute once.
+    val pairs = Similarity.blockPairs(s, emb, blocks = 8).localCheckpoint()
     val sym = pairs
       .select(col("a").as("node"), col("b").as("nbr"), col("cos"))
       .union(pairs.select(col("b").as("node"), col("a").as("nbr"),
@@ -342,15 +373,7 @@ object Clustering {
     val emb = Tables.embeddings(s, d)
     val mutual = mutualKnnEdges(s, emb, k = 2)
     val labels = connectedComponents(mutual, emb.select(col("vec_id")))
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    withComponentShare(
-      labels.join(sizes, Seq("label"))
-        .select(col("node").as("vec_id"), col("label").as("cluster_id"),
-                col("cluster_size"),
-                (col("node") === col("label")).as("is_representative")),
-      sizes)
-      .orderBy(col("vec_id"))
+    clusterReport(labels, "vec_id")
   }
 
   /** Scale-adaptive IVF multiprobe kNN candidates (node, nbr, rank ≤ k
@@ -404,11 +427,17 @@ object Clustering {
               col("nrm").as("sn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("seed_cos").desc, col("seed_id").asc)
+    // materialized once: `members` (rn = 1) and `probes` (rn <= nprobe)
+    // both read it, and the N·S broadcast-argmin scoring behind it is
+    // the candidate generator's hottest stage (r14 job audit: computing
+    // it per consumer cost ~0.5 s executor CPU and 4 jobs at sf0.1)
     val ranked = e.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("seed_id"),
         (Similarity.dotD(col("embedding"), col("se")) /
           (col("nrm") * col("sn"))).as("seed_cos"))
       .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .localCheckpoint()
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
               col("nrm").as("cn"), col("seed_id").as("cell"))
@@ -452,8 +481,6 @@ object Clustering {
     val mutual = mutualEdges(annKnnCandidates(s, emb, k = 2))
       .localCheckpoint()
     val labels = connectedComponents(mutual, emb.select(col("vec_id")))
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
 
     // ---- bounded agreement audit (exact side linear in N) ----------
     val cosb = Similarity.dotD(col("qe"), col("ce")) /
@@ -492,14 +519,7 @@ object Clustering {
         expr("n_hit * 1000000 div greatest(audit_exact_edges, 1)")
           .as("knn_edge_recall_ppm"))
 
-    withComponentShare(
-      labels.join(sizes, Seq("label"))
-        .select(col("node").as("vec_id"), col("label").as("cluster_id"),
-                col("cluster_size"),
-                (col("node") === col("label")).as("is_representative")),
-      sizes)
-      .crossJoin(broadcast(agreement))
-      .orderBy(col("vec_id"))
+    clusterReport(labels, "vec_id", extras = Seq(agreement))
   }
 
   /** E13 — triangle counting on the part co-purchase graph (the local
