@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Codegen'd set-intersection size of two SORTED `array<string>` columns:
-  * one merge walk, counting equal elements.
+/** Codegen'd set-intersection size of two SORTED `array<string>` (or
+  * `array<long>`, r14) columns: one merge walk, counting equal elements.
   *
   * This is the per-pair kernel for exact similarity joins over token sets
   * too large for any bitmask vocabulary (word trigrams: ~|corpus|
@@ -29,17 +29,24 @@ import org.apache.spark.sql.types._
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isStrArray(t: DataType) = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def isStrArray(t: DataType) = t match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    }
-    if (isStrArray(left.dataType) && isStrArray(right.dataType))
+    if ((isStrArray(left.dataType) && isStrArray(right.dataType)) ||
+        (isLongArray(left.dataType) && isLongArray(right.dataType)))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects two array<string> arguments, got " +
+        s"sorted_intersect_count expects two array<string> or two " +
+          s"array<long> arguments, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -52,11 +59,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n1 = x.numElements(); val n2 = y.numElements()
     var i = 0; var j = 0; var s = 0L
-    while (i < n1 && j < n2) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { s += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLongArray(left.dataType)) {
+      while (i < n1 && j < n2) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { s += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n1 && j < n2) {
+        val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (c == 0) { s += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     s
   }
@@ -66,17 +82,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
-      val c = ctx.freshName("c")
       val n1 = ctx.freshName("n1")
       val n2 = ctx.freshName("n2")
+      val body =
+        if (isLongArray(left.dataType)) {
+          val xv = ctx.freshName("xv")
+          val yv = ctx.freshName("yv")
+          s"""
+             |while ($i < $n1 && $j < $n2) {
+             |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+             |  if ($xv == $yv) { $s++; $i++; $j++; }
+             |  else if ($xv < $yv) { $i++; } else { $j++; }
+             |}
+           """.stripMargin
+        } else {
+          val c = ctx.freshName("c")
+          s"""
+             |while ($i < $n1 && $j < $n2) {
+             |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+             |  if ($c == 0) { $s++; $i++; $j++; }
+             |  else if ($c < 0) { $i++; } else { $j++; }
+             |}
+           """.stripMargin
+        }
       s"""
          |int $n1 = $a.numElements(); int $n2 = $b.numElements();
          |int $i = 0; int $j = 0; long $s = 0L;
-         |while ($i < $n1 && $j < $n2) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $s++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
-         |}
+         |$body
          |${ev.value} = $s;
        """.stripMargin
     })

@@ -150,9 +150,14 @@ object Clustering {
     * production dedups. */
   private def dedupDocsSigs(s: org.apache.spark.sql.SparkSession,
                             d: String): DataFrame =
-    Tables.documents(s, d)
+    // fanout + materialize (r14): the signature kernel is the scan
+    // stage's dominant per-row cost and was serial on the single-row-
+    // group scan task; both consumers re-read the frame (band keys,
+    // dilution's signature joins), so it executes exactly once now
+    fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
               Dedup.minhashSig(Dedup.shingles3(col("text"))).as("sig"))
+      .localCheckpoint()
 
   /** Percolation canary, shipped WITH the clusters (round-10 verdict
     * ask #6): max-component share = largest cluster / total nodes, the
@@ -217,9 +222,9 @@ object Clustering {
     * (≤ C(20,2) pairs per cluster, never corpus-quadratic) and
     * signature joins at pair grain. Output is one summary row. */
   val extClusterDilution: Q = (s, d) => {
-    // same projection as the production path; checkpointed because the
-    // audit reuses it for two signature joins plus pair generation
-    val docs = dedupDocsSigs(s, d).localCheckpoint()
+    // same projection as the production path (dedupDocsSigs now
+    // materializes itself); pairs reused by CC + the direct-pair join
+    val docs = dedupDocsSigs(s, d)
     val pairs = Dedup.minhashBandPairs(docs).localCheckpoint()
     // materialized once: read twice below (sizes + the audited join)
     val labels = connectedComponents(pairs, docs.select(col("doc_id")))
@@ -547,6 +552,16 @@ object Clustering {
     * rows re-shuffle; a hot node's array does not), so both spellings
     * stay documented here; orientation caps the damage in either. */
   val extTriangleCount: Q = (s, d) => {
+    // per-edge intersection via the codegen'd sorted-merge kernel
+    // (array<long> overload, r14): size(array_intersect(...)) hash-built
+    // a set per edge — ~800k edges × ~80-element arrays of per-pair
+    // allocations. At sf0.1 the swap is WALL-neutral (the stage runs 84
+    // tasks wide; reference-normalized AB ×1.05, inside noise) but the
+    // merge walk is allocation-free per pair, which is what matters when
+    // the per-task edge batches grow 10⁴× at corpus scale. Counts are
+    // identical: adjacency arrays are sorted, distinct, non-null by
+    // construction (collect_list over distinct oriented edges).
+    graft.expressions.SortedIntersectCount.register(s)
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -568,8 +583,7 @@ object Clustering {
     val tri = or
       .join(adj.select(col("u"), col("nb").as("nb_u")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nb").as("nb_v")), Seq("v"))
-      .select(size(array_intersect(col("nb_u"), col("nb_v")))
-        .cast("long").as("t"))
+      .select(expr("sorted_intersect_count(nb_u, nb_v)").as("t"))
       // coalesce 0: a triangle-free graph leaves the wedge join empty and
       // a bare global sum() returns NULL where the oracle's count(*)
       // returns 0 (fuzz seed 101, 20-event sparse graph)

@@ -225,8 +225,12 @@ object Dedup {
     * counts (4 bands; docs within hamming distance 3 are guaranteed to
     * share a band). */
   val extSimhashDedup: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // fanout + materialize (r14) — same shape as extHammingHist: the
+    // 60-aggregate simhash projection ran serially on the scan task and
+    // re-ran for the final signature join
+    val docs = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), simhash60(col("text")).as("simhash"))
+      .localCheckpoint()
     val partners = simhashBandPairs(docs)
     val counts = partners.select(col("a").as("doc_id"))
       .union(partners.select(col("b").as("doc_id")))
@@ -259,7 +263,16 @@ object Dedup {
       .orderBy(col("hamming_bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.currentRow)
-    val docs = Tables.documents(s, d)
+    // fanout BEFORE the signature projection: simhash60 is ~60
+    // interpreted aggregates over the md5 token hashes per doc, and the
+    // single-row-group parquet scan runs it on ONE task (the
+    // [[graft.ops.fanout]] case: split count tracks bytes, cost is
+    // CPU). The checkpoint materializes the 32-way frame, so the pinned
+    // partition count does NOT propagate into the band self-join below
+    // (the caveat in fanout's scaladoc applies to lazy lineages only).
+    // Measured at sf0.1 (AB min-of-5 with untouched reference entries
+    // in-run): 3.81 -> 1.88 s, reference-normalized ×0.54.
+    val docs = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), simhash60(col("text")).as("simhash"))
       .localCheckpoint() // reused: band join (both sides) + 2 sig joins
     simhashBandPairs(docs)
@@ -489,9 +502,15 @@ object Dedup {
     * (Σ|posting(trigram)|² ≪ Σ|posting(word)|²): the n that makes
     * near-dup detection precise also makes the join cheap. */
   val extTrigramJaccard: Q = (s, d) =>
+    // fanout + materialize (r14): shingles3 is the dominant per-row
+    // cost here and ran serially on the scan task, re-executed by the
+    // vocab probe's sample and the per-doc count aggregate (the
+    // postings self-join's two branches already shared one exchange)
     jaccardPairs(
-      Tables.documents(s, d).select(col("doc_id"), col("source"),
-        shingles3(col("text")).as("toks")),
+      fanout(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          shingles3(col("text")).as("toks"))
+        .localCheckpoint(),
       0.5)
       .orderBy(col("d1"), col("d2"))
 
@@ -543,12 +562,16 @@ object Dedup {
     // giant-row fuzz finding); the oracle keeps the declarative substr
     // replay, SlidingWindowsSpec pins row-by-row equivalence
     graft.expressions.SlidingWindows.register(s)
-    val sh = Tables.documents(s, d)
+    // fanout + materialize (r14): same reasoning as extSuffixDedup —
+    // the stride-grid hashing ran serially on the scan task and twice
+    // (duplicate-key aggregate + join back)
+    val sh = fanout(Tables.documents(s, d), col("doc_id"))
       .filter(length(col("text")) >= 32)
       .select(col("doc_id"), col("source"),
         explode(call_function("sliding_windows",
           col("text"), lit(32), lit(8))).as("shingle"))
       .select(col("doc_id"), col("source"), hash60(col("shingle")).as("wkey"))
+      .localCheckpoint()
     val dup = sh.groupBy(col("wkey"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -587,7 +610,11 @@ object Dedup {
     * documents so the operator exercises real multi-span output. */
   val extSuffixDedup: Q = (s, d) => {
     val L = 20
-    val w = Tables.documents(s, d)
+    // fanout + materialize (r14): ~1 md5 per corpus token, serial on the
+    // single-row-group scan task before; and the window frame is read
+    // twice (the duplicated-key aggregate AND the semi-join back), which
+    // re-ran the whole hashing pass lazily.
+    val w = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("source"),
         posexplode(bindOnce(split(lower(col("text")), " ")) { t =>
           when(size(t) >= L,
@@ -596,6 +623,7 @@ object Dedup {
             .otherwise(array().cast("array<long>"))
         }))
       .toDF("doc_id", "source", "wpos", "wkey")
+      .localCheckpoint()
     val dup = w.groupBy(col("wkey"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -749,14 +777,22 @@ object Dedup {
     * duplicate density, not corpus². */
   val extDedupSweep: Q = (s, d) => {
     graft.expressions.SortedIntersectCount.register(s)
-    val base = Tables.documents(s, d)
-    val sigs = base.select(col("doc_id"),
-      minhashSig(shingles3(col("text"))).as("sig"))
-    val pairs = minhashBandPairs(sigs)
-    val sets = base.select(col("doc_id"),
-        sort_array(filter(array_distinct(shingles3(col("text"))),
+    // ONE fanned-out, materialized pass computes the shingle array once
+    // and derives BOTH the MinHash signature and the sorted shingle set
+    // from it (r14): the old spelling ran shingles3+md5 serially on the
+    // single-row-group scan task, and re-ran it per consumer (signature
+    // band join + both sides of the set join). Token-grain work is now
+    // 32-way parallel and executes once; downstream joins read the
+    // materialized frame.
+    val docsBoth = fanout(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"),
+        sort_array(filter(array_distinct(col("sh")),
           x => x.isNotNull)).as("ssh"))
       .withColumn("nsh", size(col("ssh")).cast("long"))
+      .localCheckpoint()
+    val pairs = minhashBandPairs(docsBoth.select(col("doc_id"), col("sig")))
+    val sets = docsBoth.select(col("doc_id"), col("ssh"), col("nsh"))
     pairs
       .join(sets.select(col("doc_id").as("a"), col("ssh").as("sa"),
                         col("nsh").as("na")), Seq("a"))
@@ -930,11 +966,13 @@ object Dedup {
     * row hash-matches bit-exact. */
   val extMinhashEst: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // (A/B'd: materializing sigs via localCheckpoint does NOT help here —
-    // the md5 signature kernel is cheap next to the pair joins, and the
-    // checkpoint write costs what the recompute saves. Declarative wins.)
-    val sigs = docs.select(col("doc_id"),
+    // r14 revisits the r6 "checkpoint does not help" A/B: checkpoint
+    // ALONE didn't (serial md5 either way); fanout + checkpoint both
+    // parallelizes the signature kernel 32-way and stops its lazy
+    // re-execution in the two pair-grain signature joins.
+    val sigs = fanout(docs, col("doc_id")).select(col("doc_id"),
       minhashSig(shingles3(col("text"))).as("sig"))
+      .localCheckpoint()
     // pairs reused four times below (est join x2, posts prune, truth);
     // materialize the small frame once
     val pairs = minhashBandPairs(sigs).localCheckpoint()
@@ -1057,10 +1095,14 @@ object Dedup {
     * joined back at doc grain. Never doc×doc on raw text. */
   val extCdcDedup: Q = (s, d) => {
     graft.expressions.CdcBoundaries.register(s)
-    val digs = Tables.documents(s, d)
+    // fanout + materialize (r14): the cdc_bounds md5 loop ran serially
+    // on the scan task, and the distinct digest frame is read three
+    // times below (df cap, the semi-join, the per-doc counts)
+    val digs = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), explode(cdcChunks(col("text"))).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("dig"))
       .distinct()
+      .localCheckpoint()
     val informative = digs
       .groupBy(col("dig")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50)

@@ -84,8 +84,11 @@ object Quality {
     * with its cluster size and the quality spread it beat. */
   val extKeepBest: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val sig = docs.select(col("doc_id"),
+    // fanout + materialize (r14): serial scan-task signature kernel —
+    // see Clustering.dedupDocsSigs
+    val sig = fanout(docs, col("doc_id")).select(col("doc_id"),
       Dedup.minhashSig(Dedup.shingles3(col("text"))).as("sig"))
+      .localCheckpoint()
     val labels = Clustering
       .connectedComponents(Dedup.minhashBandPairs(sig),
                            docs.select(col("doc_id")))

@@ -431,12 +431,16 @@ object TextAnalysis {
     *
     * Scale shape: the working frame is WORD-grain (distinct word ×
     * count), Heaps-law bounded (~10⁶–10⁷ at 100 TB) — never
-    * corpus-grain after the one counting scan; each round is two
-    * word-partitioned windows + a bounded-domain pair aggregate. Both
-    * the per-round winner (1 row, broadcast) and the re-segmented
-    * frame are localCheckpointed — without that the reused lineage
-    * doubles per round (the round-6 recursive-CTE-seed lesson, applied
-    * to a loop whose reuse is exponential, not linear). */
+    * corpus-grain after the one counting scan; each round is one
+    * word-partitioned window chain + a bounded-domain pair aggregate.
+    * The per-round winner (1 row under a total order) is COLLECTED to
+    * the driver and inlined as literals (r14 — the merge table is a
+    * driver-grain scalar, like every production BPE trainer's; this
+    * removes the per-round 1-row checkpoint and broadcast-build jobs:
+    * 46→40 / 37→32 jobs at sf0.1); the re-segmented frame stays
+    * localCheckpointed — without that the reused lineage doubles per
+    * round (the round-6 recursive-CTE-seed lesson, applied to a loop
+    * whose reuse is exponential, not linear). */
   /** The shared merge loop behind [[extBpeTrain]] and [[extBpeApply]]:
     * returns (per-round 1-row winner frames, per-round segmentation
     * frames indexed 0..rounds). Every intermediate is
@@ -469,38 +473,84 @@ object TextAnalysis {
     val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     val segs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     segs += syms
+    import s.implicits._
     for (t <- 1 to rounds) {
-      val win = syms
+      // The winner is ONE row under a total order — collect it instead
+      // of checkpointing a 1-row frame (r14): the merge pair is a
+      // driver-grain scalar decision exactly like the vocab probe (a
+      // production BPE trainer holds the merge table on the driver),
+      // and inlining it as literals removes both the per-round winner
+      // checkpoint job and the per-round broadcast build in the merge
+      // application. Determinism under retry: the (n DESC, a, b) order
+      // is total, so any task replay collects the same row.
+      val winRow = syms
         .select(col("cnt"), col("sym").as("a"),
                 lead(col("sym"), 1).over(wWord).as("b"))
         .filter(col("b").isNotNull)
         .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint()
-      winners += win.select(lit(t.toLong).as("round"),
-        col("a").as("left_sym"), col("b").as("right_sym"),
-        concat(col("a"), col("b")).as("merged"), col("n").as("pair_count"))
+        .collect().headOption
+      winners += (winRow match {
+        case Some(r) =>
+          Seq((t.toLong, r.getString(0), r.getString(1),
+               r.getString(0) + r.getString(1), r.getLong(2)))
+            .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+        case None => // empty corpus: no adjacent pair exists anywhere
+          Seq.empty[(Long, String, String, String, Long)]
+            .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      })
       if (t == rounds && !needSegs) {
         return (winners.result(), segs.result())
       }
+      // no winner ⇒ the pair domain is DRAINED (every word is one
+      // symbol, or the corpus is empty): the segmentation empties out,
+      // exactly as the old inner crossJoin against an empty winner
+      // frame produced — extBpeApply's curve stops emitting rows here
+      // (TextAnalysisSpec "loop drains when no pairs remain")
+      if (winRow.isEmpty) {
+        syms = syms.limit(0)
+        segs += syms
+        // remaining rounds stay drained; skip their no-op recompute
+        for (_ <- t + 1 to rounds) {
+          winners += Seq.empty[(Long, String, String, String, Long)]
+            .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+          segs += syms
+        }
+        return (winners.result(), segs.result())
+      }
+      val r0 = winRow.get
+      val (wa, wb) = (lit(r0.getString(0)), lit(r0.getString(1)))
+      // Greedy odd-rank-within-run selection WITHOUT the second sort
+      // pass (r14): the old spelling ranked candidates inside a
+      // (word, cand, grp) window — hash(word) already satisfies its
+      // clustering, so no exchange was added, but it forced an extra
+      // (word, cand, grp, pos) local sort of the whole word-grain frame
+      // per round. Equivalent arithmetic over the SAME word-ordered
+      // window: a candidate is kept iff its offset from its
+      // candidate-run head is even (run head = cand row whose
+      // predecessor is not cand; runStart = running max of head
+      // positions; within a run rir = pos − runStart + 1, so rir odd ⟺
+      // (pos − runStart) even). Wall-neutral at sf0.1 (the frame is
+      // tiny; BPE cost here is action machinery) — one sort instead of
+      // two per round is the word-grain win at corpus scale.
+      // Segmentation bit-identical (PropertySpec's random-trial
+      // reference check + the oracle replay pin it).
       syms = syms
-        .crossJoin(broadcast(win.select(col("a").as("wa"), col("b").as("wb"))))
         .withColumn("cand", coalesce(
-          col("sym") === col("wa") &&
-            lead(col("sym"), 1).over(wWord) === col("wb"), lit(false)))
-        .withColumn("rnc",
-          sum(when(col("cand"), 1L).otherwise(0L)).over(wRun))
-        .withColumn("grp", col("pos") - col("rnc"))
-        .withColumn("rir", row_number().over(
-          Window.partitionBy(col("word"), col("cand"), col("grp"))
-            .orderBy(col("pos"))))
-        .withColumn("keep", col("cand") && col("rir") % 2 === 1)
+          col("sym") === wa &&
+            lead(col("sym"), 1).over(wWord) === wb, lit(false)))
+        .withColumn("runStart",
+          max(when(col("cand") &&
+              !coalesce(lag(col("cand"), 1).over(wWord), lit(false)),
+            col("pos"))).over(wRun))
+        .withColumn("keep",
+          col("cand") && (col("pos") - col("runStart")) % 2 === 0)
         .withColumn("consumed",
           coalesce(lag(col("keep"), 1).over(wWord), lit(false)))
         .filter(!col("consumed"))
         .select(col("word"), col("cnt"),
                 row_number().over(wWord).cast("long").as("pos"),
-                when(col("keep"), concat(col("wa"), col("wb")))
+                when(col("keep"), concat(wa, wb))
                   .otherwise(col("sym")).as("sym"))
         .localCheckpoint()
       segs += syms
