@@ -61,6 +61,24 @@ object Dedup {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** [[hash60]] of every element of a string array through the native
+    * [[graft.expressions.Hash60All]] loop (r14): `transform(arr, hash60)`
+    * pays one INTERPRETED md5+conv lambda per element — the dominant CPU
+    * of the signature kernels at token grain. Self-registering on the
+    * active/default session so every caller (entries, specs, the
+    * session-less helpers) keeps working; falls back to the declarative
+    * spelling when no session exists yet (Column construction without a
+    * session — only reachable from exotic test setups). Bit-identical
+    * either way (Hash60AllSpec). */
+  private def hash60All(arr: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        graft.expressions.Hash60All.register(s)
+        call_function("hash60_all", arr)
+      case None => transform(arr, x => hash60(x))
+    }
+
   private val P31 = 2147483647L // Mersenne prime 2^31-1
   /** Deterministic 31-bit affine-permutation constants (LCG, fixed seed);
     * 31-bit domain keeps a*h+b < 2^62, overflow-free under ANSI mode.
@@ -77,7 +95,7 @@ object Dedup {
     * each of the k permutation aggregates would recompute every
     * shingle's md5. */
   def minhashSig(shingles: Column, k: Int = 16): Column =
-    bindOnce(transform(shingles, sh => pmod(hash60(sh), lit(P31)))) { hs =>
+    bindOnce(transform(hash60All(shingles), h => pmod(h, lit(P31)))) { hs =>
       array(permConsts(k).map { case (a, b) =>
         aggregate(hs, lit(Long.MaxValue),
           (acc, h) => least(acc, pmod(lit(a) * h + lit(b), lit(P31))))
@@ -89,7 +107,7 @@ object Dedup {
     * [[graft.ops.bindOnce bound once]] — inlined, the 60 per-bit
     * aggregates would each recompute every token's md5. */
   def simhash60(text: Column): Column =
-    bindOnce(transform(array_distinct(toks(text)), t => hash60(t))) { hs =>
+    bindOnce(hash60All(array_distinct(toks(text)))) { hs =>
       val bitSums = (0 until 60).map { b =>
         aggregate(hs, lit(0),
           (acc, h) =>
@@ -225,12 +243,15 @@ object Dedup {
     * counts (4 bands; docs within hamming distance 3 are guaranteed to
     * share a band). */
   val extSimhashDedup: Q = (s, d) => {
-    // fanout + materialize (r14) — same shape as extHammingHist: the
-    // 60-aggregate simhash projection ran serially on the scan task and
-    // re-ran for the final signature join
-    val docs = fanout(Tables.documents(s, d), col("doc_id"))
+    // Deliberately LAZY (r14 tried fanout + localCheckpoint here like
+    // extHammingHist and reverted it): this entry's consumers let the
+    // optimizer prune aggressively — a count() eliminates the unique-key
+    // left join and with it the whole signature computation — and an
+    // eager checkpoint forces the projection unconditionally (measured
+    // 0.33 → 0.42 s at sf0.1). The band self-join's two branches share
+    // one exchange, so laziness costs at most one extra simhash pass.
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), simhash60(col("text")).as("simhash"))
-      .localCheckpoint()
     val partners = simhashBandPairs(docs)
     val counts = partners.select(col("a").as("doc_id"))
       .union(partners.select(col("b").as("doc_id")))
@@ -617,9 +638,11 @@ object Dedup {
     val w = fanout(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), col("source"),
         posexplode(bindOnce(split(lower(col("text")), " ")) { t =>
+          // window STRINGS build in the (cheap) lambda; the md5+conv
+          // step runs through the native hash60_all loop (r14)
           when(size(t) >= L,
-            transform(sequence(lit(1), size(t) - (L - 1)), p =>
-              hash60(concat_ws(" ", slice(t, p, lit(L))))))
+            hash60All(transform(sequence(lit(1), size(t) - (L - 1)), p =>
+              concat_ws(" ", slice(t, p, lit(L))))))
             .otherwise(array().cast("array<long>"))
         }))
       .toDF("doc_id", "source", "wpos", "wkey")
@@ -828,6 +851,11 @@ object Dedup {
     // native one-pass window expression (see extSubstringDedup): the
     // per-position substr spelling is O(len²) on a giant row
     graft.expressions.SlidingWindows.register(s)
+    // native per-element md5 (r14): transform(grams, hash60) ran one
+    // interpreted lambda per corpus CHARACTER (~10⁶ md5+conv evals per
+    // partition — 18.9 s executor CPU at sf0.1); hash60_all is the
+    // tight-loop equivalent, bit-identical (Hash60AllSpec)
+    graft.expressions.Hash60All.register(s)
     val lt = lower(col("text"))
     val grams = bindOnce(lt) { t =>
       when(length(t) >= 8,
@@ -837,7 +865,7 @@ object Dedup {
     // window minimum as least-of-4 element_ats: A/B'd against
     // array_min(slice(...)) — the slice allocates a 4-element array per
     // window position (~1k allocations/doc); least() reads in place
-    val fps = bindOnce(transform(grams, g => hash60(g))) { hs =>
+    val fps = bindOnce(call_function("hash60_all", grams)) { hs =>
       when(size(hs) >= 4,
         array_distinct(transform(sequence(lit(0), size(hs) - 4),
           j => least(element_at(hs, j + 1), element_at(hs, j + 2),
