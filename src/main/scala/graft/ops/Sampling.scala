@@ -234,12 +234,16 @@ object Sampling {
     * ≤64 rows before the shuffle) and (b) a doc-grain sum; the model
     * broadcasts back. No shuffle carries text, only (doc_id, bucket). */
   val extDsirWeights: Q = (s, d) => {
+    // materialized once (r14): the token-grain explode + per-token md5
+    // feeds FOUR distinct exchanges below (raw, tgt, tot, the final
+    // doc-grain join) and re-executed per consumer lazily
     val tb = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
               explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
               pmod(Dedup.hash60(concat(lit("dsir|"), col("tok"))), lit(64L))
                 .as("bucket"))
+      .localCheckpoint()
     val raw = tb.groupBy(col("bucket")).agg(count(lit(1)).as("r_f"))
     val tgt = tb.filter(col("lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("t_f"))
@@ -288,8 +292,11 @@ object Sampling {
       .select(col("source"),
               pmod(Dedup.hash60(concat(lit("jsd|"), col("tok"))), lit(64L))
                 .as("bucket"))
+    // materialized once (r14): ≤ |sources|·64 rows, but its lineage is
+    // the token-grain explode + md5 groupBy, read by totals/ca/cb
     val c = tok.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val totals = c.groupBy(col("source")).agg(sum(col("n")).as("tot"))
     val pairs = totals
       .select(col("source").as("source_a"), col("tot").as("ta"))
