@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{CdcBoundaries, FloatVecDot, MaskAndCount, SortedIntersectCount}
+import graft.expressions.{CdcBoundaries, FloatVecDot, Hash60All, MaskAndCount, Simhash60, SlidingWindows, SortedIntersectCount}
 
 /** `SparkSessionExtensions` injection point — the deployment-grade way to
   * ship this library's custom expressions to a cluster:
@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_bounds"),
       CdcBoundaries.builder))
+    ext.injectFunction((
+      FunctionIdentifier("hash60_all"),
+      new ExpressionInfo(classOf[Hash60All].getName, "hash60_all"),
+      Hash60All.builder))
+    ext.injectFunction((
+      FunctionIdentifier("sliding_windows"),
+      new ExpressionInfo(classOf[SlidingWindows].getName, "sliding_windows"),
+      SlidingWindows.builder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      Simhash60.builder))
   }
 }

@@ -48,37 +48,70 @@ object Tables {
     * production deployment (one schema+file-index resolution per table,
     * reused by every query): NO data is cached — every action on the
     * memoized frame re-scans the parquet from disk — and the memo is
-    * invalidated when the file's (mtime, length) signature changes, so
-    * specs that overwrite a scratch dir and re-read it stay correct.
-    * WeakHashMap on the session: a stopped session's entries are
-    * collectable, and config-matrix cells (fresh sessions) never share
-    * relations. */
+    * invalidated when the path's content signature changes, so specs
+    * that overwrite a scratch dir and re-read it stay correct. For a
+    * DIRECTORY-shaped dataset the signature folds every child's
+    * (name, mtime, length) — a directory's own mtime/length does NOT
+    * change when a part file is rewritten in place (round-14 ADVICE);
+    * for a plain file it is (mtime, length). WeakHashMap on the
+    * session + SoftReference on the DataFrame (round-14 ADVICE): a
+    * Dataset strongly references its SparkSession, so a strongly-held
+    * value would pin its own weak key forever — behind a soft ref the
+    * stopped session's graph is reclaimable under memory pressure, and
+    * a cleared ref simply rebuilds the relation. Config-matrix cells
+    * (fresh sessions) never share relations. */
   private val relCache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]]
+      java.util.concurrent.ConcurrentHashMap[
+        String, (Long, Long, java.lang.ref.SoftReference[DataFrame])]]
+
+  /** Content signature of a dataset path: (mtime, length) for a file;
+    * for a directory, a fold of every child's (name, mtime, length)
+    * plus the child count — rewriting a part file IN PLACE (same name,
+    * same dir entry) changes the fold via the child's own mtime/length
+    * where the directory's attributes stay put. */
+  private def pathSignature(f: java.io.File): (Long, Long) =
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      var h = 1125899906842597L
+      var n = 0L
+      if (kids != null) kids.sortBy(_.getName).foreach { k =>
+        h = h * 31 + k.getName.hashCode
+        h = h * 31 + k.lastModified()
+        h = h * 31 + k.length()
+        n += 1
+      }
+      (h, n)
+    } else (f.lastModified, f.length)
 
   private def cachedRead(spark: SparkSession, path: String): DataFrame = {
     val m = relCache.synchronized {
       var inner = relCache.get(spark)
       if (inner == null) {
         inner = new java.util.concurrent.ConcurrentHashMap[
-          String, (Long, Long, DataFrame)]
+          String, (Long, Long, java.lang.ref.SoftReference[DataFrame])]
         relCache.put(spark, inner)
       }
       inner
     }
-    val f = new java.io.File(path)
-    val (mt, len) = (f.lastModified, f.length)
+    val (s1, s2) = pathSignature(new java.io.File(path))
     val hit = m.get(path)
-    if (hit != null && hit._1 == mt && hit._2 == len) hit._3
+    val cached = if (hit != null && hit._1 == s1 && hit._2 == s2)
+      hit._3.get() else null
+    if (cached != null) cached
     else {
       val df = spark.read.parquet(path)
-      m.put(path, (mt, len, df))
+      m.put(path, (s1, s2, new java.lang.ref.SoftReference(df)))
       df
     }
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every entry reads through here with its EXECUTING session — the
+    // one place that can guarantee the custom expressions are registered
+    // where the plan will be analyzed (round-14 ADVICE: construction-time
+    // getActiveSession registration can hit the wrong session)
+    graft.expressions.Registration.registerAll(spark)
     if (name == "events") {
       // nanos column; see events() below. The legacy flag stays set ONLY
       // when the file really is the nanos layout (the frame's execution

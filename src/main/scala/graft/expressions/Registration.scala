@@ -57,4 +57,33 @@ private[graft] object Registration {
       FunctionIdentifier(name),
       new ExpressionInfo(className, name),
       builder)
+
+  /** Sessions that already passed through [[registerAll]] (weak keys —
+    * a stopped, unreferenced session's marker is collectable). */
+  private val allDone =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
+  /** Registers EVERY graft custom expression on `spark`, once per
+    * session. Called from the `Tables` read choke point (r15): every
+    * entry resolves its frames against the session it passes to
+    * `Tables.*`, so registering here guarantees the functions exist on
+    * the EXECUTING session — the per-call-site
+    * `getActiveSession`-at-Column-construction-time registration
+    * (`Dedup.hash60All`) can pick the wrong session when the
+    * constructing thread's active session differs from the executing
+    * one (parallel suites; round-14 ADVICE). Mirrors
+    * [[graft.GraftExtensions]], which serves the same set to
+    * `spark.sql.extensions`-configured deployments. */
+  def registerAll(spark: SparkSession): Unit =
+    if (allDone.add(spark)) {
+      FloatVecDot.register(spark)
+      MaskAndCount.register(spark)
+      SortedIntersectCount.register(spark)
+      CdcBoundaries.register(spark)
+      Hash60All.register(spark)
+      SlidingWindows.register(spark)
+      Simhash60.register(spark)
+    }
 }

@@ -565,19 +565,31 @@ object Clustering {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+    // materialize the EDGE LIST once (r15): lazy, it was re-executed by
+    // every consumer — deg, the orientation join (plus deg's own two
+    // rebuilds inside it), the node count and the edge count — the
+    // formatted plan carried 44 separate lineitem scans and 132
+    // Exchanges with ZERO reuse (plans/r15/ext_triangle_count_before).
+    // The distinct co-purchase self-join is the entry's hottest stage;
+    // at corpus scale it dwarfs a write+read of its own output, the
+    // same argument as knnCandidates' pair grid.
     val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
                                 col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = edges.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val fwd = col("da") < col("db") ||
               (col("da") === col("db") && col("a") < col("b"))
+    // oriented edges materialized once too: consumed by the adjacency
+    // build and as the probe side of the intersection joins
     val or = edges
       .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
               when(fwd, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint()
     val adj = or.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nb"))
     val tri = or

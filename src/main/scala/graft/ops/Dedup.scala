@@ -103,10 +103,27 @@ object Dedup {
     }
 
   /** 60-bit SimHash of the distinct-token set (per-bit ±1 majority vote
-    * over [[hash60]] token hashes). The hash array is
-    * [[graft.ops.bindOnce bound once]] — inlined, the 60 per-bit
-    * aggregates would each recompute every token's md5. */
+    * over [[hash60]] token hashes), via the native
+    * [[graft.expressions.Simhash60]] loop (r15): the declarative
+    * spelling below walks the hash array through 60 INTERPRETED
+    * higher-order aggregates per document — the residual signature CPU
+    * of the simhash family after r14 moved the md5 into `hash60_all`.
+    * Same session-registration discipline as [[hash60All]]; bit-identical
+    * either way (Simhash60Spec pins native against declarative). */
   def simhash60(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        graft.expressions.Simhash60.register(s)
+        call_function("simhash60", array_distinct(toks(text)))
+      case None => simhash60Decl(text)
+    }
+
+  /** The declarative [[simhash60]] spelling (the form the DuckDB oracle
+    * replays): 60 per-bit `aggregate` folds over the [[hash60All]] hash
+    * array, bound once. Kept as the Simhash60Spec reference and the
+    * no-session fallback. */
+  private[graft] def simhash60Decl(text: Column): Column =
     bindOnce(hash60All(array_distinct(toks(text)))) { hs =>
       val bitSums = (0 until 60).map { b =>
         aggregate(hs, lit(0),
