@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{CdcBoundaries, FloatVecDot, Hash60All, MaskAndCount, Simhash60, SlidingWindows, SortedIntersectCount}
+import graft.expressions.{CdcBoundaries, FloatVecDot, Hash60All, MaskAndCount, Simhash60, SlidingWindows, SortedIntersectCount, WinnowFps}
 
 /** `SparkSessionExtensions` injection point — the deployment-grade way to
   * ship this library's custom expressions to a cluster:
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       Simhash60.builder))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      WinnowFps.builder))
   }
 }

@@ -85,5 +85,6 @@ private[graft] object Registration {
       Hash60All.register(spark)
       SlidingWindows.register(spark)
       Simhash60.register(spark)
+      WinnowFps.register(spark)
     }
 }

@@ -865,30 +865,18 @@ object Dedup {
     * tiebreak; the join back is fingerprint-grain (bounded by selected
     * hashes, ~len/2.5 per doc), never doc×doc. */
   val extWinnowing: Q = (s, d) => {
-    // native one-pass window expression (see extSubstringDedup): the
-    // per-position substr spelling is O(len²) on a giant row
-    graft.expressions.SlidingWindows.register(s)
-    // native per-element md5 (r14): transform(grams, hash60) ran one
-    // interpreted lambda per corpus CHARACTER (~10⁶ md5+conv evals per
-    // partition — 18.9 s executor CPU at sf0.1); hash60_all is the
-    // tight-loop equivalent, bit-identical (Hash60AllSpec)
-    graft.expressions.Hash60All.register(s)
-    val lt = lower(col("text"))
-    val grams = bindOnce(lt) { t =>
-      when(length(t) >= 8,
-        call_function("sliding_windows", t, lit(8), lit(1)))
-        .otherwise(array(t))
-    }
-    // window minimum as least-of-4 element_ats: A/B'd against
-    // array_min(slice(...)) — the slice allocates a 4-element array per
-    // window position (~1k allocations/doc); least() reads in place
-    val fps = bindOnce(call_function("hash60_all", grams)) { hs =>
-      when(size(hs) >= 4,
-        array_distinct(transform(sequence(lit(0), size(hs) - 4),
-          j => least(element_at(hs, j + 1), element_at(hs, j + 2),
-                     element_at(hs, j + 3), element_at(hs, j + 4)))))
-        .otherwise(array(array_min(hs)))
-    }
+    // fully-fused native winnowing projection (r15): grams + per-gram
+    // md5 + w=4 window minima + first-occurrence distinct in ONE pass
+    // (graft.expressions.WinnowFps). History: the per-position substr
+    // spelling was O(len²) (r5 → sliding_windows); the per-gram
+    // interpreted md5 lambda was 18.9 s executor CPU (r14 →
+    // hash60_all); the residual was the INTERPRETED window-min
+    // transform — one lambda eval + w element_ats per corpus character
+    // — plus two ~len-element intermediate arrays per doc. Bit-identical
+    // to the declarative chain [[winnowFpsDecl]] (WinnowFpsSpec).
+    graft.expressions.WinnowFps.register(s)
+    val fps = call_function("winnow_fps", lower(col("text")),
+                            lit(8), lit(4))
     // the gram-hash projection is ~1k md5/doc: without a repartition it
     // runs inside the single-split parquet scan (docs are ~1 KB, so the
     // split count tracks bytes while the cost is CPU) — one cheap
@@ -907,6 +895,26 @@ object Dedup {
       .select(col("doc_id"), col("n_fp"), col("n_shared"),
               expr("n_shared * 1000 div n_fp").as("shared_pm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The declarative [[extWinnowing]] fingerprint chain (the form the
+    * DuckDB oracle replays): character 8-grams via `sliding_windows`,
+    * [[hash60All]] per gram, w=4 window minima as least-of-4
+    * element_ats, first-occurrence `array_distinct`. Kept as the
+    * WinnowFpsSpec reference for the fused native kernel. */
+  private[graft] def winnowFpsDecl(textLower: Column): Column = {
+    val grams = bindOnce(textLower) { t =>
+      when(length(t) >= 8,
+        call_function("sliding_windows", t, lit(8), lit(1)))
+        .otherwise(array(t))
+    }
+    bindOnce(call_function("hash60_all", grams)) { hs =>
+      when(size(hs) >= 4,
+        array_distinct(transform(sequence(lit(0), size(hs) - 4),
+          j => least(element_at(hs, j + 1), element_at(hs, j + 2),
+                     element_at(hs, j + 3), element_at(hs, j + 4)))))
+        .otherwise(array(array_min(hs)))
+    }
   }
 
   /** E59 — Bloom-filter dedup pre-screen with a measured false-positive
