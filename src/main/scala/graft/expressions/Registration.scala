@@ -52,11 +52,18 @@ private[graft] object Registration {
   }
 
   def register(spark: SparkSession, name: String, className: String,
-               builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(className, name),
-      builder)
+               builder: Seq[Expression] => Expression): Unit = {
+    // exists-guard (r15): the per-Column-construction register calls
+    // (Dedup.hash60All/simhash60) re-registered on every call, and
+    // SimpleFunctionRegistry logs a "replaced a previously registered
+    // function" WARN per replacement — hundreds of lines per bench run
+    // for zero effect. Registering identical content is idempotent, so
+    // skip when the name already resolves.
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id, new ExpressionInfo(className, name), builder)
+  }
 
   /** Sessions that already passed through [[registerAll]] (weak keys —
     * a stopped, unreferenced session's marker is collectable). */

@@ -510,11 +510,16 @@ object Clustering {
     val t2 = exactTop2(
       e.join(broadcast(t1.select(col("nbr").as("vec_id")).distinct()),
              Seq("vec_id")))
+    // materialized once (r15): exactAudit is consumed twice below (its
+    // own count + the semi-join), and its lineage contains t2's
+    // bounded-broadcast-but-FULL-CORPUS scan — lazy, that scan ran
+    // twice per entry (the audit is ≤ 64 edges, the checkpoint is free)
     val exactAudit = t1.as("x").join(t2.as("y"),
         col("x.node") === col("y.nbr") && col("x.nbr") === col("y.node"))
       .select(least(col("x.node"), col("x.nbr")).as("a"),
               greatest(col("x.node"), col("x.nbr")).as("b"))
       .distinct()
+      .localCheckpoint()
     val annAudit = mutual.filter(col("a") < 32 || col("b") < 32)
     val agreement = exactAudit.agg(count(lit(1)).as("audit_exact_edges"))
       .crossJoin(annAudit.agg(count(lit(1)).as("audit_ann_edges")))
