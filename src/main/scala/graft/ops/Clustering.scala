@@ -60,6 +60,13 @@ object Clustering {
     // manager-cheap at any scale.
     val e0 = edges.select(col("a").as("u"), col("b").as("v"))
       .localCheckpoint()
+    // Tried and REJECTED (r15): materializing sym pre-partitioned on v
+    // (`.repartition(col("v")).localCheckpoint()`) so each round's join
+    // could skip the sym exchange — a checkpointed Dataset does NOT
+    // keep its outputPartitioning (plan-verified on Spark 4.1: the
+    // round join still inserts Exchange hashpartitioning(v) over the
+    // Scan ExistingRDD), so the extra shuffle+checkpoint bought nothing
+    // (job probe: +1..+3 jobs/entry, shuffle bytes flat).
     val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val vcol = vertices.columns.head
     val all = vertices.select(col(vcol).as("node"))

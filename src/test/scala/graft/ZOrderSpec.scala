@@ -37,17 +37,30 @@ class ZOrderSpec extends SparkSpec {
       .toDF("x", "y")
     val nFiles = 16
 
-    val zdir = tmp("zorder")
-    ZOrder.writeZOrdered(spark, pts, "x", "y", nFiles, zdir)
-    val zBoxes = ZOrder.fileBoxes(spark, zdir, "x", "y").collect()
-      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
-    zBoxes.length shouldBe nFiles
+    // repartitionByRange picks its boundaries from a SAMPLE whose seed
+    // derives from the RDD id — i.e. from how many RDDs earlier suites
+    // happened to create. With the default 100 samples/partition the
+    // boundary quality is seed-dependent and an unlucky suite order can
+    // smear one z-file across several z-quadrants (observed: zHits ==
+    // lHits == 4 in-suite, green standalone). Dense sampling makes the
+    // boundaries near-exact quantiles regardless of seed; restored after.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.get(sampleKey)
+    spark.conf.set(sampleKey, "20000")
+    val (zBoxes, lBoxes) = try {
+      val zdir = tmp("zorder")
+      ZOrder.writeZOrdered(spark, pts, "x", "y", nFiles, zdir)
+      val zB = ZOrder.fileBoxes(spark, zdir, "x", "y").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      zB.length shouldBe nFiles
 
-    val ldir = tmp("linear")
-    pts.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x"))
-      .write.mode("overwrite").parquet(ldir)
-    val lBoxes = ZOrder.fileBoxes(spark, ldir, "x", "y").collect()
-      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      val ldir = tmp("linear")
+      pts.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(ldir)
+      val lB = ZOrder.fileBoxes(spark, ldir, "x", "y").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      (zB, lB)
+    } finally spark.conf.set(sampleKey, prevSample)
 
     // box query on BOTH dims: x in [0,63], y in [0,63] (1/16 of space)
     def hits(boxes: Seq[(Int, Int, Int, Int)]): Int =
